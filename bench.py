@@ -1,0 +1,84 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is materialized with the noop sink (full execution, no driver
+collect, no disk write) — measures plan execution, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from datapipelines_essentials_python_spark import get_or_create_spark_session  # noqa: E402
+import __spark_entry__ as entry_mod  # noqa: E402
+
+# Headline set: the engine spine (scan/filter/join/agg/window/CDC) + the
+# scale-path LLM-data operators. Brute-force O(N²) baselines are excluded
+# on purpose — bench runs the algorithms you'd actually run at 100 TB.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
+    "filter_dsl_scan",
+    "agg_dispatch",
+    "window_latest_order",
+    "top_k_per_group",
+    "cdc_merge",
+    "word_count",
+    "exact_dedup",
+    "json_flatten",
+    "sessionize",
+    "events_by_day",
+    "lang_id",
+    "text_quality",
+    "token_stats",
+    "doc_fingerprint",
+    "minhash_lsh",
+    "simhash_fp",
+    "embedding_topk",
+    "multimodal_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_or_create_spark_session(app_name="bench")
+
+    queries = entry_mod.queries()
+    timings: dict[str, float] = {}
+    # JVM/codegen warmup on a trivial action
+    spark.range(1000).count()
+
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,124 @@
+"""Single-pass DQ rule execution.
+
+Capability parity (SURVEY.md §2.11 Q1-Q4): reference ``data_quality.py``
+runs each rule as its own Spark action — Q1 unique (``:50-68``), Q2 not-null
+(``:70-87``), Q3 arbitrary-SQL (``:89-108``), orchestration + HTML
+(``:110-223``) — plus an extra ``df.count()`` (``:127``): N rules ⇒ N+1 full
+scans.
+
+Here all not-null rules and the total count are fused into ONE conditional
+aggregation pass (``F.sum(F.when(pred, 1))`` — the fix SURVEY §2.11 calls
+for), and each unique rule is one groupBy-count action. At 100 TB that turns
+N+1 scans into 1 + #unique_rules (+ user queries, which are arbitrary SQL
+and can't be fused safely).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapipelines_essentials_python_spark.dq.rules import DQConfig, Rule, RuleResult
+from datapipelines_essentials_python_spark.functions.nulls import is_null_or_blank
+
+
+def _not_null_violation_pred(columns: tuple[str, ...]):
+    """Reference semantics (data_quality.py:70-87): a row violates when ANY
+    listed column is NULL or blank (ORed)."""
+    return reduce(lambda a, b: a | b, [is_null_or_blank(c) for c in columns])
+
+
+def execute_rules(
+    spark: SparkSession, df: DataFrame, config: DQConfig
+) -> tuple[bool, list[RuleResult]]:
+    """Run all rules; returns (all_passed, per-rule results)."""
+    results: list[RuleResult] = []
+
+    # ---- fused pass: total count + every not-null rule -------------------
+    not_null_rules = [r for r in config.rules if r.rule_type.lower() == "not null"]
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    for r in not_null_rules:
+        aggs.append(
+            F.sum(F.when(_not_null_violation_pred(r.columns), 1).otherwise(0)).alias(
+                f"__nn_{r.rule_id}"
+            )
+        )
+    fused = df.agg(*aggs).collect()[0]
+    total = int(fused["__total"])
+    for r in not_null_rules:
+        violations = int(fused[f"__nn_{r.rule_id}"] or 0)
+        results.append(
+            RuleResult(
+                rule_id=r.rule_id,
+                name=r.name,
+                rule_type=r.rule_type,
+                passed=violations == 0,
+                violation_count=violations,
+                total_count=total,
+                detail=f"columns={list(r.columns)}",
+            )
+        )
+
+    # ---- unique rules: one aggregated action each ------------------------
+    for r in config.rules:
+        if r.rule_type.lower() != "unique":
+            continue
+        dup_row = (
+            df.groupBy(*r.columns)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .where(F.col("cnt") > 1)
+            .agg(
+                F.count(F.lit(1)).alias("dup_keys"),
+                F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)).alias("dup_rows"),
+            )
+            .collect()[0]
+        )
+        violations = int(dup_row["dup_rows"])
+        results.append(
+            RuleResult(
+                rule_id=r.rule_id,
+                name=r.name,
+                rule_type=r.rule_type,
+                passed=violations == 0,
+                violation_count=violations,
+                total_count=total,
+                detail=f"duplicate keys={int(dup_row['dup_keys'])} over columns={list(r.columns)}",
+            )
+        )
+
+    # ---- query rules: arbitrary SQL against view `temp` ------------------
+    query_rules = [r for r in config.rules if r.rule_type.lower() == "query"]
+    if query_rules:
+        df.createOrReplaceTempView("temp")
+        for r in query_rules:
+            violations = spark.sql(r.query).count()
+            results.append(
+                RuleResult(
+                    rule_id=r.rule_id,
+                    name=r.name,
+                    rule_type=r.rule_type,
+                    passed=violations == 0,
+                    violation_count=violations,
+                    total_count=total,
+                    detail="nonzero rows from rule query = violations",
+                )
+            )
+
+    ordered = {r.rule_id: next(res for res in results if res.rule_id == r.rule_id) for r in config.rules}
+    results = list(ordered.values())
+    return all(r.passed for r in results), results
+
+
+def dq_summary_df(spark: SparkSession, results: list[RuleResult]) -> DataFrame:
+    """Rule results as a DataFrame (for sinks/reporting)."""
+    rows = [
+        (r.rule_id, r.name, r.rule_type, r.passed, r.violation_count, r.total_count, r.detail)
+        for r in results
+    ]
+    return spark.createDataFrame(
+        rows,
+        "rule_id string, name string, rule_type string, passed boolean, "
+        "violation_count long, total_count long, detail string",
+    )

@@ -1,0 +1,47 @@
+"""Row hashing and salting.
+
+Capability parity (SURVEY.md §2.8 F8/F9):
+
+- the reference computes ``hashlib.md5`` over whole XML documents on the
+  driver and injects the digest back into the text
+  (``change_data_capture.py:9-15``) — here the digest is a distributed
+  column expression over a canonical row payload;
+- salted repartition keys ``concat_ws('~', cols, floor(rand()*n))``
+  (``utils/spark.py:142-147``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _cols(df_or_cols: DataFrame | list[str], exclude: set[str] | None = None) -> list[str]:
+    cols = df_or_cols.columns if isinstance(df_or_cols, DataFrame) else list(df_or_cols)
+    exclude = exclude or set()
+    return sorted(c for c in cols if c not in exclude)
+
+
+def row_hash_md5(df: DataFrame, columns: list[str] | None = None) -> Column:
+    """md5 over a canonical JSON of the (sorted) selected columns.
+
+    Sorted column order makes the digest stable under projection reordering
+    — the reference's whole-file md5 was sensitive to raw byte layout.
+    """
+    cols = sorted(columns) if columns else _cols(df)
+    return F.md5(F.to_json(F.struct(*[F.col(c) for c in cols])))
+
+
+def row_hash_xxhash64(df: DataFrame, columns: list[str] | None = None) -> Column:
+    """64-bit xxhash over the selected columns — cheaper than md5 for CDC
+    change detection at 100 TB (no string materialization)."""
+    cols = sorted(columns) if columns else _cols(df)
+    return F.xxhash64(*[F.col(c) for c in cols])
+
+
+def salted_key(columns: list[str], num_buckets: int, sep: str = "~") -> Column:
+    """Composite repartition key with a random salt bucket appended
+    (parity: ``spark.py:142-147``). Prefer AQE skew handling for joins; this
+    remains useful to spread skewed *writes*."""
+    salt = F.floor(F.rand() * num_buckets).cast("string")
+    return F.concat_ws(sep, *[F.col(c).cast("string") for c in columns], salt)

@@ -1,0 +1,125 @@
+"""Hash-diff change-data-capture over batch snapshots.
+
+Capability parity (SURVEY.md §2.9, §2.3 J3/J4, §2.5 W1-W3, §2.7 U1): the
+reference's incremental story is batch CDC —
+``identify_new_records`` (``change_data_capture.py:45-77``) computes
+
+- inserts: ``new LEFT JOIN old ON pks WHERE old.pk IS NULL``
+- updates: ``new INNER JOIN old ON pks WHERE new.hashcode <> old.hashcode``
+- result: union + dropDuplicates
+
+and ``add_row_number_to_dataframe`` (``change_data_capture.py:18-30``)
+builds latest-per-key snapshots with ``row_number() = 1``.
+
+Fixes over the reference, specced per SURVEY §7.5:
+
+- broken None-guard on the initial load (``change_data_capture.py:53-60``
+  would throw on a None old side) → explicit empty/None contract;
+- positional ``union`` → ``unionByName``;
+- global-order dedup without partition keys (W2) funnels everything through
+  one partition — allowed here but only via an explicit flag.
+
+Scale design: inserts/updates are ``left_anti`` / inner joins on the pk —
+both shuffle-partitioned on the same key so AQE can co-plan them; the hash
+column is computed once at read time (``io.readers.read_with_audit_columns``)
+so change detection never re-reads payload columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from datapipelines_essentials_python_spark.functions.hashing import row_hash_md5
+
+
+def with_hashcode(df: DataFrame, payload_cols: list[str] | None = None) -> DataFrame:
+    """Add the md5 ``hashcode`` change-detection column (F8)."""
+    return df.withColumn("hashcode", row_hash_md5(df, payload_cols))
+
+
+def snapshot(
+    df: DataFrame,
+    pk_cols: list[str],
+    order_cols: list[str],
+    keep_row_number: bool = False,
+    row_number_col: str = "row_num",
+) -> DataFrame:
+    """Latest row per key: ``row_number() over (partition by pks order by
+    order desc) = 1`` (parity: change_data_capture.py:18-30).
+
+    With empty ``pk_cols`` this degrades to a single global window
+    (reference W2, ``change_data_capture.py:52``) — correct but
+    single-partition; callers should pass keys at scale.
+    """
+    order = [F.desc(c) for c in order_cols]
+    win = (
+        Window.partitionBy(*pk_cols).orderBy(*order)
+        if pk_cols
+        else Window.partitionBy().orderBy(*order)
+    )
+    out = df.withColumn(row_number_col, F.row_number().over(win)).where(
+        F.col(row_number_col) == 1
+    )
+    return out if keep_row_number else out.drop(row_number_col)
+
+
+def merge_cdc(
+    old: DataFrame | None,
+    new: DataFrame,
+    pk_cols: list[str],
+    order_cols: list[str] | None = None,
+    hash_col: str = "hashcode",
+) -> DataFrame:
+    """Inserts + updates of ``new`` vs ``old`` (parity:
+    change_data_capture.py:45-77).
+
+    - ``old`` None/empty → ``new`` unchanged (initial-load shortcut,
+      reference ``:57-60``, with the broken guard fixed);
+    - old side is first deduped to latest-per-pk when ``order_cols`` given
+      (reference ``:63-66``);
+    - inserts = left_anti on pks; updates = inner join where hashes differ,
+      keeping the new side; result = unionByName + dropDuplicates.
+    """
+    if old is None or old.isEmpty():
+        return new.dropDuplicates()
+    if order_cols:
+        old = snapshot(old, pk_cols, order_cols)
+    old_keyed = old.select(
+        *[F.col(c).alias(f"__old_{c}") for c in pk_cols],
+        F.col(hash_col).alias("__old_hash"),
+    )
+
+    inserts = new.join(
+        old_keyed,
+        [new[c] == old_keyed[f"__old_{c}"] for c in pk_cols],
+        "left_anti",
+    )
+    cond = None
+    for c in pk_cols:
+        clause = new[c] == old_keyed[f"__old_{c}"]
+        cond = clause if cond is None else (cond & clause)
+    updates = (
+        new.join(old_keyed, cond, "inner")
+        .where(new[hash_col] != old_keyed["__old_hash"])
+        .select(*[new[c] for c in new.columns])
+    )
+    return inserts.unionByName(updates).dropDuplicates()
+
+
+def apply_cdc_pipeline(
+    history: DataFrame | None,
+    incoming: DataFrame,
+    pk_cols: list[str],
+    order_cols: list[str],
+    payload_cols: list[str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Full reference CDC lifecycle (SURVEY §2.9): returns
+    ``(delta_to_append, snapshot_view)`` where delta is the insert/update
+    set vs history and snapshot is latest-per-key over history ∪ delta."""
+    incoming = with_hashcode(incoming, payload_cols)
+    if history is not None and "hashcode" not in history.columns:
+        history = with_hashcode(history, payload_cols)
+    delta = merge_cdc(history, incoming, pk_cols, order_cols)
+    full = delta if history is None else history.unionByName(delta, allowMissingColumns=True)
+    return delta, snapshot(full, pk_cols, order_cols)

@@ -1,0 +1,346 @@
+"""Deduplication operators for training-data pipelines.
+
+Beyond-reference surface (driver mandate): exact dedup, n-gram Jaccard
+near-dup, MinHash + LSH, SimHash, and embedding-cosine near-dup.
+
+Design rules for 100 TB:
+
+- every per-document stage (shingling, signatures, fingerprints) is a
+  narrow Column-expression projection — no shuffle, no Python workers;
+- the only shuffles are (a) the band-bucket exchange for LSH candidate
+  generation, keyed on the band hash, and (b) final pair verification,
+  keyed on doc id — both AQE-coalesced and skew-handled;
+- all hashing is md5-derived and therefore deterministic and portable:
+  the DuckDB oracle can execute the *same* algorithm, so even LSH is
+  hash-match checkable;
+- LSH buckets are capped (``max_bucket``) so a degenerate band (e.g. the
+  empty document) cannot produce a quadratic pair explosion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datapipelines_essentials_python_spark.operators import text as text_ops
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+def exact_dedup(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Exact duplicate removal via hash-groupBy (SURVEY §2.4 A6 generalized).
+
+    One shuffle on the dedup key; map-side partial aggregation collapses
+    duplicates before the exchange.
+    """
+    return df.dropDuplicates(columns) if columns else df.dropDuplicates()
+
+
+def exact_dedup_keep_first(
+    df: DataFrame, key_cols: list[str], order_cols: list[str]
+) -> DataFrame:
+    """Deterministic exact dedup: keep the first row per key under
+    ``order_cols`` (window row_number=1) — reference CDC's W1 pattern."""
+    from datapipelines_essentials_python_spark.operators.cdc import snapshot
+
+    return snapshot(df, key_cols, order_cols)
+
+
+# --------------------------------------------------------------------------
+# shingling + n-gram Jaccard
+# --------------------------------------------------------------------------
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct n-token shingles of a text column (sorted for determinism).
+
+    tokens = lowercase whitespace tokens; shingle i = tokens[i..i+n-1]
+    joined by single spaces. Documents shorter than ``n`` tokens get their
+    whole token string as one shingle.
+    """
+    toks = text_ops.tokens(col)
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k - n + 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_sort(F.array_distinct(F.when(k > 0, grams).otherwise(F.array())))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two (distinct-element) arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    block_col: str | None = None,
+) -> DataFrame:
+    """All-pairs exact n-gram Jaccard ≥ threshold → (id_a, id_b, jaccard).
+
+    Brute-force O(N²) within a block — the *verification* baseline. At
+    scale, pass ``block_col`` (e.g. language or a coarse fingerprint) to
+    bound the quadratic term, or use :func:`minhash_lsh_pairs` which
+    generates candidates sub-quadratically and only verifies those.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        shingles(text_col, n).alias("sh"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+    )
+    left = base.select(
+        F.col("id").alias("id_a"),
+        F.col("sh").alias("sh_a"),
+        *( [F.col("blk").alias("blk_a")] if block_col else [] ),
+    )
+    right = base.select(
+        F.col("id").alias("id_b"),
+        F.col("sh").alias("sh_b"),
+        *( [F.col("blk").alias("blk_b")] if block_col else [] ),
+    )
+    cond = left["id_a"] < right["id_b"]
+    if block_col:
+        cond = cond & (left["blk_a"] == right["blk_b"])
+    pairs = left.join(right, cond)
+    sim = jaccard(F.col("sh_a"), F.col("sh_b"))
+    return (
+        pairs.select("id_a", "id_b", F.round(sim, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature as an array of ``num_hashes`` hex digests.
+
+    Hash family i = md5(i || '|' || shingle); the signature element is the
+    lexicographic MIN digest — min over a uniform hash is the classic
+    MinHash estimator, and hex-string ordering of md5 is a total order on
+    the hash space. Deterministic, seedless, portable to the SQL oracle.
+    Empty documents sign as md5('') sentinels.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.coalesce(
+            F.array_min(
+                F.transform(shingle_col, lambda s: F.md5(F.concat(i.cast("string"), F.lit("|"), s)))
+            ),
+            F.md5(F.lit("")),
+        ),
+    )
+
+
+def with_minhash(
+    df: DataFrame,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Append ``sh`` (shingles) + ``sig`` (MinHash signature) columns."""
+    out = df.withColumn("sh", shingles(text_col, n))
+    return out.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
+
+    Stages (shuffle count in brackets):
+
+    1. shingle + sign per doc — narrow projection [0 shuffles]
+    2. explode ``bands`` band-keys per doc (band key = md5 of its slice of
+       the signature) and self-join on the band key → candidate pairs
+       [1 shuffle, keyed on band hash]; buckets larger than ``max_bucket``
+       docs are dropped (degenerate bands) to bound the pair blow-up;
+    3. verify candidates with exact Jaccard on the shingle sets and keep
+       pairs ≥ ``threshold`` [1 shuffle, keyed on doc id].
+
+    Output: (id_a, id_b, jaccard) — identical to the brute-force operator
+    for every pair LSH recalls; candidates below threshold are filtered by
+    the exact verification, so output precision is 1.0.
+    """
+    rows_per_band = max(1, num_hashes // bands)
+    signed = with_minhash(df, text_col, n, num_hashes).select(
+        F.col(id_col).alias("id"), "sh", "sig"
+    )
+    signed = signed.persist()
+
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = signed.select(
+        "id",
+        F.explode(
+            F.transform(
+                band_idx,
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws("|", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band))
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+
+    # cap degenerate buckets before the quadratic self-join
+    sized = banded.join(
+        banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bsz")),
+        ["band", "bucket"],
+    ).where(F.col("bsz") <= max_bucket)
+
+    lhs = sized.select(F.col("band"), F.col("bucket"), F.col("id").alias("id_a"))
+    rhs = sized.select(F.col("band"), F.col("bucket"), F.col("id").alias("id_b"))
+    candidates = (
+        lhs.join(rhs, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    sh_a = signed.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = signed.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        candidates.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+SIMHASH_BITS = 32  # 8 hex chars of md5; portable arithmetic keeps it exact
+
+
+def simhash(col: Column | str) -> Column:
+    """32-bit SimHash of the token multiset.
+
+    Per token: take the first 8 hex chars of md5(token) (32 bits). For each
+    bit b, add +1 if set else -1, weighted by token multiplicity; the
+    fingerprint sets bit b when the total is > 0 (strictly positive — exact
+    zero sums clear the bit, a deterministic convention).
+
+    Implemented with portable arithmetic only (strpos on a hex alphabet,
+    floor/mod powers of two) so the SQL oracle reproduces it bit-for-bit.
+    Near-duplicate docs differ in few bits → group by fingerprint or probe
+    small Hamming balls.
+    """
+    toks = text_ops.tokens(col)
+    # per-token 32-bit value from md5 hex prefix
+    vals = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
+    fp = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        power = F.lit(2 ** b).cast("long")
+        bit_sum = F.aggregate(
+            vals,
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + F.when((F.floor(v / power) % 2) == 1, 1).otherwise(-1),
+        )
+        fp = fp + F.when(bit_sum > 0, power).otherwise(F.lit(0).cast("long"))
+    return fp
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Candidate generation uses the block trick: split the 32-bit fingerprint
+    into ``max_hamming + 1`` blocks — any pair within distance d must agree
+    exactly on ≥ 1 block (pigeonhole), so a self-join per block finds all
+    candidates with a plain equi-shuffle instead of an all-pairs scan.
+    """
+    nblocks = max_hamming + 1
+    width = SIMHASH_BITS // nblocks
+    base = df.select(F.col(id_col).alias("id"), simhash(text_col).alias("fp"))
+    blocks = base.select(
+        "id",
+        "fp",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(nblocks - 1)),
+                lambda b: F.struct(
+                    b.alias("blk"),
+                    (F.floor(F.col("fp") / F.pow(F.lit(2.0), b * width).cast("long"))
+                     % F.lit(2 ** width)).cast("long").alias("blkval"),
+                ),
+            )
+        ).alias("e"),
+    ).select("id", "fp", F.col("e.blk").alias("blk"), F.col("e.blkval").alias("blkval"))
+
+    lhs = blocks.select("blk", "blkval", F.col("id").alias("id_a"), F.col("fp").alias("fp_a"))
+    rhs = blocks.select("blk", "blkval", F.col("id").alias("id_b"), F.col("fp").alias("fp_b"))
+    cand = (
+        lhs.join(rhs, ["blk", "blkval"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup
+# --------------------------------------------------------------------------
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    bucket_planes: int = 0,
+) -> DataFrame:
+    """Pairs of rows whose embedding cosine similarity ≥ threshold.
+
+    ``bucket_planes`` = 0 → exact all-pairs (verification baseline; O(N²)).
+    > 0 → random-hyperplane LSH prefilter: docs must share the sign
+    pattern of ``bucket_planes`` deterministic hyperplanes (md5-derived
+    coefficients), which keeps recall high for near-identical vectors while
+    cutting the join quadratically.
+    """
+    from datapipelines_essentials_python_spark.operators.similarity import (
+        cosine_similarity,
+        hyperplane_bucket,
+    )
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if bucket_planes > 0:
+        base = base.withColumn("bkt", hyperplane_bucket(F.col("v"), bucket_planes))
+    lhs = base.select(
+        F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+        *( [F.col("bkt").alias("bkt_a")] if bucket_planes > 0 else [] ),
+    )
+    rhs = base.select(
+        F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+        *( [F.col("bkt").alias("bkt_b")] if bucket_planes > 0 else [] ),
+    )
+    cond = lhs["id_a"] < rhs["id_b"]
+    if bucket_planes > 0:
+        cond = cond & (lhs["bkt_a"] == rhs["bkt_b"])
+    pairs = lhs.join(rhs, cond)
+    sim = cosine_similarity(F.col("v_a"), F.col("v_b"))
+    return pairs.select(
+        "id_a", "id_b", F.round(sim, 6).alias("cosine")
+    ).where(F.col("cosine") >= threshold)

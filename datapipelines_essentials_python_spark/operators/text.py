@@ -1,0 +1,115 @@
+"""Text-analysis operators for training-data pipelines.
+
+Beyond-reference surface (driver mandate): language-ID (stopword-profile
+heuristic), quality scoring (length/punctuation/stopword ratios), token
+counting (whitespace + BPE-ish regex), and document fingerprinting (k-min
+shingle hash, a winnowing-style rolling fingerprint).
+
+All operators are pure Column expressions — per-row array math with no
+shuffle and no Python workers, so they stream through a 100 TB scan at
+scan speed. Every algorithm is deterministic (md5-based hashing only) so
+results are exactly reproducible across engines and reruns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Deliberately tiny, frozen stopword profiles — the *operator* is the
+# deliverable; swap profiles for real ones in production.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that", "for", "with"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "por", "con"),
+    "fr": ("le", "la", "de", "et", "les", "des", "en", "un", "est", "que"),
+    "de": ("der", "die", "und", "das", "von", "zu", "mit", "ist", "den", "ein"),
+}
+
+# BPE-ish token pattern: word pieces, numbers, or single non-space symbols —
+# approximates subword segmentation without a vocab file.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column | str, lowercase: bool = True) -> Column:
+    """Whitespace tokens (empty strings removed)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if lowercase:
+        c = F.lower(c)
+    return F.filter(F.split(c, r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Count of BPE-ish regex tokens — a vocabulary-free proxy for LLM token
+    counts (closer than whitespace counts for punctuated text)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality signals, one narrow projection:
+
+    n_chars, n_tokens, avg_token_len, punct_ratio (punctuation chars /
+    chars), stopword_ratio (en-profile tokens / tokens), uniq_token_ratio.
+    """
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_chars = F.length(c)
+    n_tokens = F.size(toks)
+    punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    stop_arr = F.array(*[F.lit(w) for w in LANG_PROFILES["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return df.select(
+        "*",
+        n_chars.alias("n_chars_calc"),
+        n_tokens.alias("n_tokens"),
+        F.when(n_tokens > 0, F.round(F.length(F.concat_ws("", toks)) / n_tokens, 6))
+        .otherwise(F.lit(0.0))
+        .alias("avg_token_len"),
+        F.when(n_chars > 0, F.round(punct / n_chars, 6)).otherwise(F.lit(0.0)).alias(
+            "punct_ratio"
+        ),
+        F.when(n_tokens > 0, F.round(n_stop / n_tokens, 6))
+        .otherwise(F.lit(0.0))
+        .alias("stopword_ratio"),
+        F.when(n_tokens > 0, F.round(F.size(F.array_distinct(toks)) / n_tokens, 6))
+        .otherwise(F.lit(0.0))
+        .alias("uniq_token_ratio"),
+    )
+
+
+def detect_language(col: Column | str) -> Column:
+    """Stopword-profile language ID: score = |distinct tokens ∩ profile|;
+    winner = max score, ties broken by language code order; all-zero →
+    'und'. Deterministic and portable (same algorithm is expressible in
+    ANSI SQL for the oracle)."""
+    toks = F.array_distinct(tokens(col))
+    scores: list[tuple[str, Column]] = []
+    for lang in sorted(LANG_PROFILES):
+        profile = F.array(*[F.lit(w) for w in LANG_PROFILES[lang]])
+        scores.append((lang, F.size(F.array_intersect(toks, profile))))
+    best_score: Column = scores[0][1]
+    for _, s in scores[1:]:
+        best_score = F.greatest(best_score, s)
+    pick: Column = F.lit("und")
+    # first (lexicographically smallest) language achieving the max wins
+    for lang, s in reversed(scores):
+        pick = F.when(s == best_score, F.lit(lang)).otherwise(pick)
+    return F.when(best_score > 0, pick).otherwise(F.lit("und"))
+
+
+def fingerprint(col: Column | str, ngram: int = 3, keep: int = 4) -> Column:
+    """Winnowing-style document fingerprint: md5-hash every ``ngram``-token
+    shingle, keep the ``keep`` lexicographically smallest digests, rejoin
+    with '|' and md5 the result. Robust to small edits (shares k-min hashes)
+    yet a single fixed-width key — usable directly as a clustering/dedup
+    key at scale."""
+    from datapipelines_essentials_python_spark.operators.dedup import shingles
+
+    sh = shingles(col, n=ngram)
+    hashes = F.transform(sh, lambda s: F.md5(s))
+    smallest = F.slice(F.array_sort(hashes), 1, keep)
+    return F.md5(F.concat_ws("|", smallest))

@@ -1,0 +1,445 @@
+"""DuckDB oracle SQL for every entry in ``__spark_entry__.queries()``.
+
+Each oracle reproduces the SAME deterministic algorithm as the Spark query
+(same md5-derived hash families, same fold orders, same rounding), so the
+driver's row-count + schema + value-hash comparison is exact, not
+approximate. Tables are pre-registered DuckDB views over the same parquet.
+
+Portability conventions:
+
+- DECIMAL(18,4) pre-aggregation casts mirror the Spark side (exact sums);
+- counts/sums cast to BIGINT/DOUBLE to pin result types;
+- DuckDB ``date_trunc('day', ts)`` returns DATE → cast back to TIMESTAMP;
+- list comprehensions mirror Spark higher-order functions 1:1.
+"""
+
+from __future__ import annotations
+
+# ---- shared fragments -----------------------------------------------------
+
+# lowercase whitespace tokens (documents.text is single-spaced lowercase)
+TOKS = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+# distinct sorted 3-token shingles, matching operators.dedup.shingles(n=3)
+SHINGLES = (
+    "CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[]) ELSE "
+    "list_sort(list_distinct([array_to_string(toks[i:i+2], ' ') "
+    "for i in range(1, greatest(len(toks) - 2, 1) + 1)])) END"
+)
+
+_REV = "CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))"
+
+
+def _minhash_sig(num_hashes: int = 16) -> str:
+    """MinHash signature mirroring dedup.minhash_signature."""
+    return (
+        f"[coalesce(list_min([md5(CAST(i AS VARCHAR) || '|' || s) for s in sh]), md5('')) "
+        f"for i in range(0, {num_hashes})]"
+    )
+
+
+def _bands(bands: int = 8, rows_per_band: int = 2) -> str:
+    return (
+        f"[md5(array_to_string(sig[b*{rows_per_band}+1:b*{rows_per_band}+{rows_per_band}], '|')) "
+        f"for b in range(0, {bands})]"
+    )
+
+
+_JACCARD = (
+    "CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0 "
+    "ELSE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) "
+    "/ CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 6) END"
+)
+
+
+def _dot(x: str, y: str, dim: int = 64) -> str:
+    return (
+        f"list_sum([CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE) "
+        f"for i in range(1, {dim + 1})])"
+    )
+
+
+def _hex_to_long(expr: str, nchars: int) -> str:
+    """Portable hex→integer: positional digit arithmetic over ``nchars``
+    leading hex chars of VARCHAR expression ``expr``."""
+    return (
+        "CAST(list_sum([(strpos('0123456789abcdef', substr(" + expr + ", j, 1)) - 1) "
+        f"* power(16, {nchars} - j) for j in range(1, {nchars + 1})]) AS BIGINT)"
+    )
+
+
+def _simhash_sql() -> str:
+    """32-bit SimHash mirroring dedup.simhash: per-token 32-bit md5-prefix
+    values (with multiplicity); bit b set iff (+1/-1 vote sum) > 0."""
+    val = _hex_to_long("md5(t)", 8)
+    terms = []
+    for b in range(32):
+        power = 2 ** b
+        terms.append(
+            f"(CASE WHEN 2 * len(list_filter(vals, v -> CAST(floor(v / {power}.0) AS BIGINT) % 2 = 1)) "
+            f"- len(vals) > 0 THEN CAST({power} AS BIGINT) ELSE 0 END)"
+        )
+    fp = " + ".join(terms)
+    return f"""
+WITH t AS (
+  SELECT doc_id, [{val} for t in {TOKS}] AS vals FROM documents
+)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash32 FROM t
+"""
+
+
+_CDC_HASH = (
+    "md5(concat(o_orderstatus, '|', CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4)) "
+    "* 10000 AS BIGINT) AS VARCHAR)))"
+)
+
+_LANG_CASES = """
+CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+     WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+     WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+     WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+     ELSE 'fr' END
+"""
+
+_PROFILES_SQL = {
+    "en": "['the','and','of','to','a','in','is','that','for','with']",
+    "es": "['el','la','de','que','y','en','un','es','por','con']",
+    "fr": "['le','la','de','et','les','des','en','un','est','que']",
+    "de": "['der','die','und','das','von','zu','mit','ist','den','ein']",
+}
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["q1_pricing_summary"] = f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM({_REV}) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+  CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLES["q3_top_revenue_orders"] = f"""
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+  CAST(SUM({_REV}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+ORACLES["q5_nation_revenue"] = f"""
+SELECT n_name,
+  CAST(SUM({_REV}) AS DOUBLE) AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+ORACLES["filter_dsl_scan"] = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+FROM lineitem
+WHERE l_returnflag = 'R' AND l_quantity >= 30
+  AND l_linestatus IN ('F', 'O')
+  AND l_discount BETWEEN 0.02 AND 0.08
+"""
+
+ORACLES["projection_cast_nvl"] = """
+SELECT CAST(c_custkey AS BIGINT) AS custkey,
+  CASE WHEN c_mktsegment IS NULL OR trim(c_mktsegment) = '' THEN 'UNKNOWN'
+       ELSE trim(c_mktsegment) END AS mktsegment,
+  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal,
+  CASE WHEN c_acctbal < 0 THEN 'overdrawn' ELSE 'ok' END AS acct_status
+FROM customer
+"""
+
+ORACLES["agg_dispatch"] = """
+SELECT l_suppkey,
+  CAST(MIN(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS min_qty,
+  CAST(MAX(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS max_qty,
+  CAST(COUNT(*) AS BIGINT) AS cnt,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+FROM lineitem
+GROUP BY l_suppkey
+"""
+
+ORACLES["window_latest_order"] = """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders)
+WHERE rn = 1
+"""
+
+ORACLES["top_k_per_group"] = """
+SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders)
+WHERE rn <= 3
+"""
+
+ORACLES["set_ops"] = """
+WITH with_orders AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+rich AS (SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000)
+SELECT custkey, 'both' AS setop
+FROM (SELECT custkey FROM with_orders INTERSECT SELECT custkey FROM rich)
+UNION ALL
+SELECT custkey, 'rich_only' AS setop
+FROM (SELECT custkey FROM rich EXCEPT ALL SELECT custkey FROM with_orders)
+"""
+
+ORACLES["cdc_merge"] = f"""
+WITH old AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, {_CDC_HASH} AS hashcode
+  FROM orders WHERE o_orderkey % 10 < 8),
+new_raw AS (
+  SELECT o_orderkey, o_orderstatus,
+    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10 ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 10 >= 4),
+newh AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, {_CDC_HASH} AS hashcode FROM new_raw),
+inserts AS (
+  SELECT n.o_orderkey, n.o_orderstatus, n.o_totalprice
+  FROM newh n LEFT JOIN old o ON n.o_orderkey = o.o_orderkey
+  WHERE o.o_orderkey IS NULL),
+updates AS (
+  SELECT n.o_orderkey, n.o_orderstatus, n.o_totalprice
+  FROM newh n JOIN old o ON n.o_orderkey = o.o_orderkey
+  WHERE n.hashcode <> o.hashcode)
+SELECT DISTINCT * FROM (SELECT * FROM inserts UNION ALL SELECT * FROM updates)
+"""
+
+ORACLES["word_count"] = """
+SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+WHERE word <> ''
+GROUP BY word
+"""
+
+ORACLES["exact_dedup"] = """
+SELECT CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY text
+"""
+
+ORACLES["array_explode"] = f"""
+SELECT doc_id,
+  CAST(unnest(generate_series(1, len(toks))) - 1 AS INT) AS array_index,
+  unnest(toks) AS token
+FROM (SELECT doc_id, {TOKS} AS toks FROM documents WHERE doc_id < 50)
+"""
+
+ORACLES["json_flatten"] = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(props->>'$.k' AS INTEGER) AS k
+FROM events WHERE props IS NOT NULL
+"""
+
+ORACLES["sessionize"] = """
+WITH marked AS (
+  SELECT user_id,
+    CASE WHEN (epoch_us(ts) // 1000000) - lag(epoch_us(ts) // 1000000) OVER w > 1800
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id,
+  CAST(SUM(new_sess) + 1 AS BIGINT) AS n_sessions,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM marked GROUP BY user_id
+"""
+
+ORACLES["duration_buckets"] = """
+WITH base AS (
+  SELECT event_id,
+    CAST(CAST(value AS DECIMAL(18,4)) * 60 AS DOUBLE) AS secs
+  FROM events),
+parts AS (
+  SELECT event_id, secs, round(secs, 6) AS total,
+    CAST(floor(round(secs, 6) / 3600) AS BIGINT) AS h
+  FROM base),
+parts2 AS (
+  SELECT *, CAST(floor((total - h * 3600) / 60) AS BIGINT) AS m FROM parts),
+parts3 AS (
+  SELECT *, round(total - h * 3600 - m * 60, 6) AS s FROM parts2)
+SELECT event_id,
+  round(secs, 4) AS total_seconds,
+  CASE WHEN total = 0 THEN 'P0D'
+       ELSE concat('PT',
+         CASE WHEN h > 0 THEN concat(CAST(h AS VARCHAR), 'H') ELSE '' END,
+         CASE WHEN m > 0 THEN concat(CAST(m AS VARCHAR), 'M') ELSE '' END,
+         CASE WHEN s > 0 THEN concat(regexp_replace(printf('%.6f', s), '\\.?0+$', ''), 'S') ELSE '' END)
+  END AS iso_duration,
+  CASE WHEN secs IS NULL THEN 'invalid'
+       WHEN secs < 1800 THEN 'easy'
+       WHEN secs <= 3600 THEN 'medium'
+       ELSE 'hard' END AS difficulty
+FROM parts3
+"""
+
+ORACLES["lookup_mapping"] = """
+SELECT event_id, event_type,
+  CASE event_type WHEN 'click' THEN 'CLICK_EVENT'
+                  WHEN 'view' THEN 'VIEW_EVENT'
+                  WHEN 'purchase' THEN 'BUY_EVENT'
+                  ELSE event_type END AS mapped_type
+FROM events
+"""
+
+ORACLES["events_by_day"] = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+ORACLES["dq_summary"] = """
+WITH tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM documents),
+dup_doc AS (
+  SELECT CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT) AS v
+  FROM (SELECT COUNT(*) AS cnt FROM documents GROUP BY doc_id HAVING COUNT(*) > 1)),
+dup_text AS (
+  SELECT CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT) AS v
+  FROM (SELECT COUNT(*) AS cnt FROM documents GROUP BY text HAVING COUNT(*) > 1)),
+nn_text AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END), 0) AS BIGINT) AS v
+  FROM documents),
+nn_lang AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN lang IS NULL OR trim(lang) = '' THEN 1 ELSE 0 END), 0) AS BIGINT) AS v
+  FROM documents)
+SELECT '1001' AS rule_id, (SELECT v FROM dup_doc) = 0 AS passed,
+       (SELECT v FROM dup_doc) AS violation_count, (SELECT total FROM tot) AS total_count
+UNION ALL
+SELECT '1002', (SELECT v FROM dup_text) = 0, (SELECT v FROM dup_text), (SELECT total FROM tot)
+UNION ALL
+SELECT '1003', (SELECT v FROM nn_text) = 0, (SELECT v FROM nn_text), (SELECT total FROM tot)
+UNION ALL
+SELECT '1004', (SELECT v FROM nn_lang) = 0, (SELECT v FROM nn_lang), (SELECT total FROM tot)
+"""
+
+ORACLES["lang_id"] = f"""
+WITH scored AS (
+  SELECT doc_id,
+    len(list_intersect(toks, {_PROFILES_SQL['de']})) AS s_de,
+    len(list_intersect(toks, {_PROFILES_SQL['en']})) AS s_en,
+    len(list_intersect(toks, {_PROFILES_SQL['es']})) AS s_es,
+    len(list_intersect(toks, {_PROFILES_SQL['fr']})) AS s_fr
+  FROM (SELECT doc_id, list_distinct({TOKS}) AS toks FROM documents))
+SELECT doc_id, {_LANG_CASES} AS lang_pred FROM scored
+"""
+
+ORACLES["text_quality"] = f"""
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  round(CAST(length(replace(lower(text), ' ', '')) AS DOUBLE)
+    / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS avg_token_len,
+  round(CAST(len(list_filter(toks, x -> list_contains({_PROFILES_SQL['en']}, x))) AS DOUBLE)
+    / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS stopword_ratio,
+  round(CAST(len(list_distinct(toks)) AS DOUBLE)
+    / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS uniq_token_ratio
+FROM (SELECT doc_id, text, {TOKS} AS toks FROM documents)
+"""
+
+ORACLES["token_stats"] = f"""
+SELECT doc_id,
+  CAST(len({TOKS}) AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+ORACLES["doc_fingerprint"] = f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {SHINGLES} AS sh FROM t)
+SELECT doc_id,
+  md5(coalesce(array_to_string(
+    list_sort([md5(x) for x in sh])[1:4], '|'), '')) AS fp
+FROM s
+"""
+
+ORACLES["ngram_jaccard"] = f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {SHINGLES} AS sh FROM t)
+SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
+  {_JACCARD} AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE {_JACCARD} >= 0.5
+"""
+
+ORACLES["minhash_lsh"] = f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {SHINGLES} AS sh FROM t),
+sigs AS (SELECT doc_id, sh, {_minhash_sig(16)} AS sig FROM s),
+bands AS (
+  SELECT doc_id,
+    unnest(range(0, 8)) AS band,
+    unnest({_bands(8, 2)}) AS bucket
+  FROM sigs),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id)
+SELECT CAST(c.id_a AS BIGINT) AS id_a, CAST(c.id_b AS BIGINT) AS id_b,
+  {_JACCARD} AS jaccard
+FROM cands c
+JOIN s a ON a.doc_id = c.id_a
+JOIN s b ON b.doc_id = c.id_b
+WHERE {_JACCARD} >= 0.5
+"""
+
+ORACLES["simhash_fp"] = _simhash_sql()
+
+ORACLES["embedding_topk"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+    round(CASE WHEN sqrt({_dot('qv', 'qv')}) * sqrt({_dot('cv', 'cv')}) > 0
+          THEN {_dot('qv', 'cv')} / (sqrt({_dot('qv', 'qv')}) * sqrt({_dot('cv', 'cv')}))
+          ELSE 0.0 END, 6) AS cosine
+  FROM c, q WHERE query_id <> neighbor_id)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(rn AS INT) AS rank, cosine
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+      FROM scored)
+WHERE rn <= 5
+"""
+
+ORACLES["embedding_neardup"] = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings)
+SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b,
+  round(CASE WHEN sqrt({_dot('a.embedding', 'a.embedding')}) * sqrt({_dot('b.embedding', 'b.embedding')}) > 0
+        THEN {_dot('a.embedding', 'b.embedding')}
+             / (sqrt({_dot('a.embedding', 'a.embedding')}) * sqrt({_dot('b.embedding', 'b.embedding')}))
+        ELSE 0.0 END, 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(CASE WHEN sqrt({_dot('a.embedding', 'a.embedding')}) * sqrt({_dot('b.embedding', 'b.embedding')}) > 0
+      THEN {_dot('a.embedding', 'b.embedding')}
+           / (sqrt({_dot('a.embedding', 'a.embedding')}) * sqrt({_dot('b.embedding', 'b.embedding')}))
+      ELSE 0.0 END, 6) >= 0.5
+"""
+
+ORACLES["multimodal_features"] = f"""
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  sha256(text) AS sha256,
+  round({_hex_to_long('sha256(text)', 8)} / 4294967295.0, 6) AS feature_0
+FROM documents
+"""

@@ -1,0 +1,109 @@
+"""Dedup family + similarity search (driver-mandated LLM-data operators)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datapipelines_essentials_python_spark.operators import dedup, similarity
+
+
+@pytest.fixture
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again tonight"
+    far = "completely different words about spark engines and parquet files here"
+    return spark.createDataFrame(
+        [(1, base), (2, near), (3, far), (4, base)], "doc_id long, text string"
+    )
+
+
+def test_exact_dedup(spark, docs):
+    assert dedup.exact_dedup(docs, ["text"]).count() == 3
+
+
+def test_exact_dedup_keep_first(spark, docs):
+    out = dedup.exact_dedup_keep_first(docs, ["text"], ["doc_id"])
+    # keep highest doc_id per text (desc order): base text keeps 4
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 3 in kept and len(kept) == 3
+
+
+def test_jaccard_pairs_exact(spark, docs):
+    out = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert pairs[(1, 4)] == 1.0  # identical docs
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.5  # near dup
+    assert not any(3 in p for p in pairs)  # unrelated doc in no pair
+
+
+def test_minhash_lsh_finds_planted_dups(spark, docs):
+    out = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=16, bands=8, threshold=0.5
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (1, 4) in pairs  # identical docs always collide in every band
+    # LSH output is a subset of brute force at the same threshold
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5).collect()
+    }
+    assert pairs <= brute
+
+
+def test_minhash_signature_stability(spark, docs):
+    a = dedup.with_minhash(docs, "text").select("doc_id", "sig").collect()
+    b = dedup.with_minhash(docs, "text").select("doc_id", "sig").collect()
+    assert {r["doc_id"]: r["sig"] for r in a} == {r["doc_id"]: r["sig"] for r in b}
+
+
+def test_simhash_properties(spark, docs):
+    fps = {
+        r["doc_id"]: r["fp"]
+        for r in docs.select("doc_id", dedup.simhash("text").alias("fp")).collect()
+    }
+    assert fps[1] == fps[4]  # identical text → identical fingerprint
+    assert 0 <= fps[1] < 2 ** 32
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(fps[1], fps[2]) < ham(fps[1], fps[3])  # near-dup closer than unrelated
+
+
+def test_simhash_pairs_block_trick(spark, docs):
+    out = dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
+    assert pairs[(1, 4)] == 0
+
+
+@pytest.fixture
+def vectors(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),   # close to 1
+        (3, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to 1
+        (4, [1.0, 0.0, 0.0, 0.0]),   # identical to 1
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(spark, vectors):
+    out = similarity.brute_force_topk(vectors, vectors.where(F.col("vec_id") == 1), k=2)
+    got = [(r["neighbor_id"], r["rank"]) for r in out.collect()]
+    assert got == [(4, 1), (2, 2)]  # identical first, near second
+
+
+def test_embedding_neardup(spark, vectors):
+    out = dedup.embedding_neardup_pairs(vectors, "vec_id", "embedding", threshold=0.999)
+    assert {(r["id_a"], r["id_b"]) for r in out.collect()} == {(1, 4)}
+
+
+def test_hyperplane_bucket_deterministic(spark, vectors):
+    b1 = {r["vec_id"]: r["b"] for r in vectors.select(
+        "vec_id", similarity.hyperplane_bucket(F.col("embedding"), 4).alias("b")).collect()}
+    b2 = {r["vec_id"]: r["b"] for r in vectors.select(
+        "vec_id", similarity.hyperplane_bucket(F.col("embedding"), 4).alias("b")).collect()}
+    assert b1 == b2
+    assert b1[1] == b1[4]  # identical vectors share buckets
+
+
+def test_lsh_topk_identical_vector_recalled(spark, vectors):
+    out = similarity.lsh_topk(vectors, vectors.where(F.col("vec_id") == 1), k=2, planes=3)
+    got = {r["neighbor_id"] for r in out.collect()}
+    assert 4 in got  # identical vector is always in the same bucket

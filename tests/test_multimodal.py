@@ -1,0 +1,61 @@
+"""Multimodal binary-column plumbing (driver-mandated; decode stubbed)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from datapipelines_essentials_python_spark.operators import multimodal as mm
+
+
+@pytest.fixture
+def media(spark):
+    rows = [
+        (1, "image", b"fake-image-bytes"),
+        (2, "video", b"fake-video-bytes"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, media_type string, content binary")
+    return df.select(
+        "media_id",
+        "media_type",
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.when(F.col("media_type") == "video", F.lit(3500)).cast("long").alias("duration_ms"),
+        "content",
+    )
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        mm.decode_media(b"x", "image")
+
+
+def test_extract_features_with_fake_decoder(spark, media):
+    out = mm.extract_features(media, decoder=mm.fake_features).collect()
+    by_id = {r["media_id"]: r for r in out}
+    assert by_id[1]["n_bytes"] == len(b"fake-image-bytes")
+    assert by_id[1]["sha256"] == hashlib.sha256(b"fake-image-bytes").hexdigest()
+    assert len(by_id[1]["features"]) == mm.FEATURE_DIM
+    assert all(0.0 <= v <= 1.0 for v in by_id[1]["features"])
+    # deterministic across runs
+    again = {r["media_id"]: r["features"] for r in mm.extract_features(media, decoder=mm.fake_features).collect()}
+    assert again[1] == by_id[1]["features"]
+
+
+def test_extract_features_default_decoder_fails_loudly(spark, media):
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        mm.extract_features(media).collect()
+
+
+def test_frame_sample_plan(spark, media):
+    frames = mm.frame_sample_plan(media, every_ms=1000).collect()
+    # only the video row; 3500ms at 1000ms → ts 0,1000,2000,3000
+    assert {r["frame_ts_ms"] for r in frames} == {0, 1000, 2000, 3000}
+    assert {r["media_id"] for r in frames} == {2}
+
+
+def test_documents_as_media_schema(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(5)
+    media = mm.documents_as_media(docs)
+    assert [f.name for f in media.schema.fields] == [f.name for f in mm.MEDIA_SCHEMA.fields]

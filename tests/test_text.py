@@ -1,0 +1,53 @@
+"""Text analysis operators (driver-mandated)."""
+
+from pyspark.sql import functions as F
+
+from datapipelines_essentials_python_spark.operators import text
+
+
+def test_tokens_and_counts(spark):
+    df = spark.createDataFrame([("The  quick   brown fox",), ("",)], "text string")
+    out = df.select(
+        text.token_count("text").alias("n"),
+        text.bpe_ish_token_count("text").alias("b"),
+    ).collect()
+    assert out[0]["n"] == 4 and out[1]["n"] == 0
+    assert out[0]["b"] == 4
+
+
+def test_bpe_ish_counts_punctuation(spark):
+    df = spark.createDataFrame([("don't stop! 123 times.",)], "text string")
+    # don + ' + t + stop + ! + 123 + times + . = 8
+    assert df.select(text.bpe_ish_token_count("text")).collect()[0][0] == 8
+
+
+def test_detect_language(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog went to a house in paris",),
+            ("el perro es un animal que vive en la casa",),
+            ("der hund und die katze von dem haus ist da",),
+            ("zzz qqq xxx",),
+        ],
+        "text string",
+    )
+    out = [r[0] for r in df.select(text.detect_language("text")).collect()]
+    assert out == ["en", "es", "de", "und"]
+
+
+def test_quality_metrics(spark):
+    df = spark.createDataFrame([("the cat sat",)], "text string")
+    row = text.quality_metrics(df, "text").collect()[0]
+    assert row["n_tokens"] == 3
+    assert row["uniq_token_ratio"] == 1.0
+    assert abs(row["stopword_ratio"] - 1 / 3) < 1e-6
+
+
+def test_fingerprint_stability_and_sensitivity(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "totally other words here now ok yes no")],
+        "id int, text string",
+    )
+    fps = {r["id"]: r["fp"] for r in df.select("id", text.fingerprint("text").alias("fp")).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
