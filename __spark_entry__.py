@@ -502,6 +502,136 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def metadata_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core loop end-to-end through the engine's metadata
+    compiler (SURVEY §3.2): typed column specs + pk/fk model → filter DSL →
+    projection/udf/cast → join fold → groupBy agg — all compiled to one
+    Catalyst plan.
+
+    Aggregators restricted to count/min (exactly representable) so the
+    oracle hash is float-order independent.
+    """
+    from datapipelines_essentials_python_spark.plans.compiler import PipelineCompiler
+    from datapipelines_essentials_python_spark.plans.metadata import ColumnSpec, TableSpec
+
+    tables = [
+        TableSpec(
+            name="lineitem",
+            order=0,
+            columns=[
+                ColumnSpec("lineitem", "l_returnflag", "returnflag"),
+                ColumnSpec(
+                    "lineitem", "l_orderkey", "n_items", target_type="bigint",
+                    aggregator="count",
+                ),
+            ],
+        ),
+        TableSpec(
+            name="part",
+            order=1,
+            columns=[
+                ColumnSpec("part", "p_brand", "brand", udf="nvl", udf_args=("-",)),
+                ColumnSpec("part", "p_size", "p_size", target_type="int",
+                           filter="gte(25)"),
+                ColumnSpec("part", "p_retailprice", "min_price",
+                           target_type="double", aggregator="min"),
+            ],
+        ),
+    ]
+    model = DataModel()
+    model.add_table("lineitem", ["l_orderkey", "l_linenumber"])
+    model.add_table("part", ["p_partkey"])
+    model.add_fk("lineitem", "part", ["l_partkey"], ["p_partkey"], "left")
+    compiler = PipelineCompiler(spark, tables, model=model, main_table="lineitem")
+    overrides = {
+        "lineitem": load_table(spark, sf_dir, "lineitem"),
+        "part": load_table(spark, sf_dir, "part"),
+    }
+    return compiler.compile(overrides=overrides)
+
+
+def window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window surface beyond the reference (SURVEY §2.5 gap note):
+    lag/lead/ntile + a running-sum frame, all over one shuffle."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = w.rowsBetween(Window.unboundedPreceding, 0)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.sum(_dec("o_totalprice")).over(frame).cast("double").alias("running_spend"),
+    )
+
+
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (beyond-reference per SURVEY §2.4 gap note)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+
+
+def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot on line status (beyond-reference; conditional-agg oracle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(_dec("l_quantity")).cast("double"))
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("O").alias("qty_open"),
+        F.col("F").alias("qty_filled"),
+    )
+
+
+def asof_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks the most recent order (by synthetic
+    shared key) at-or-before its timestamp — the classic feature-lookup /
+    quote-attach pattern, via the union+window composition."""
+    from datapipelines_essentials_python_spark.operators.asof import as_of_join
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", (F.col("user_id") % 20).alias("k"), "ts"
+    )
+    quotes = (
+        load_table(spark, sf_dir, "orders")
+        .select((F.col("o_orderkey") % 20).alias("k"), "o_orderdate", "o_totalprice")
+        .groupBy("k", "o_orderdate")
+        .agg(F.max("o_totalprice").alias("price"))
+    )
+    out = as_of_join(
+        events, quotes, ["k"], "ts", "o_orderdate", ["price"]
+    )
+    return out.select(
+        "event_id",
+        F.col("k").cast("long").alias("k"),
+        "asof_ts",
+        F.col("asof_price").alias("price"),
+    )
+
+
+def range_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: classify event values into [lo, hi) tiers via the
+    bucketed equi-join composition (no nested-loop join)."""
+    from datapipelines_essentials_python_spark.operators.asof import range_join
+
+    events = load_table(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(
+        [(0.0, 50.0, "low"), (50.0, 150.0, "mid"), (150.0, 100000.0, "high")],
+        "lo double, hi double, tier string",
+    )
+    out = range_join(events, tiers, "value", "lo", "hi", bucket_size=50.0)
+    return out.select("event_id", "value", "tier")
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -543,6 +673,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": embedding_topk,
         "embedding_neardup": embedding_neardup,
         "multimodal_features": multimodal_features,
+        "metadata_pipeline": metadata_pipeline,
+        "window_functions": window_functions,
+        "rollup_agg": rollup_agg,
+        "pivot_agg": pivot_agg,
+        "asof_join": asof_join_query,
+        "range_join": range_join_query,
     }
 
 

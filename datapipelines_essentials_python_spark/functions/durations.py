@@ -104,5 +104,6 @@ def total_time_and_difficulty(cook: Column | str, prep: Column | str) -> Column:
     total = iso_duration_to_seconds(cook) + iso_duration_to_seconds(prep)
     return F.struct(
         seconds_to_iso_duration(total).alias("total_time"),
+        total.alias("total_seconds"),
         difficulty(total).alias("difficulty"),
     )

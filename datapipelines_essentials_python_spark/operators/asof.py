@@ -1,0 +1,118 @@
+"""As-of (temporal) join and range join — operators Spark lacks natively.
+
+Not present in the reference (SURVEY.md §2.3 notes "no theta/range/as-of"
+joins); mandated by the engine's time-series/feature-lookup use cases.
+
+Both are implemented as *compositions of shuffle-friendly DataFrame ops*
+(pyspark guide "As-of / range join" pattern), not nested-loop joins:
+
+- :func:`as_of_join` — union the two sides, sort within key partitions,
+  carry the last right-side value forward with an ignore-nulls window.
+  One shuffle on the key; no N×M blow-up; scales to arbitrarily large
+  sides (this is how you'd do it on 100 TB — the alternative
+  ``pd.merge_asof`` per group via applyInPandas dies on skewed keys).
+- :func:`range_join` — explode each range into fixed-width buckets and
+  equi-join on the bucket id, then filter exactly. Turns a
+  BroadcastNestedLoopJoin into a hash join; bucket width trades explode
+  fan-out vs per-bucket candidate count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right.ts <= left.ts`` on the same key (backward, inclusive).
+
+    ``right`` must be unique per (key, ts) — pre-aggregate if not (ties
+    would otherwise be nondeterministic). Matched value columns come back
+    as ``asof_<col>`` plus ``asof_ts``; unmatched rows keep NULLs.
+    """
+    val_struct = F.struct(
+        F.col(right_ts).alias("__rts"), *[F.col(c) for c in value_cols]
+    )
+    r = right.select(
+        *key_cols, F.col(right_ts).alias("__ts"), val_struct.alias("__val")
+    ).withColumn("__side", F.lit(0))
+    l = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    # at equal ts the right row (__side=0) sorts first, so it is visible to
+    # left rows at the same instant (inclusive semantics, = DuckDB ASOF >=)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u.withColumn("__last", F.last("__val", ignorenulls=True).over(w))
+    out = filled.where(F.col("__side") == 1)
+
+    matched: Column = F.col("__last")
+    if tolerance_seconds is not None:
+        fresh = (
+            F.col("__ts").cast("double") - F.col("__last.__rts").cast("double")
+        ) <= F.lit(tolerance_seconds)
+        matched = F.when(fresh, matched)
+    out = out.withColumn("__m", matched)
+    keep = [c for c in left.columns]
+    return out.select(
+        *keep,
+        F.col("__m.__rts").alias("asof_ts"),
+        *[F.col(f"__m.{c}").alias(f"asof_{c}") for c in value_cols],
+    )
+
+
+def range_join(
+    left: DataFrame,
+    ranges: DataFrame,
+    left_value: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_size: float,
+    payload_cols: list[str] | None = None,
+    inclusive_hi: bool = False,
+) -> DataFrame:
+    """Join each left row to every range with ``lo <= value < hi``
+    (``<= hi`` when ``inclusive_hi``).
+
+    Each range row is exploded to the bucket ids it covers; the left side
+    computes its single bucket id; the join becomes an equi hash join on
+    bucket + exact interval filter. With broadcast-sized range tables
+    Catalyst broadcasts the exploded side automatically.
+    """
+    payload_cols = payload_cols or [
+        c for c in ranges.columns if c not in {lo_col, hi_col}
+    ]
+    bs = float(bucket_size)
+    hi_bucket = F.floor(
+        (F.col(hi_col) - F.lit(0 if inclusive_hi else 1e-12)) / bs
+    ).cast("long")
+    exploded = ranges.select(
+        F.col(lo_col).alias("__lo"),
+        F.col(hi_col).alias("__hi"),
+        *[F.col(c) for c in payload_cols],
+        F.explode(
+            F.sequence(F.floor(F.col(lo_col) / bs).cast("long"), hi_bucket)
+        ).alias("__bucket"),
+    )
+    l = left.withColumn("__bucket", F.floor(F.col(left_value) / bs).cast("long"))
+    cond_hi = (
+        F.col(left_value) <= F.col("__hi")
+        if inclusive_hi
+        else F.col(left_value) < F.col("__hi")
+    )
+    joined = l.join(exploded, "__bucket", "left").where(
+        (F.col(left_value) >= F.col("__lo")) & cond_hi
+    )
+    return joined.drop("__bucket", "__lo", "__hi")

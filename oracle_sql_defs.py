@@ -443,3 +443,61 @@ SELECT CAST(doc_id AS BIGINT) AS media_id,
   round({_hex_to_long('sha256(text)', 8)} / 4294967295.0, 6) AS feature_0
 FROM documents
 """
+
+ORACLES["metadata_pipeline"] = """
+SELECT l_returnflag AS returnflag,
+  CASE WHEN p.p_partkey IS NULL THEN NULL
+       WHEN p.p_brand IS NULL OR trim(p.p_brand) = '' THEN '-'
+       ELSE trim(p.p_brand) END AS brand,
+  CAST(p.p_size AS INTEGER) AS p_size,
+  CAST(COUNT(l_orderkey) AS BIGINT) AS n_items,
+  CAST(MIN(p.p_retailprice) AS DOUBLE) AS min_price
+FROM lineitem
+LEFT JOIN (SELECT * FROM part WHERE p_size >= 25) p ON l_partkey = p.p_partkey
+GROUP BY 1, 2, 3
+"""
+
+ORACLES["window_functions"] = """
+SELECT o_custkey, o_orderkey,
+  lag(o_orderkey) OVER w AS prev_orderkey,
+  lead(o_orderkey) OVER w AS next_orderkey,
+  CAST(ntile(4) OVER w AS INT) AS quartile,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+ORACLES["rollup_agg"] = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+  CAST(COUNT(*) AS BIGINT) AS cnt
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+ORACLES["pivot_agg"] = """
+SELECT l_returnflag,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_open,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_filled
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+ORACLES["asof_join"] = """
+WITH ev AS (SELECT event_id, user_id % 20 AS k, ts FROM events),
+q AS (
+  SELECT o_orderkey % 20 AS k, o_orderdate, max(o_totalprice) AS price
+  FROM orders GROUP BY 1, 2)
+SELECT ev.event_id, CAST(ev.k AS BIGINT) AS k,
+       q.o_orderdate AS asof_ts, q.price AS price
+FROM ev ASOF LEFT JOIN q ON ev.k = q.k AND ev.ts >= q.o_orderdate
+"""
+
+ORACLES["range_join"] = """
+WITH tiers(lo, hi, tier) AS (
+  VALUES (0.0, 50.0, 'low'), (50.0, 150.0, 'mid'), (150.0, 100000.0, 'high'))
+SELECT event_id, value, tier
+FROM events JOIN tiers ON value >= lo AND value < hi
+"""

@@ -1,0 +1,77 @@
+"""As-of and range joins (operators/asof.py)."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from datapipelines_essentials_python_spark.operators.asof import as_of_join, range_join
+
+
+def ts(s: str):
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture
+def quotes(spark):
+    return spark.createDataFrame(
+        [
+            ("A", ts("2024-01-01 09:00:00"), 100.0),
+            ("A", ts("2024-01-01 10:00:00"), 110.0),
+            ("B", ts("2024-01-01 09:30:00"), 50.0),
+        ],
+        "k string, qts timestamp, price double",
+    )
+
+
+@pytest.fixture
+def trades(spark):
+    return spark.createDataFrame(
+        [
+            (1, "A", ts("2024-01-01 09:30:00")),  # matches 09:00 quote
+            (2, "A", ts("2024-01-01 10:00:00")),  # equal ts → inclusive match
+            (3, "A", ts("2024-01-01 08:00:00")),  # before any quote → NULL
+            (4, "B", ts("2024-01-01 12:00:00")),  # matches B 09:30
+            (5, "C", ts("2024-01-01 12:00:00")),  # key with no quotes → NULL
+        ],
+        "id long, k string, tts timestamp",
+    )
+
+
+def test_as_of_join_backward_inclusive(spark, trades, quotes):
+    out = as_of_join(trades, quotes, ["k"], "tts", "qts", ["price"])
+    got = {r["id"]: r["asof_price"] for r in out.collect()}
+    assert got == {1: 100.0, 2: 110.0, 3: None, 4: 50.0, 5: None}
+    assert out.count() == trades.count()  # left-join semantics: no row loss
+
+
+def test_as_of_join_tolerance(spark, trades, quotes):
+    out = as_of_join(
+        trades, quotes, ["k"], "tts", "qts", ["price"], tolerance_seconds=3600
+    )
+    got = {r["id"]: r["asof_price"] for r in out.collect()}
+    assert got[1] == 100.0  # 30 min old: fresh enough
+    assert got[4] is None  # 2.5 h old quote exceeds tolerance
+
+
+def test_range_join_boundaries(spark):
+    rows = spark.createDataFrame(
+        [(1, 0.0), (2, 49.99), (3, 50.0), (4, 149.0), (5, -5.0), (6, 200.0)],
+        "id long, v double",
+    )
+    tiers = spark.createDataFrame(
+        [(0.0, 50.0, "low"), (50.0, 150.0, "mid"), (150.0, 300.0, "high")],
+        "lo double, hi double, tier string",
+    )
+    out = {r["id"]: r["tier"] for r in range_join(rows, tiers, "v", "lo", "hi", 50.0).collect()}
+    # hi-exclusive: 50.0 goes to mid, not low; -5 matches nothing
+    assert out == {1: "low", 2: "low", 3: "mid", 4: "mid", 6: "high"}
+
+
+def test_range_join_overlapping_ranges(spark):
+    rows = spark.createDataFrame([(1, 10.0)], "id long, v double")
+    tiers = spark.createDataFrame(
+        [(0.0, 20.0, "a"), (5.0, 15.0, "b")], "lo double, hi double, tier string"
+    )
+    out = {r["tier"] for r in range_join(rows, tiers, "v", "lo", "hi", 10.0).collect()}
+    assert out == {"a", "b"}  # overlapping ranges both match
