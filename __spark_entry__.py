@@ -618,6 +618,36 @@ def asof_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def near_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-duplicate REMOVAL over documents: MinHash-LSH pairs
+    (verified ≥ 0.5 Jaccard) → drop the higher doc_id of every pair, keep
+    the rest. Keep-lowest-per-pair is the standard one-pass approximation
+    of connected-component dedup (transitive chains may keep an extra doc;
+    exact closure needs iteration)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_ops.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=16, bands=8,
+        threshold=0.5, max_bucket=1_000_000,
+    )
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    kept = docs.join(losers, "doc_id", "left_anti")
+    return kept.select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+
+
+def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN scale path: SRP-bucketed top-k (no oracle — LSH
+    recall is probabilistic by design; driver records a rows-only check).
+    The exact twin ``embedding_topk`` is the oracle-checked baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    return sim_ops.lsh_topk(emb, queries, "vec_id", "embedding", k=5, planes=4).select(
+        F.col("query_id").cast("long"),
+        F.col("neighbor_id").cast("long"),
+        F.col("rank").cast("int"),
+        "cosine",
+    )
+
+
 def range_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join: classify event values into [lo, hi) tiers via the
     bucketed equi-join composition (no nested-loop join)."""
@@ -679,6 +709,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_agg": pivot_agg,
         "asof_join": asof_join_query,
         "range_join": range_join_query,
+        "near_dedup_keep": near_dedup_keep,
+        "embedding_lsh_topk": embedding_lsh_topk,
     }
 
 

@@ -501,3 +501,29 @@ WITH tiers(lo, hi, tier) AS (
 SELECT event_id, value, tier
 FROM events JOIN tiers ON value >= lo AND value < hi
 """
+
+ORACLES["near_dedup_keep"] = f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {SHINGLES} AS sh FROM t),
+sigs AS (SELECT doc_id, sh, {_minhash_sig(16)} AS sig FROM s),
+bands AS (
+  SELECT doc_id,
+    unnest(range(0, 8)) AS band,
+    unnest({_bands(8, 2)}) AS bucket
+  FROM sigs),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id),
+verified AS (
+  SELECT c.id_a, c.id_b
+  FROM cands c
+  JOIN s a ON a.doc_id = c.id_a
+  JOIN s b ON b.doc_id = c.id_b
+  WHERE {_JACCARD} >= 0.5),
+losers AS (SELECT DISTINCT id_b AS doc_id FROM verified)
+SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_id
+WHERE l.doc_id IS NULL
+"""
+# embedding_lsh_topk: intentionally no oracle (approximate ANN; rows-only check)
