@@ -662,6 +662,270 @@ def range_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "value", "tier")
 
 
+def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped single-scan filter+sum: the pure pushdown showcase —
+    every predicate reaches the parquet scan, no join, no window."""
+    li = load_table(spark, sf_dir, "lineitem")
+    filtered = li.where(
+        (F.year("l_shipdate") == 1996)
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return filtered.agg(
+        F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+
+
+def q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped distribution: LEFT join + two-level aggregation
+    (orders per customer → customers per order-count)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    ).select(F.col("c_count").cast("long").alias("c_count"), "custdist")
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped conditional aggregation over a fact⋈dim join —
+    promo revenue share in one pass (no second scan for the denominator)."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.year("l_shipdate") == 1997)
+    part = load_table(spark, sf_dir, "part")
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    return j.agg(
+        (
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,4)"))).cast("double")
+            / F.sum(rev).cast("double")
+        ).alias("promo_pct"),
+        F.sum(rev).cast("double").alias("total_revenue"),
+    )
+
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped correlated-aggregate decorrelation: per-part avg
+    quantity (exact DECIMAL-sum ÷ count) joined back to the fact, filter
+    ``qty < 0.2 × avg``, single-row revenue. The per-part aggregate is
+    broadcast — no second fact shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        (
+            F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avg_qty")
+    )
+    j = li.join(F.broadcast(per_part), "l_partkey")
+    return (
+        j.where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped HAVING-on-join: orders whose line quantity total
+    exceeds 300, rejoined to customer — group-filter then enrich."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"))
+        .where(F.col("sum_qty") > 300)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+def semi_join_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): orders with at least one returned line,
+    counted per priority (TPC-H Q4 shape; SURVEY §2.3 gap note)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+    )
+
+
+def anti_join_dormant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no orders since 2001,
+    per market segment — the J6 completeness-check pattern."""
+    cust = load_table(spark, sf_dir, "customer")
+    recent = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    return (
+        cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dormant"))
+    )
+
+
+def having_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (SURVEY §2.4 A1's post-aggregation filter path)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+        .where(F.col("sum_qty") > 15500)
+    )
+
+
+def tz_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone conversion (SURVEY §2.8 F4): native to_utc_timestamp /
+    from_utc_timestamp replacing the reference's pytz row UDFs. DST-free
+    zones keep the oracle exact."""
+    from datapipelines_essentials_python_spark.functions.datetime_fns import to_gmt
+
+    events = load_table(spark, sf_dir, "events").where(F.col("event_id") % 7 == 0)
+    return events.select(
+        "event_id",
+        to_gmt(F.col("ts"), zone="Asia/Tokyo").alias("utc_from_tokyo"),
+        F.from_utc_timestamp("ts", "Asia/Kolkata").alias("kolkata_wall"),
+    )
+
+
+def date_sequence_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed backfill-window generation (SURVEY §2.8 F13): weekly
+    dates for 4 weeks from each order date, via F.sequence + explode —
+    the reference's driver-side date_ranges loop, distributed."""
+    from datapipelines_essentials_python_spark.functions.datetime_fns import date_sequence
+
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 100)
+    start = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.explode(
+            date_sequence(start, F.date_add(start, 21), interval_days=7)
+        ).alias("backfill_date"),
+    )
+
+
+def string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APIDOC string-helper surface (SURVEY §2.8 F12) as native
+    expressions: single_space / remove_all_whitespace /
+    remove_non_word_characters."""
+    from datapipelines_essentials_python_spark.functions.strings import (
+        remove_all_whitespace,
+        remove_non_word_characters,
+        single_space,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    padded = F.concat(F.lit("  "), F.col("text"), F.lit("   "))
+    tagged = F.concat(F.col("lang"), F.lit("-"), F.col("source"), F.lit("!"))
+    return docs.select(
+        "doc_id",
+        single_space(padded).alias("squeezed"),
+        remove_all_whitespace(F.substring("text", 1, 40)).alias("no_ws"),
+        remove_non_word_characters(tagged).alias("words_only"),
+    )
+
+
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based stratified sampling (training-corpus
+    rebalancing): downsample English 30%, keep the rest — reproducible
+    across engines/retries, unlike rand()."""
+    from datapipelines_essentials_python_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.3, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
+    return stratified_sample(docs, "lang", fractions, "doc_id").select(
+        "doc_id", "lang"
+    )
+
+
+def train_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic disjoint train/holdout split, reported as per-split
+    per-language counts (provably stable across reruns and engines)."""
+    from datapipelines_essentials_python_spark.operators.sampling import split_train_holdout
+
+    docs = load_table(spark, sf_dir, "documents")
+    train, holdout = split_train_holdout(docs, "doc_id", holdout_fraction=0.2)
+    t = train.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n")).withColumn(
+        "split", F.lit("train")
+    )
+    h = holdout.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n")).withColumn(
+        "split", F.lit("holdout")
+    )
+    return t.unionByName(h)
+
+
+def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram-LM fluency scoring: per-doc mean log2 token
+    probability (DECIMAL-exact sum ⇒ order-independent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text_ops.unigram_logprob_score(docs, "doc_id", "text")
+    return scored.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("avg_logprob", 6).alias("avg_logprob"),
+    )
+
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact connected-component dedup clustering: MinHash-LSH verified
+    pairs as edges → iterative min-label propagation → every document
+    labeled with its component's canonical (minimum) doc id. The exact
+    transitive closure that ``near_dedup_keep`` approximates in one pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_ops.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=16, bands=8,
+        threshold=0.5, max_bucket=1_000_000,
+    )
+    comp = dedup_ops.connected_components(
+        pairs, "id_a", "id_b", nodes=docs, node_col="doc_id"
+    )
+    return comp.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (nprobe=1): deterministic centroid subset (every 31st
+    vector), nearest-centroid cell assignment, per-cell exact top-k.
+    Fully oracle-checkable — the approximation is structural (cell
+    pruning), not random."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    centroids = emb.where(F.col("vec_id") % 31 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    out = sim_ops.ivf_topk(
+        emb, queries, "vec_id", "embedding", k=5, centroids=centroids
+    )
+    return out.select(
+        F.col("query_id").cast("long"),
+        F.col("neighbor_id").cast("long"),
+        F.col("rank").cast("int"),
+        "cosine",
+    )
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -711,6 +975,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": range_join_query,
         "near_dedup_keep": near_dedup_keep,
         "embedding_lsh_topk": embedding_lsh_topk,
+        "q6_revenue_delta": q6_revenue_delta,
+        "q13_custdist": q13_custdist,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q17_small_qty_revenue": q17_small_qty_revenue,
+        "q18_large_orders": q18_large_orders,
+        "semi_join_returned": semi_join_returned,
+        "anti_join_dormant": anti_join_dormant,
+        "having_clause": having_clause,
+        "tz_convert": tz_convert,
+        "date_sequence_backfill": date_sequence_backfill,
+        "string_ops": string_ops,
+        "stratified_sample_docs": stratified_sample_docs,
+        "train_holdout_split": train_holdout_split,
+        "unigram_lm_quality": unigram_lm_quality,
+        "dedup_components": dedup_components,
+        "ivf_ann": ivf_ann,
     }
 
 

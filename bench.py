@@ -47,6 +47,16 @@ HEADLINE = [
     "simhash_fp",
     "embedding_topk",
     "multimodal_features",
+    "q6_revenue_delta",
+    "q13_custdist",
+    "q14_promo_revenue",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "semi_join_returned",
+    "stratified_sample_docs",
+    "unigram_lm_quality",
+    "dedup_components",
+    "ivf_ann",
 ]
 
 

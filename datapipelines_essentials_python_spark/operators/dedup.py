@@ -356,3 +356,77 @@ def embedding_neardup_pairs(
     return pairs.select(
         "id_a", "id_b", F.round(sim, 6).alias("cosine")
     ).where(F.col("cosine") >= threshold)
+
+
+# --------------------------------------------------------------------------
+# connected-component dedup clustering
+# --------------------------------------------------------------------------
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    nodes: DataFrame | None = None,
+    node_col: str = "id",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Exact connected components over an undirected edge list.
+
+    Returns ``(id, component)`` where ``component`` is the MINIMUM node id
+    in the node's component (a canonical, deterministic label). If
+    ``nodes`` is given, isolated nodes appear with ``component = id``.
+
+    Algorithm: iterative min-label propagation — each round every node's
+    label becomes ``min(own label, min over neighbors' labels)``; converges
+    in O(graph diameter) rounds. Near-duplicate graphs have tiny diameters
+    (clusters of mutually-similar documents), so 3-5 rounds is typical.
+    Convergence is detected by the (monotonically decreasing) sum of all
+    labels going stable — one lightweight action per round.
+
+    Scale notes (100 TB): each round is one shuffle (groupBy ``dst``) plus
+    one broadcast-eligible join; the edge list is persisted once. For
+    graphs with large diameters (paths), switch to pointer-jumping
+    (large-star/small-star, O(log n) rounds) — near-dup dedup never needs
+    it. This is the exact-closure upgrade of the keep-lowest-per-pair
+    approximation used by ``near_dedup_keep``-style one-pass dedup.
+    """
+    und = (
+        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        und.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .persist()
+    )
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr_min = (
+            und.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.min("comp").alias("nbr_comp"))
+            .withColumnRenamed("dst", "id")
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
+            )
+            .persist()
+        )
+        new_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    und.unpersist()
+    if nodes is not None:
+        all_nodes = nodes.select(F.col(node_col).alias("id"))
+        return all_nodes.join(labels, "id", "left").select(
+            "id", F.coalesce("comp", F.col("id")).alias("component")
+        )
+    return labels.select("id", F.col("comp").alias("component"))

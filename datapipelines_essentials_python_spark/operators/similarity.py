@@ -156,3 +156,90 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def assign_to_centroid(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cent_id_col: str = "cent_id",
+    cent_vec_col: str = "cent_vec",
+) -> DataFrame:
+    """Append a ``cell`` column: the id of the nearest centroid by cosine
+    (rounded to 6 dp; ties broken by lower centroid id — deterministic).
+
+    One broadcast nested-loop pass (N × n_centroids narrow rows) + one
+    row_number window keyed on the vector id. No iterative training —
+    centroids are an input (trained offline or picked deterministically),
+    which is how production IVF indexes are built anyway.
+    """
+    scored = df.crossJoin(F.broadcast(centroids)).select(
+        "*",
+        F.round(
+            cosine_similarity(F.col(vec_col), F.col(cent_vec_col)), 6
+        ).alias("_cent_cos"),
+    )
+    win = Window.partitionBy(id_col).orderBy(F.desc("_cent_cos"), F.asc(cent_id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(win))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_cent_cos", cent_vec_col)
+        .withColumnRenamed(cent_id_col, "cell")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    centroids: DataFrame | None = None,
+    n_centroids: int = 16,
+) -> DataFrame:
+    """IVF-style ANN: inverted-file search with nprobe=1.
+
+    1. Centroid table (default: the ``n_centroids`` lowest-id corpus
+       vectors — deterministic; pass trained centroids in production).
+    2. Assign every corpus vector and every query to its nearest-centroid
+       ``cell`` (broadcast pass, no shuffle on the corpus side).
+    3. Join query↔corpus on ``cell`` only — the join shrinks ~n_centroids-
+       fold vs brute force — then exact cosine top-k within the cell.
+
+    → (query_id, neighbor_id, rank, cosine). Exact within the probed cell;
+    recall loss only for true neighbors that live in a different cell
+    (raise nprobe by unioning more cells if needed).
+
+    At 100 TB: write the corpus partitioned by ``cell`` once; each query
+    then scans a single partition — partition pruning turns the index
+    lookup into an I/O-level skip, and the per-cell top-k is a window over
+    one shuffle keyed by query_id.
+    """
+    if centroids is None:
+        centroids = corpus.where(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+        )
+    c = assign_to_centroid(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
+        centroids, "neighbor_id", "c_vec",
+    )
+    q = assign_to_centroid(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        centroids, "query_id", "q_vec",
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -113,3 +113,51 @@ def fingerprint(col: Column | str, ngram: int = 3, keep: int = 4) -> Column:
     hashes = F.transform(sh, lambda s: F.md5(s))
     smallest = F.slice(F.array_sort(hashes), 1, keep)
     return F.md5(F.concat_ws("|", smallest))
+
+
+# --------------------------------------------------------------------------
+# corpus unigram language-model quality scoring
+# --------------------------------------------------------------------------
+def unigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus unigram table → (token, cnt). One explode + one shuffle with
+    map-side partial aggregation — the classic word-count shape."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def unigram_logprob_score(
+    df: DataFrame, id_col: str, text_col: str = "text", round_dp: int = 4
+) -> DataFrame:
+    """Per-document mean unigram log2-probability under the corpus's own
+    unigram LM — the standard cheap fluency/quality signal (gibberish and
+    boilerplate score low, typical prose scores high).
+
+    → (id, n_tokens, avg_logprob). Exactness: each token's log2 p is
+    rounded to ``round_dp`` decimals and cast to DECIMAL before the sum, so
+    the per-doc aggregate is order-independent and the SQL oracle
+    hash-matches despite floating-point log.
+
+    Scale shape: unigram table = one word-count shuffle; scoring = explode
+    + join on token (the LM table is broadcast when it fits, which a
+    unigram vocab essentially always does) + one groupBy on doc id.
+    """
+    lm = unigram_counts(df, text_col)
+    total = lm.agg(F.sum("cnt").alias("total"))
+    lm = F.broadcast(lm.crossJoin(total))
+    logp = F.round(
+        F.log2(F.col("cnt").cast("double") / F.col("total").cast("double")), round_dp
+    ).cast("decimal(18,6)")
+    exploded = df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("token"))
+    return (
+        exploded.join(lm, "token")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum(logp).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "avg_logprob"
+            ),
+        )
+    )

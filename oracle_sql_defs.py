@@ -527,3 +527,195 @@ FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_id
 WHERE l.doc_id IS NULL
 """
 # embedding_lsh_topk: intentionally no oracle (approximate ANN; rows-only check)
+
+ORACLES["q6_revenue_delta"] = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE year(l_shipdate) = 1996 AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+ORACLES["q13_custdist"] = """
+SELECT CAST(c_count AS BIGINT) AS c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey)
+GROUP BY c_count
+"""
+
+ORACLES["q14_promo_revenue"] = f"""
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV} ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+         / CAST(SUM({_REV}) AS DOUBLE) AS promo_pct,
+       CAST(SUM({_REV}) AS DOUBLE) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE year(l_shipdate) = 1997
+"""
+
+ORACLES["q17_small_qty_revenue"] = """
+WITH per_part AS (
+  SELECT l_partkey,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+  FROM lineitem GROUP BY l_partkey)
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem l JOIN per_part p ON l.l_partkey = p.l_partkey
+WHERE l.l_quantity < 0.2 * p.avg_qty
+"""
+
+ORACLES["q18_large_orders"] = """
+WITH big AS (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 300)
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice, b.sum_qty
+FROM big b JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+ORACLES["semi_join_returned"] = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+ORACLES["anti_join_dormant"] = """
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_dormant
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+GROUP BY c_mktsegment
+"""
+
+ORACLES["having_clause"] = """
+SELECT l_suppkey,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+  CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem GROUP BY l_suppkey
+HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 15500
+"""
+
+ORACLES["tz_convert"] = """
+SELECT event_id,
+  timezone('UTC', timezone('Asia/Tokyo', ts)) AS utc_from_tokyo,
+  timezone('Asia/Kolkata', timezone('UTC', ts)) AS kolkata_wall
+FROM events WHERE event_id % 7 = 0
+"""
+
+ORACLES["date_sequence_backfill"] = """
+SELECT o_orderkey, CAST(unnest(generate_series(
+         CAST(o_orderdate AS DATE),
+         CAST(o_orderdate AS DATE) + 21,
+         INTERVAL 7 DAY)) AS DATE) AS backfill_date
+FROM orders WHERE o_orderkey < 100
+"""
+
+ORACLES["string_ops"] = """
+SELECT doc_id,
+  trim(regexp_replace('  ' || text || '   ', '\\s+', ' ', 'g')) AS squeezed,
+  regexp_replace(substr(text, 1, 40), '\\s+', '', 'g') AS no_ws,
+  regexp_replace(lang || '-' || source || '!', '[^\\w\\s]+', '', 'g') AS words_only
+FROM documents WHERE doc_id < 200
+"""
+
+_HASH_FRAC = lambda salt: (  # noqa: E731 — md5-derived uniform [0,1) keyed on doc_id
+    _hex_to_long(f"md5('{salt}' || '|' || CAST(doc_id AS VARCHAR))", 8)
+    + " / 4294967296.0"
+)
+
+ORACLES["stratified_sample_docs"] = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_HASH_FRAC('')} <
+  CASE WHEN lang = 'de' THEN 1.0 WHEN lang = 'en' THEN 0.3
+       WHEN lang = 'es' THEN 1.0 WHEN lang = 'fr' THEN 1.0
+       WHEN lang = 'zh' THEN 1.0 ELSE 0.0 END
+"""
+
+ORACLES["train_holdout_split"] = f"""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+  CASE WHEN {_HASH_FRAC('split')} >= 0.2 THEN 'train' ELSE 'holdout' END AS split
+FROM documents
+GROUP BY lang, CASE WHEN {_HASH_FRAC('split')} >= 0.2 THEN 'train' ELSE 'holdout' END
+"""
+
+ORACLES["unigram_lm_quality"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS}) AS token FROM documents),
+lm AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+tot AS (SELECT SUM(cnt) AS total FROM lm),
+lp AS (
+  SELECT token,
+    CAST(round(log2(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)), 4) AS DECIMAL(18,6)) AS logp
+  FROM lm, tot)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  round(CAST(SUM(lp.logp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_logprob
+FROM toks JOIN lp ON toks.token = lp.token
+GROUP BY doc_id
+"""
+
+ORACLES["dedup_components"] = f"""
+WITH RECURSIVE t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {SHINGLES} AS sh FROM t),
+sigs AS (SELECT doc_id, sh, {_minhash_sig(16)} AS sig FROM s),
+bands AS (
+  SELECT doc_id,
+    unnest(range(0, 8)) AS band,
+    unnest({_bands(8, 2)}) AS bucket
+  FROM sigs),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id),
+verified AS (
+  SELECT c.id_a, c.id_b
+  FROM cands c
+  JOIN s a ON a.doc_id = c.id_a
+  JOIN s b ON b.doc_id = c.id_b
+  WHERE {_JACCARD} >= 0.5),
+und AS (
+  SELECT id_a AS src, id_b AS dst FROM verified
+  UNION SELECT id_b, id_a FROM verified),
+reach(src, dst) AS (
+  SELECT src, dst FROM und
+  UNION
+  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
+comp AS (
+  SELECT src AS id, least(src, MIN(dst)) AS c FROM reach GROUP BY src)
+SELECT d.doc_id, CAST(COALESCE(c.c, d.doc_id) AS BIGINT) AS component
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+"""
+
+_IVF_COS = lambda x, y: (  # noqa: E731
+    f"round(CASE WHEN sqrt({_dot(x, x)}) * sqrt({_dot(y, y)}) > 0 "
+    f"THEN {_dot(x, y)} / (sqrt({_dot(x, x)}) * sqrt({_dot(y, y)})) "
+    f"ELSE 0.0 END, 6)"
+)
+
+ORACLES["ivf_ann"] = f"""
+WITH cent AS (
+  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id % 31 = 0),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cent_id AS cell,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY {_IVF_COS('e.embedding', 'c.cv')} DESC, c.cent_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c)
+  WHERE rn = 1),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+    {_IVF_COS('q.embedding', 'e.embedding')} AS cosine
+  FROM embeddings q
+  JOIN assigned aq ON aq.vec_id = q.vec_id
+  JOIN assigned ae ON ae.cell = aq.cell
+  JOIN embeddings e ON e.vec_id = ae.vec_id
+  WHERE q.vec_id < 8 AND e.vec_id <> q.vec_id)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(rn AS INT) AS rank, cosine
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+      FROM scored)
+WHERE rn <= 5
+"""

@@ -1,0 +1,140 @@
+"""Connected-component dedup, IVF ANN, deterministic sampling, unigram LM."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datapipelines_essentials_python_spark.operators import dedup, sampling, similarity
+from datapipelines_essentials_python_spark.operators import text as text_ops
+
+
+# --------------------------------------------------------------------------
+# connected components
+# --------------------------------------------------------------------------
+def test_connected_components_chain_and_triangle(spark):
+    # chain 1-2-3-4 (diameter 3, needs >1 propagation round), triangle 10-11-12
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)],
+        "id_a long, id_b long",
+    )
+    out = {r["id"]: r["component"] for r in dedup.connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_connected_components_with_singletons(spark):
+    edges = spark.createDataFrame([(5, 7)], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(n,) for n in range(1, 9)], "id long")
+    out = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(edges, nodes=nodes, node_col="id").collect()
+    }
+    assert out[5] == 5 and out[7] == 5
+    assert all(out[n] == n for n in (1, 2, 3, 4, 6, 8))
+
+
+def test_connected_components_empty_edges(spark):
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(1,), (2,)], "id long")
+    out = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(edges, nodes=nodes, node_col="id").collect()
+    }
+    assert out == {1: 1, 2: 2}
+
+
+# --------------------------------------------------------------------------
+# IVF ANN
+# --------------------------------------------------------------------------
+def test_ivf_topk_finds_in_cell_neighbors(spark):
+    # two well-separated clusters along different axes; centroids = ids 0, 10
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.95, 0.05, 0.0]),
+        (10, [0.0, 1.0, 0.0]),
+        (11, [0.0, 0.9, 0.1]),
+        (12, [0.0, 0.95, 0.05]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = emb.where(F.col("vec_id").isin(0, 10)).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    queries = emb.where(F.col("vec_id") == 1)
+    out = similarity.ivf_topk(emb, queries, k=3, centroids=cents).collect()
+    neighbors = {r["neighbor_id"] for r in out}
+    # only same-cell (x-axis cluster) vectors are candidates
+    assert neighbors == {0, 2}
+    ranks = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranks[0] == 2  # closest first
+
+
+def test_ivf_matches_brute_force_within_cell(spark):
+    rows = [(i, [float(i % 7 + 1), float((i * 3) % 5), 1.0]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.where(F.col("vec_id") < 2)
+    ivf = similarity.ivf_topk(emb, queries, k=3, n_centroids=1)
+    # one centroid ⇒ one cell ⇒ IVF must equal brute force exactly
+    bf = similarity.brute_force_topk(emb, queries, k=3)
+    assert sorted(map(tuple, ivf.collect())) == sorted(map(tuple, bf.collect()))
+
+
+# --------------------------------------------------------------------------
+# deterministic sampling
+# --------------------------------------------------------------------------
+@pytest.fixture
+def labeled(spark):
+    return spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "fr") for i in range(400)],
+        "id long, lang string",
+    )
+
+
+def test_uniform_sample_deterministic_and_plausible(spark, labeled):
+    a = sampling.uniform_sample(labeled, "id", 0.5)
+    b = sampling.uniform_sample(labeled, "id", 0.5)
+    ids_a = sorted(r["id"] for r in a.collect())
+    assert ids_a == sorted(r["id"] for r in b.collect())  # reproducible
+    assert 120 <= len(ids_a) <= 280  # ~200 expected
+
+
+def test_stratified_sample_rates(spark, labeled):
+    out = sampling.stratified_sample(
+        labeled, "lang", {"en": 0.0, "fr": 1.0}, "id"
+    )
+    langs = {r["lang"] for r in out.collect()}
+    assert langs == {"fr"}
+    assert out.count() == 200
+
+
+def test_split_train_holdout_partitions(spark, labeled):
+    train, hold = sampling.split_train_holdout(labeled, "id", 0.25)
+    n_train, n_hold = train.count(), hold.count()
+    assert n_train + n_hold == 400
+    assert train.join(hold, "id").count() == 0  # disjoint
+    assert 40 <= n_hold <= 160  # ~100 expected
+
+
+def test_salt_changes_sample(spark, labeled):
+    a = {r["id"] for r in sampling.uniform_sample(labeled, "id", 0.5, salt="x").collect()}
+    b = {r["id"] for r in sampling.uniform_sample(labeled, "id", 0.5, salt="y").collect()}
+    assert a != b
+
+
+# --------------------------------------------------------------------------
+# unigram LM scoring
+# --------------------------------------------------------------------------
+def test_unigram_logprob_score(spark):
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    out = {
+        r["id"]: r for r in text_ops.unigram_logprob_score(df, "doc_id").collect()
+    }
+    # corpus: a=2, b=2, c=1, total=5 → p(a)=p(b)=0.4, p(c)=0.2
+    import math
+
+    lp = lambda p: round(math.log2(p), 4)  # noqa: E731
+    exp_doc1 = (2 * lp(0.4) + lp(0.4)) / 3
+    exp_doc2 = (lp(0.4) + lp(0.2)) / 2
+    assert out[1]["n_tokens"] == 3
+    assert abs(out[1]["avg_logprob"] - exp_doc1) < 1e-9
+    assert abs(out[2]["avg_logprob"] - exp_doc2) < 1e-9
