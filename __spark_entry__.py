@@ -425,7 +425,7 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-min shingle-hash document fingerprint (driver-mandated)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     return docs.select(
         "doc_id", text_ops.fingerprint("text", ngram=3, keep=4).alias("fp")
     )
@@ -433,7 +433,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (brute force baseline)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     return dedup_ops.ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.5
     ).select(
@@ -447,7 +447,7 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same deterministic md5 hash family as the oracle; cap disabled at test
     scale so the oracle needs no cap arm.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     return dedup_ops.minhash_lsh_pairs(
         docs,
         "doc_id",
@@ -462,7 +462,7 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprints (driver-mandated)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     return docs.select(
         "doc_id", dedup_ops.simhash("text").cast("long").alias("simhash32")
     )
@@ -470,7 +470,7 @@ def simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k ANN baseline (driver-mandated)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
     queries = emb.where(F.col("vec_id") < 8)
     return sim_ops.brute_force_topk(emb, queries, "vec_id", "embedding", k=5).select(
         F.col("query_id").cast("long"),
@@ -482,7 +482,7 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, exact all-pairs baseline."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
     return dedup_ops.embedding_neardup_pairs(
         emb, "vec_id", "embedding", threshold=0.5, bucket_planes=0
     ).select(F.col("id_a").cast("long"), F.col("id_b").cast("long"), "cosine")
@@ -624,7 +624,7 @@ def near_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rest. Keep-lowest-per-pair is the standard one-pass approximation
     of connected-component dedup (transitive chains may keep an extra doc;
     exact closure needs iteration)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     pairs = dedup_ops.minhash_lsh_pairs(
         docs, "doc_id", "text", n=3, num_hashes=16, bands=8,
         threshold=0.5, max_bucket=1_000_000,
@@ -638,7 +638,7 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN scale path: SRP-bucketed top-k (no oracle — LSH
     recall is probabilistic by design; driver records a rows-only check).
     The exact twin ``embedding_topk`` is the oracle-checked baseline."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
     queries = emb.where(F.col("vec_id") < 8)
     return sim_ops.lsh_topk(emb, queries, "vec_id", "embedding", k=5, planes=4).select(
         F.col("query_id").cast("long"),
@@ -891,7 +891,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs as edges → iterative min-label propagation → every document
     labeled with its component's canonical (minimum) doc id. The exact
     transitive closure that ``near_dedup_keep`` approximates in one pass."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     pairs = dedup_ops.minhash_lsh_pairs(
         docs, "doc_id", "text", n=3, num_hashes=16, bands=8,
         threshold=0.5, max_bucket=1_000_000,
@@ -910,7 +910,7 @@ def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector), nearest-centroid cell assignment, per-cell exact top-k.
     Fully oracle-checkable — the approximation is structural (cell
     pruning), not random."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
     queries = emb.where(F.col("vec_id") < 8)
     centroids = emb.where(F.col("vec_id") % 31 == 0).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")

@@ -67,8 +67,11 @@ def main() -> None:
 
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
-    # JVM/codegen warmup on a trivial action
+    # Warm the JVM, codegen, and the parquet read path (footer decode,
+    # datasource init) on a tiny table so the first timed query doesn't
+    # absorb one-time session costs.
     spark.range(1000).count()
+    spark.read.parquet(f"{sf_dir.rstrip('/')}/region.parquet").groupBy().count().collect()
 
     for name in HEADLINE:
         fn = queries[name]

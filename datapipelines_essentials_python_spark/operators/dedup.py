@@ -117,23 +117,56 @@ def ngram_jaccard_pairs(
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------
-def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature as an array of ``num_hashes`` hex digests.
+# Universal-hash family over the Mersenne prime 2^31-1: one md5 per shingle
+# (the expensive part), then num_hashes cheap affine maps (a_i·h + b_i) mod p.
+# All arithmetic stays below 2^62, so BIGINT is exact in Spark AND DuckDB —
+# the oracle replays the identical family. Constants are fixed (Knuth
+# multiplicative seeds), not runtime-random: determinism across engines,
+# runs, and cluster sizes is the whole point.
+MINHASH_P = 2_147_483_647
 
-    Hash family i = md5(i || '|' || shingle); the signature element is the
-    lexicographic MIN digest — min over a uniform hash is the classic
-    MinHash estimator, and hex-string ordering of md5 is a total order on
-    the hash space. Deterministic, seedless, portable to the SQL oracle.
-    Empty documents sign as md5('') sentinels.
-    """
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Fixed (a_i, b_i) affine coefficients of the hash family."""
+    out = []
+    for i in range(num_hashes):
+        a = (2_654_435_761 * (i + 1)) % MINHASH_P or 1
+        b = (40_503 * (i + 1)) % MINHASH_P
+        out.append((a, b))
+    return out
+
+
+def shingle_values(shingle_col: Column) -> Column:
+    """32-bit md5 prefix of each shingle, reduced mod p — the one-time
+    expensive hash per shingle that the whole family reuses."""
     return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.coalesce(
-            F.array_min(
-                F.transform(shingle_col, lambda s: F.md5(F.concat(i.cast("string"), F.lit("|"), s)))
-            ),
-            F.md5(F.lit("")),
-        ),
+        shingle_col,
+        lambda s: (F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long") % MINHASH_P),
+    )
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature as an array of ``num_hashes`` BIGINTs.
+
+    sig_i = min over shingles of (a_i·h(shingle) + b_i) mod p, with h = the
+    32-bit md5 prefix mod p. Min over a universal hash family is the classic
+    MinHash estimator; one md5 per shingle instead of ``num_hashes`` md5s
+    makes signing ~num_hashes× cheaper at scan time. Empty documents sign
+    as the sentinel p (above every real value).
+    """
+    vals = shingle_values(shingle_col)
+
+    def affine(a: int, b: int):
+        return lambda v: (F.lit(a) * v + F.lit(b)) % MINHASH_P
+
+    return F.array(
+        *[
+            F.coalesce(
+                F.array_min(F.transform(vals, affine(a, b))),
+                F.lit(MINHASH_P).cast("long"),
+            )
+            for a, b in minhash_coeffs(num_hashes)
+        ]
     )
 
 
@@ -180,26 +213,40 @@ def minhash_lsh_pairs(
     )
     signed = signed.persist()
 
+    # Band key: base-p positional combine of the band's signature slice —
+    # a BIGINT per (doc, band), no string/md5 work. Exact only while
+    # p^rows_per_band < 2^63 (i.e. ≤ 2 rows per band); wider bands fall
+    # back to an md5 string key.
+    if rows_per_band <= 2:
+        def band_key(b):
+            return F.aggregate(
+                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc * MINHASH_P + v,
+            )
+    else:
+        def band_key(b):
+            return F.md5(
+                F.concat_ws("|", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band))
+            )
+
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = signed.select(
         "id",
         F.explode(
             F.transform(
                 band_idx,
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.md5(
-                        F.concat_ws("|", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band))
-                    ).alias("bucket"),
-                ),
+                lambda b: F.struct(b.alias("band"), band_key(b).alias("bucket")),
             )
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
 
-    # cap degenerate buckets before the quadratic self-join
-    sized = banded.join(
-        banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bsz")),
-        ["band", "bucket"],
+    # cap degenerate buckets before the quadratic self-join; window count
+    # reuses the same (band, bucket) shuffle instead of a groupBy + rejoin
+    from pyspark.sql import Window
+
+    sized = banded.withColumn(
+        "bsz", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
     ).where(F.col("bsz") <= max_bucket)
 
     lhs = sized.select(F.col("band"), F.col("bucket"), F.col("id").alias("id_a"))
@@ -389,12 +436,21 @@ def connected_components(
     it. This is the exact-closure upgrade of the keep-lowest-per-pair
     approximation used by ``near_dedup_keep``-style one-pass dedup.
     """
-    und = (
+    und_cached = (
         edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
         .persist()
     )
+    # Size the iteration's parallelism to the graph, not the cluster: dup
+    # graphs are usually a tiny fraction of the corpus, and each propagation
+    # round is a fixed number of jobs whose per-task overhead dominates when
+    # partitions vastly outnumber edges. ~100k edges per partition, capped
+    # at the cluster's parallelism.
+    n_edges = und_cached.count()
+    spark = edges.sparkSession
+    parts = max(1, min(spark.sparkContext.defaultParallelism, n_edges // 100_000 + 1))
+    und = und_cached.repartition(parts, "src").persist()
     labels = (
         und.select(F.col("src").alias("id"))
         .distinct()
@@ -424,6 +480,7 @@ def connected_components(
             break
         prev_sum = new_sum
     und.unpersist()
+    und_cached.unpersist()
     if nodes is not None:
         all_nodes = nodes.select(F.col(node_col).alias("id"))
         return all_nodes.join(labels, "id", "left").select(

@@ -36,10 +36,41 @@ TABLES = (
 ALWAYS_BROADCAST = {"region", "nation"}
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+# Files below this size stay on one task (broadcast-sized dims: region,
+# nation, supplier); bigger single-row-group files are fanned out.
+_PARALLELIZE_MIN_BYTES = 512 * 1024
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, parallelize: bool = False
+) -> DataFrame:
+    """Load one testdata table.
+
+    ``parallelize=True`` fans an under-parallel scan out to all cores and is
+    meant ONLY for pipelines whose next stages are heavy narrow per-row CPU
+    (sketching, hashing, vector math): a parquet row group is indivisible,
+    and the driver's testdata ships ONE row group per table, so without it
+    that CPU work runs on a single core. For relational queries (whose
+    first real operator is a shuffle anyway) the extra exchange is pure
+    loss — leave it off. At real scale (row groups ≥ cores) the gate makes
+    it a no-op either way, so production plans never pay a second exchange.
+    Catalyst still pushes filters/pruning through the repartition to the
+    scan (verified: PushedFilters on the FileScan).
+    """
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    df = spark.read.parquet(path)
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if parallelize:
+        import os
+
+        target = spark.sparkContext.defaultParallelism
+        try:
+            fsize = os.path.getsize(path)
+        except OSError:
+            fsize = 0
+        if fsize >= _PARALLELIZE_MIN_BYTES and df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
     return df
 
 

@@ -30,17 +30,43 @@ SHINGLES = (
 _REV = "CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))"
 
 
+_MINHASH_P = 2_147_483_647
+
+
+def _minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Same fixed affine family as dedup.minhash_coeffs."""
+    out = []
+    for i in range(num_hashes):
+        a = (2_654_435_761 * (i + 1)) % _MINHASH_P or 1
+        b = (40_503 * (i + 1)) % _MINHASH_P
+        out.append((a, b))
+    return out
+
+
+def _minhash_vals() -> str:
+    """Per-shingle hash values (32-bit md5 prefix mod p) over column ``sh``
+    — computed once, reused by every family member."""
+    h = _hex_to_long("md5(s)", 8)
+    return f"[{h} % {_MINHASH_P} for s in sh]"
+
+
 def _minhash_sig(num_hashes: int = 16) -> str:
-    """MinHash signature mirroring dedup.minhash_signature."""
-    return (
-        f"[coalesce(list_min([md5(CAST(i AS VARCHAR) || '|' || s) for s in sh]), md5('')) "
-        f"for i in range(0, {num_hashes})]"
+    """MinHash signature mirroring dedup.minhash_signature: affine family
+    min-folded over a precomputed ``vals`` column (see _minhash_vals)."""
+    elems = ", ".join(
+        f"coalesce(list_min([({a} * v + {b}) % {_MINHASH_P} for v in vals]), {_MINHASH_P})"
+        for a, b in _minhash_coeffs(num_hashes)
     )
+    return f"[{elems}]"
 
 
 def _bands(bands: int = 8, rows_per_band: int = 2) -> str:
+    """Band keys mirroring minhash_lsh_pairs: base-p positional combine of
+    each signature slice (exact in BIGINT for rows_per_band ≤ 2)."""
+    assert rows_per_band <= 2
     return (
-        f"[md5(array_to_string(sig[b*{rows_per_band}+1:b*{rows_per_band}+{rows_per_band}], '|')) "
+        f"[list_reduce(sig[b*{rows_per_band}+1:b*{rows_per_band}+{rows_per_band}], "
+        f"(acc, v) -> acc * {_MINHASH_P} + v) "
         f"for b in range(0, {bands})]"
     )
 
@@ -385,7 +411,8 @@ WHERE {_JACCARD} >= 0.5
 ORACLES["minhash_lsh"] = f"""
 WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
 s AS (SELECT doc_id, {SHINGLES} AS sh FROM t),
-sigs AS (SELECT doc_id, sh, {_minhash_sig(16)} AS sig FROM s),
+v AS (SELECT doc_id, sh, {_minhash_vals()} AS vals FROM s),
+sigs AS (SELECT doc_id, sh, {_minhash_sig(16)} AS sig FROM v),
 bands AS (
   SELECT doc_id,
     unnest(range(0, 8)) AS band,
@@ -505,7 +532,8 @@ FROM events JOIN tiers ON value >= lo AND value < hi
 ORACLES["near_dedup_keep"] = f"""
 WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
 s AS (SELECT doc_id, {SHINGLES} AS sh FROM t),
-sigs AS (SELECT doc_id, sh, {_minhash_sig(16)} AS sig FROM s),
+v AS (SELECT doc_id, sh, {_minhash_vals()} AS vals FROM s),
+sigs AS (SELECT doc_id, sh, {_minhash_sig(16)} AS sig FROM v),
 bands AS (
   SELECT doc_id,
     unnest(range(0, 8)) AS band,
@@ -659,7 +687,8 @@ GROUP BY doc_id
 ORACLES["dedup_components"] = f"""
 WITH RECURSIVE t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
 s AS (SELECT doc_id, {SHINGLES} AS sh FROM t),
-sigs AS (SELECT doc_id, sh, {_minhash_sig(16)} AS sig FROM s),
+v AS (SELECT doc_id, sh, {_minhash_vals()} AS vals FROM s),
+sigs AS (SELECT doc_id, sh, {_minhash_sig(16)} AS sig FROM v),
 bands AS (
   SELECT doc_id,
     unnest(range(0, 8)) AS band,
