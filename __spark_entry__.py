@@ -926,6 +926,64 @@ def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming distance ≤ 3 via the pigeonhole
+    block trick (4 blocks of 8 bits → equi-join per block, no all-pairs
+    scan) — the sub-quadratic SimHash counterpart of MinHash-LSH."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    out = dedup_ops.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+    return out.select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )
+
+
+def histogram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram profiling of a numeric column (per event
+    type): integer bucket arithmetic — exact, single shuffle, the standard
+    data-profiling pass before training-set filtering."""
+    events = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 25.0).cast("long")
+    return (
+        events.groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            "event_type",
+            "bucket",
+            (F.col("bucket") * 25.0).alias("lo"),
+            "n",
+        )
+    )
+
+
+def corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per group from DECIMAL-exact moment sums — the
+    one-pass sufficient-statistics pattern (n, Σx, Σy, Σxy, Σx², Σy²)
+    whose final arithmetic is a fixed double-precision expression, so it is
+    reproducible across engines and row orders (the built-in ``corr``'s
+    running accumulation is not)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = _dec("l_quantity"), _dec("l_extendedprice")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.round(corr, 6).alias("qty_price_corr"),
+    )
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -991,6 +1049,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_lm_quality": unigram_lm_quality,
         "dedup_components": dedup_components,
         "ivf_ann": ivf_ann,
+        "simhash_neardup": simhash_neardup,
+        "histogram_profile": histogram_profile,
+        "corr_stats": corr_stats,
     }
 
 

@@ -57,6 +57,9 @@ HEADLINE = [
     "unigram_lm_quality",
     "dedup_components",
     "ivf_ann",
+    "simhash_neardup",
+    "histogram_profile",
+    "corr_stats",
 ]
 
 

@@ -94,9 +94,10 @@ def _hex_to_long(expr: str, nchars: int) -> str:
     )
 
 
-def _simhash_sql() -> str:
-    """32-bit SimHash mirroring dedup.simhash: per-token 32-bit md5-prefix
-    values (with multiplicity); bit b set iff (+1/-1 vote sum) > 0."""
+def _simhash_fp_ctes() -> str:
+    """CTE chain computing per-doc 32-bit SimHash mirroring dedup.simhash:
+    per-token 32-bit md5-prefix values (with multiplicity); bit b set iff
+    the (+1/-1 vote sum) > 0. Ends with ``fps(doc_id, fp)``."""
     val = _hex_to_long("md5(t)", 8)
     terms = []
     for b in range(32):
@@ -106,11 +107,16 @@ def _simhash_sql() -> str:
             f"- len(vals) > 0 THEN CAST({power} AS BIGINT) ELSE 0 END)"
         )
     fp = " + ".join(terms)
-    return f"""
-WITH t AS (
+    return f"""t AS (
   SELECT doc_id, [{val} for t in {TOKS}] AS vals FROM documents
-)
-SELECT doc_id, CAST({fp} AS BIGINT) AS simhash32 FROM t
+),
+fps AS (SELECT doc_id, CAST({fp} AS BIGINT) AS fp FROM t)"""
+
+
+def _simhash_sql() -> str:
+    return f"""
+WITH {_simhash_fp_ctes()}
+SELECT doc_id, fp AS simhash32 FROM fps
 """
 
 
@@ -747,4 +753,45 @@ FROM (SELECT *, row_number() OVER (
         PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
       FROM scored)
 WHERE rn <= 5
+"""
+
+ORACLES["simhash_neardup"] = f"""
+WITH {_simhash_fp_ctes()},
+blocks AS (
+  SELECT doc_id, fp,
+    unnest(range(0, 4)) AS blk,
+    unnest([CAST(floor(fp / power(2, b * 8)) AS BIGINT) % 256 for b in range(0, 4)]) AS blkval
+  FROM fps),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.fp AS fa, b.fp AS fb
+  FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.blkval = b.blkval
+  WHERE a.doc_id < b.doc_id)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+FROM cands WHERE bit_count(xor(fa, fb)) <= 3
+"""
+
+ORACLES["histogram_profile"] = """
+SELECT event_type,
+  CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+  CAST(floor(value / 25.0) AS BIGINT) * 25.0 AS lo,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+"""
+
+ORACLES["corr_stats"] = """
+WITH m AS (
+  -- DECIMAL(19,4) multiplicands force INT128 arithmetic in DuckDB (an
+  -- INT64-backed product overflows); values are exact either way.
+  SELECT l_returnflag,
+    CAST(COUNT(*) AS DOUBLE) AS n,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sxy,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+  round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS qty_price_corr
+FROM m
 """

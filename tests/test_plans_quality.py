@@ -1,0 +1,77 @@
+"""Physical-plan assertions: the properties that make queries scale.
+
+Checks the *plans*, not just the results: filters and column pruning must
+reach the parquet scan, fixed-size dims must broadcast, and nothing in the
+headline relational path may fall out of the JVM into row-at-a-time Python.
+"""
+
+import io
+import contextlib
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_dsl_pushdown(spark):
+    plan = plan_of(entry_mod.queries()["filter_dsl_scan"](spark, SF_DIR))
+    assert "PushedFilters: [" in plan
+    # every DSL predicate lands in the scan
+    for frag in ("EqualTo(l_returnflag,R)", "GreaterThanOrEqual(l_quantity,30.0)"):
+        assert frag in plan, f"missing pushed filter {frag}"
+    # column pruning: untouched wide columns never read
+    assert "l_extendedprice" not in plan
+
+
+def test_q1_prunes_and_pushes(spark):
+    plan = plan_of(entry_mod.queries()["q1_pricing_summary"](spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "l_partkey" not in plan  # pruned
+    assert "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_q5_broadcasts_dims(spark):
+    plan = plan_of(entry_mod.queries()["q5_nation_revenue"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_no_python_in_relational_headline(spark):
+    qs = entry_mod.queries()
+    for name in (
+        "q3_top_revenue_orders", "q6_revenue_delta", "q13_custdist",
+        "q14_promo_revenue", "q17_small_qty_revenue", "q18_large_orders",
+        "agg_dispatch", "window_functions", "cdc_merge", "sessionize",
+        "events_by_day", "having_clause", "corr_stats", "histogram_profile",
+        "stratified_sample_docs", "lang_id", "text_quality", "token_stats",
+        "doc_fingerprint", "simhash_fp",
+    ):
+        plan = plan_of(qs[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, f"{name} fell back to Python UDFs"
+        assert "ArrowEvalPython" not in plan, f"{name} uses Python (Arrow) unexpectedly"
+
+
+def test_q17_broadcasts_peragg(spark):
+    # the decorrelated per-part aggregate must broadcast back to the fact
+    plan = plan_of(entry_mod.queries()["q17_small_qty_revenue"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q6_single_scan_no_join(spark):
+    plan = plan_of(entry_mod.queries()["q6_revenue_delta"](spark, SF_DIR))
+    assert "Join" not in plan
+    # one table only (formatted explain prints each node twice: tree + detail)
+    assert "lineitem.parquet" in plan
+    for other in ("orders.parquet", "customer.parquet", "part.parquet"):
+        assert other not in plan
