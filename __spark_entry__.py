@@ -984,6 +984,49 @@ def corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram repetition detection (Gopher-style): share of all bigrams
+    taken by the most frequent one — flags templated/looping documents."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    out = text_ops.ngram_repetition(docs, "doc_id", "text", n=2)
+    return out.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("n_ngrams").cast("long").alias("n_bigrams"),
+        F.col("top_cnt").cast("long").alias("top_cnt"),
+        "top_frac",
+    )
+
+
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite C4-style quality gate: token count, token-length band,
+    vocabulary diversity, and language-ID rules combined into keep/drop
+    with the first failing rule named — the standard pre-training corpus
+    filter, one narrow pass + the lang-ID projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text_ops.tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    avg_len = F.length(F.regexp_replace(F.lower(F.col("text")), " ", "")).cast(
+        "double"
+    ) / F.greatest(n_tokens, F.lit(1)).cast("double")
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / F.greatest(
+        n_tokens, F.lit(1)
+    ).cast("double")
+    lang = text_ops.detect_language("text")
+    fail = (
+        F.when(n_tokens < 5, F.lit("too_short"))
+        .when(avg_len < 2.0, F.lit("tokens_too_short"))
+        .when(avg_len > 14.0, F.lit("tokens_too_long"))
+        .when(uniq_ratio < 0.3, F.lit("repetitive"))
+        .when(lang == "und", F.lit("unknown_language"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return docs.select(
+        "doc_id",
+        fail.isNull().alias("keep"),
+        fail.alias("fail_reason"),
+    )
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -1052,6 +1095,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": simhash_neardup,
         "histogram_profile": histogram_profile,
         "corr_stats": corr_stats,
+        "repetition_stats": repetition_stats,
+        "quality_filter": quality_filter,
     }
 
 

@@ -60,6 +60,8 @@ HEADLINE = [
     "simhash_neardup",
     "histogram_profile",
     "corr_stats",
+    "repetition_stats",
+    "quality_filter",
 ]
 
 

@@ -451,26 +451,26 @@ def connected_components(
     spark = edges.sparkSession
     parts = max(1, min(spark.sparkContext.defaultParallelism, n_edges // 100_000 + 1))
     und = und_cached.repartition(parts, "src").persist()
+    # Round 0 fused into initialization: comp = min(id, direct neighbors).
     labels = (
-        und.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("comp", F.col("id"))
+        und.groupBy(F.col("src").alias("id"))
+        .agg(F.min("dst").alias("nbr"))
+        .select("id", F.least(F.col("id"), F.col("nbr")).alias("comp"))
         .persist()
     )
     prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
     for _ in range(max_iter):
-        nbr_min = (
-            und.join(labels.withColumnRenamed("id", "src"), "src")
-            .groupBy("dst")
-            .agg(F.min("comp").alias("nbr_comp"))
-            .withColumnRenamed("dst", "id")
+        # One round = one join (attach labels to edge sources) + one
+        # groupBy taking the min over {own label} ∪ {neighbors' labels} —
+        # the self-contribution rides the same shuffle as a union leg, so
+        # each round costs two exchanges, not three.
+        contrib = und.join(labels.withColumnRenamed("id", "src"), "src").select(
+            F.col("dst").alias("id"), "comp"
         )
         new_labels = (
-            labels.join(nbr_min, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
-            )
+            contrib.unionByName(labels)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
             .persist()
         )
         new_sum = new_labels.agg(F.sum("comp")).collect()[0][0]

@@ -161,3 +161,38 @@ def unigram_logprob_score(
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# n-gram repetition detection (Gopher-style quality signal)
+# --------------------------------------------------------------------------
+def ngram_repetition(
+    df: DataFrame, id_col: str, text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Per-document n-gram repetition: the fraction of all n-grams (with
+    multiplicity) taken by the single most frequent one — the standard
+    boilerplate/loop detector for training-corpus filtering (a high
+    top-fraction means templated or repetitive text).
+
+    → (id, n_ngrams, top_cnt, top_frac). Shape: one explode + two keyed
+    aggregations (map-side combined); integer counts + one rounded
+    division, so exactly portable.
+    """
+    toks = tokens(text_col)
+    k = F.size(toks)
+    grams = F.when(
+        k >= n,
+        F.transform(
+            F.sequence(F.lit(1), k - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array())
+    exploded = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
+    per_gram = exploded.groupBy("id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    return per_gram.groupBy("id").agg(
+        F.sum("cnt").alias("n_ngrams"),
+        F.max("cnt").alias("top_cnt"),
+        F.round(
+            F.max("cnt").cast("double") / F.sum("cnt").cast("double"), 6
+        ).alias("top_frac"),
+    )

@@ -795,3 +795,43 @@ SELECT l_returnflag, CAST(n AS BIGINT) AS n,
   round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS qty_price_corr
 FROM m
 """
+
+ORACLES["repetition_stats"] = f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+    unnest(CASE WHEN len(toks) >= 2
+      THEN [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks) - 1 + 1)]
+      ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM t),
+per_gram AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, gram)
+SELECT doc_id,
+  CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+  CAST(MAX(cnt) AS BIGINT) AS top_cnt,
+  round(CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6) AS top_frac
+FROM per_gram GROUP BY doc_id
+"""
+
+ORACLES["quality_filter"] = f"""
+WITH m AS (
+  SELECT doc_id, toks,
+    CAST(length(replace(lower(text), ' ', '')) AS DOUBLE)
+      / CAST(greatest(len(toks), 1) AS DOUBLE) AS avg_len,
+    CAST(len(list_distinct(toks)) AS DOUBLE)
+      / CAST(greatest(len(toks), 1) AS DOUBLE) AS uniq_ratio,
+    len(list_intersect(list_distinct(toks), {_PROFILES_SQL['de']})) AS s_de,
+    len(list_intersect(list_distinct(toks), {_PROFILES_SQL['en']})) AS s_en,
+    len(list_intersect(list_distinct(toks), {_PROFILES_SQL['es']})) AS s_es,
+    len(list_intersect(list_distinct(toks), {_PROFILES_SQL['fr']})) AS s_fr
+  FROM (SELECT doc_id, text, {TOKS} AS toks FROM documents)),
+f AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) < 5 THEN 'too_short'
+         WHEN avg_len < 2.0 THEN 'tokens_too_short'
+         WHEN avg_len > 14.0 THEN 'tokens_too_long'
+         WHEN uniq_ratio < 0.3 THEN 'repetitive'
+         WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'unknown_language'
+         ELSE NULL END AS fail_reason
+  FROM m)
+SELECT doc_id, fail_reason IS NULL AS keep, fail_reason FROM f
+"""

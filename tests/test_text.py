@@ -51,3 +51,20 @@ def test_fingerprint_stability_and_sensitivity(spark):
     fps = {r["id"]: r["fp"] for r in df.select("id", text.fingerprint("text").alias("fp")).collect()}
     assert fps[1] == fps[2]
     assert fps[1] != fps[3]
+
+
+def test_ngram_repetition(spark):
+    from datapipelines_essentials_python_spark.operators.text import ngram_repetition
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "x y z w"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in ngram_repetition(df, "doc_id").collect()}
+    # doc 1 bigrams: ab, ba, ab, ba, ab → top 'a b'=3 of 5
+    assert out[1]["n_ngrams"] == 5 and out[1]["top_cnt"] == 3
+    assert abs(out[1]["top_frac"] - 0.6) < 1e-9
+    # doc 2: all bigrams distinct
+    assert out[2]["top_cnt"] == 1
+    # doc 3: < n tokens → no rows (empty gram array explodes to nothing)
+    assert 3 not in out
