@@ -1027,6 +1027,147 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_cheapest_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-flavored argmin join-back: per-type minimum retail price,
+    joined back to recover the achieving parts (broadcast of the tiny
+    per-group aggregate — no re-shuffle of the dim)."""
+    part = load_table(spark, sf_dir, "part")
+    mins = part.groupBy("p_type").agg(F.min("p_retailprice").alias("min_price"))
+    return (
+        part.join(F.broadcast(mins), "p_type")
+        .where(F.col("p_retailprice") == F.col("min_price"))
+        .select("p_type", "p_partkey", "p_brand", "p_retailprice")
+    )
+
+
+def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped: 1996 revenue per supplier, keep the maximum
+    earners via an all-rows window max (ties kept, like the original)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").where(F.year("l_shipdate") == 1996)
+    sup = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("double")
+            .alias("total_revenue")
+        )
+    )
+    top = rev.withColumn(
+        "max_rev", F.max("total_revenue").over(Window.partitionBy())
+    ).where(F.col("total_revenue") == F.col("max_rev"))
+    return top.join(sup, top.l_suppkey == sup.s_suppkey).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
+
+
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive bracket predicates over a fact⋈dim
+    join — the OR-of-ANDs shape that exercises CNF conversion and partial
+    pushdown in the optimizer."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    bracket1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    )
+    bracket2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 20)
+    )
+    bracket3 = (F.col("p_type") == "PROMO") & (F.col("l_quantity") >= 20)
+    return j.where(bracket1 | bracket2 | bracket3).agg(
+        F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+
+
+def q22_dormant_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped: scalar-subquery average (DECIMAL-exact) + NOT
+    EXISTS — above-average-balance customers with no orders since 2000,
+    summarized per market segment."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avg_bal")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).where(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    dormant = rich.join(
+        recent, rich.c_custkey == recent.o_custkey, "left_anti"
+    )
+    return dormant.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
+        F.sum(_dec("c_acctbal")).cast("double").alias("total_bal"),
+    )
+
+
+def snake_case_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column standardization surface (SURVEY §2.2 P4/P5): camelCase
+    aliases → snake_case + alphabetical column ordering, value-checked
+    through the oracle."""
+    from datapipelines_essentials_python_spark.utils.columns import (
+        snake_case_column_names,
+        sort_columns,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custKey"),
+        F.col("c_mktsegment").alias("marketSegment"),
+        F.col("c_acctbal").alias("accountBalance"),
+    )
+    return sort_columns(snake_case_column_names(cust))
+
+
+def date_parse_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern date parsing with null-on-failure (SURVEY §2.8 F14): format
+    order dates to 'M/d/yyyy' strings, corrupt a deterministic subset, and
+    parse back — invalid strings become NULL, matching the reference's
+    strptime-wrapper semantics."""
+    from datapipelines_essentials_python_spark.functions.datetime_fns import to_date_safe
+
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    raw = F.when(F.col("o_orderkey") % 5 == 0, F.lit("not-a-date")).otherwise(
+        F.date_format("o_orderdate", "M/d/yyyy")
+    )
+    return orders.select(
+        "o_orderkey",
+        raw.alias("raw_date"),
+        to_date_safe(raw).alias("parsed_date"),
+    )
+
+
+def media_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media chunking plumbing: fixed 256-char windows over document
+    payloads via Arrow-batched mapInPandas, per-chunk sizes + sha256 —
+    the audio/video segmentation pattern, oracle-checked end-to-end."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    out = mm_ops.chunk_text_media(
+        docs.select(F.col("doc_id").alias("media_id"), "text"),
+        chunk_chars=256,
+    )
+    return out.select(
+        "media_id",
+        "chunk_index",
+        "n_chars",
+        "n_bytes",
+        "sha256",
+    )
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -1097,6 +1238,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_stats": corr_stats,
         "repetition_stats": repetition_stats,
         "quality_filter": quality_filter,
+        "q2_cheapest_parts": q2_cheapest_parts,
+        "q15_top_suppliers": q15_top_suppliers,
+        "q19_disjunctive": q19_disjunctive,
+        "q22_dormant_rich": q22_dormant_rich,
+        "snake_case_projection": snake_case_projection,
+        "date_parse_safe": date_parse_safe,
+        "media_chunks": media_chunks,
     }
 
 

@@ -62,6 +62,10 @@ HEADLINE = [
     "corr_stats",
     "repetition_stats",
     "quality_filter",
+    "q15_top_suppliers",
+    "q19_disjunctive",
+    "q22_dormant_rich",
+    "media_chunks",
 ]
 
 

@@ -144,3 +144,63 @@ def documents_as_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
         F.lit(None).cast("long").alias("duration_ms"),
         F.encode(F.col(text_col), "utf-8").alias("content"),
     )
+
+
+CHUNKS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("chunk_index", T.IntegerType(), False),
+        T.StructField("n_chars", T.IntegerType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("sha256", T.StringType(), False),
+    ]
+)
+
+
+def chunk_text_media(
+    df: DataFrame,
+    id_col: str = "media_id",
+    text_col: str = "text",
+    chunk_chars: int = 256,
+) -> DataFrame:
+    """Fixed-window chunking of text payloads via ``mapInPandas`` — the
+    plumbing pattern for audio/video segmenting (windows of a big payload
+    → per-chunk rows with content hashes), runnable without codecs because
+    the payload here is text. Windows are counted in characters (hashes
+    taken over the UTF-8 bytes), so the operation is exactly portable to
+    the SQL oracle, which lacks byte-level blob slicing.
+
+    Every document yields ≥ 1 chunk (an empty doc yields one empty chunk —
+    downstream joins never lose rows). Constant memory per Arrow batch; at
+    media scale, chunking early and dropping the parent blob keeps shuffle
+    rows bounded by ``chunk_chars``, not by the original payload size.
+    """
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ncs, nbs, hashes = [], [], [], [], []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                s = text or ""
+                chunks = [
+                    s[i : i + chunk_chars] for i in range(0, len(s), chunk_chars)
+                ] or [""]
+                for j, chunk in enumerate(chunks):
+                    raw = chunk.encode("utf-8")
+                    ids.append(mid)
+                    idxs.append(j)
+                    ncs.append(len(chunk))
+                    nbs.append(len(raw))
+                    hashes.append(hashlib.sha256(raw).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "chunk_index": pd.Series(idxs, dtype="int32"),
+                    "n_chars": pd.Series(ncs, dtype="int32"),
+                    "n_bytes": pd.Series(nbs, dtype="int64"),
+                    "sha256": pd.Series(hashes, dtype="object"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _run, schema=CHUNKS_SCHEMA
+    )

@@ -835,3 +835,72 @@ f AS (
   FROM m)
 SELECT doc_id, fail_reason IS NULL AS keep, fail_reason FROM f
 """
+
+ORACLES["q2_cheapest_parts"] = """
+WITH mins AS (SELECT p_type, MIN(p_retailprice) AS min_price FROM part GROUP BY p_type)
+SELECT p.p_type, p.p_partkey, p.p_brand, p.p_retailprice
+FROM part p JOIN mins m ON p.p_type = m.p_type
+WHERE p.p_retailprice = m.min_price
+"""
+
+ORACLES["q15_top_suppliers"] = f"""
+WITH rev AS (
+  SELECT l_suppkey, CAST(SUM({_REV}) AS DOUBLE) AS total_revenue
+  FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY l_suppkey),
+top AS (SELECT * FROM rev WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev))
+SELECT s.s_suppkey, s.s_name, t.total_revenue
+FROM top t JOIN supplier s ON t.l_suppkey = s.s_suppkey
+"""
+
+ORACLES["q19_disjunctive"] = f"""
+SELECT CAST(SUM({_REV}) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_type = 'PROMO' AND l_quantity >= 20)
+"""
+
+ORACLES["q22_dormant_rich"] = """
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS avg_bal
+  FROM customer WHERE c_acctbal > 0)
+SELECT c_mktsegment,
+  CAST(COUNT(*) AS BIGINT) AS n_cust,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+FROM customer c, avg_bal
+WHERE c.c_acctbal > avg_bal.avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_mktsegment
+"""
+
+ORACLES["snake_case_projection"] = """
+SELECT CAST(c_acctbal AS DOUBLE) AS account_balance,
+       c_custkey AS cust_key,
+       c_mktsegment AS market_segment
+FROM customer
+"""
+
+ORACLES["date_parse_safe"] = """
+SELECT o_orderkey,
+  CASE WHEN o_orderkey % 5 = 0 THEN 'not-a-date'
+       ELSE strftime(o_orderdate, '%-m/%-d/%Y') END AS raw_date,
+  CAST(try_strptime(
+    CASE WHEN o_orderkey % 5 = 0 THEN 'not-a-date'
+         ELSE strftime(o_orderdate, '%-m/%-d/%Y') END,
+    '%-m/%-d/%Y') AS DATE) AS parsed_date
+FROM orders WHERE o_orderkey < 2000
+"""
+
+ORACLES["media_chunks"] = """
+SELECT doc_id AS media_id,
+  CAST(i - 1 AS INT) AS chunk_index,
+  CAST(length(substring(text, (i - 1) * 256 + 1, 256)) AS INT) AS n_chars,
+  CAST(octet_length(encode(substring(text, (i - 1) * 256 + 1, 256))) AS BIGINT) AS n_bytes,
+  sha256(substring(text, (i - 1) * 256 + 1, 256)) AS sha256
+FROM documents,
+  unnest(range(1, greatest(CAST(ceil(length(text) / 256.0) AS BIGINT), 1) + 1)) AS t(i)
+"""

@@ -59,3 +59,21 @@ def test_documents_as_media_schema(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(5)
     media = mm.documents_as_media(docs)
     assert [f.name for f in media.schema.fields] == [f.name for f in mm.MEDIA_SCHEMA.fields]
+
+
+def test_chunk_text_media(spark):
+    from datapipelines_essentials_python_spark.operators.multimodal import chunk_text_media
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(1, "a" * 600), (2, "short"), (3, "")],
+        "media_id long, text string",
+    )
+    rows = chunk_text_media(df, chunk_chars=256).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert [r["n_chars"] for r in sorted(by_id[1], key=lambda r: r["chunk_index"])] == [256, 256, 88]
+    assert len(by_id[2]) == 1 and by_id[2][0]["n_bytes"] == 5
+    # empty payload still yields one (empty) chunk
+    assert len(by_id[3]) == 1 and by_id[3][0]["sha256"] == hashlib.sha256(b"").hexdigest()
