@@ -635,9 +635,11 @@ def near_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN scale path: SRP-bucketed top-k (no oracle — LSH
-    recall is probabilistic by design; driver records a rows-only check).
-    The exact twin ``embedding_topk`` is the oracle-checked baseline."""
+    """Approximate ANN scale path: SRP-bucketed top-k. The hyperplanes are
+    md5-derived (no trained model, no RNG), so even this "approximate"
+    operator is fully deterministic and oracle-checked — the approximation
+    is structural (bucket pruning), not random. ``embedding_topk`` is the
+    exact brute-force twin."""
     emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
     queries = emb.where(F.col("vec_id") < 8)
     return sim_ops.lsh_topk(emb, queries, "vec_id", "embedding", k=5, planes=4).select(

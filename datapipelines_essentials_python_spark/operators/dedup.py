@@ -331,7 +331,9 @@ def simhash_pairs(
     """
     nblocks = max_hamming + 1
     width = SIMHASH_BITS // nblocks
-    base = df.select(F.col(id_col).alias("id"), simhash(text_col).alias("fp"))
+    # persist: the self-join below references the fingerprint pipeline
+    # twice — without this the (expensive) simhash expression runs 2×.
+    base = df.select(F.col(id_col).alias("id"), simhash(text_col).alias("fp")).persist()
     blocks = base.select(
         "id",
         "fp",

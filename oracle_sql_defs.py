@@ -560,7 +560,6 @@ SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
 FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_id
 WHERE l.doc_id IS NULL
 """
-# embedding_lsh_topk: intentionally no oracle (approximate ANN; rows-only check)
 
 ORACLES["q6_revenue_delta"] = """
 SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
@@ -903,4 +902,39 @@ SELECT doc_id AS media_id,
   sha256(substring(text, (i - 1) * 256 + 1, 256)) AS sha256
 FROM documents,
   unnest(range(1, greatest(CAST(ceil(length(text) / 256.0) AS BIGINT), 1) + 1)) AS t(i)
+"""
+
+
+def _srp_bucket(vec: str, planes: int = 4, dim: int = 64) -> str:
+    """SRP bucket mirroring similarity.hyperplane_bucket: bit p set iff the
+    projection onto deterministic md5-derived hyperplane p is >= 0."""
+    terms = []
+    for p in range(planes):
+        coeff = (
+            _hex_to_long(f"md5('{p}' || ':' || CAST(i AS VARCHAR))", 8)
+            + " / 4294967295.0 * 2.0 - 1.0"
+        )
+        proj = (
+            f"list_sum([CAST({vec}[i] AS DOUBLE) * ({coeff}) "
+            f"for i in range(1, {dim + 1})])"
+        )
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {2 ** p} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+ORACLES["embedding_lsh_topk"] = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_srp_bucket('embedding')} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+    {_IVF_COS('q.qv', 'c.embedding')} AS cosine
+  FROM b c JOIN q ON c.bucket = q.bucket
+  WHERE c.vec_id <> q.query_id)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(rn AS INT) AS rank, cosine
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+      FROM scored)
+WHERE rn <= 5
 """
