@@ -1170,6 +1170,43 @@ def media_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: documents assigned to
+    2048-token context packs by cumulative position, sharded by language
+    (packing is embarrassingly parallel across shards). Per-pack summary."""
+    docs = load_table(spark, sf_dir, "documents")
+    packed = text_ops.pack_documents(
+        docs, "doc_id", "text", budget_tokens=2048, shard_col="lang"
+    )
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.min("doc_id").cast("long").alias("first_doc_id"),
+    )
+
+
+def hopping_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time hopping windows (1h length, 30min slide) over the event
+    stream — Structured Streaming's windowed-aggregation semantics run in
+    batch: each event contributes to length/slide = 2 windows."""
+    events = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour", "30 minutes")
+    return (
+        events.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -1247,6 +1284,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snake_case_projection": snake_case_projection,
         "date_parse_safe": date_parse_safe,
         "media_chunks": media_chunks,
+        "pack_sequences": pack_sequences,
+        "hopping_window_agg": hopping_window_agg,
     }
 
 

@@ -66,6 +66,8 @@ HEADLINE = [
     "q19_disjunctive",
     "q22_dormant_rich",
     "media_chunks",
+    "pack_sequences",
+    "hopping_window_agg",
 ]
 
 

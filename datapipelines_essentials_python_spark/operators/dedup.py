@@ -51,11 +51,14 @@ def exact_dedup_keep_first(
 # shingling + n-gram Jaccard
 # --------------------------------------------------------------------------
 def shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct n-token shingles of a text column (sorted for determinism).
+    """Distinct n-token shingles of a text column.
 
     tokens = lowercase whitespace tokens; shingle i = tokens[i..i+n-1]
     joined by single spaces. Documents shorter than ``n`` tokens get their
-    whole token string as one shingle.
+    whole token string as one shingle. The array keeps first-occurrence
+    order (NOT sorted): every consumer — Jaccard intersections, MinHash
+    min-folds, fingerprint k-min selection — is order-insensitive, so
+    sorting here would be pure wasted CPU in the hottest narrow stage.
     """
     toks = text_ops.tokens(col)
     k = F.size(toks)
@@ -63,7 +66,7 @@ def shingles(col: Column | str, n: int = 3) -> Column:
         F.sequence(F.lit(1), F.greatest(k - n + 1, F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
-    return F.array_sort(F.array_distinct(F.when(k > 0, grams).otherwise(F.array())))
+    return F.array_distinct(F.when(k > 0, grams).otherwise(F.array()))
 
 
 def jaccard(a: Column, b: Column) -> Column:

@@ -196,3 +196,43 @@ def ngram_repetition(
             F.max("cnt").cast("double") / F.sum("cnt").cast("double"), 6
         ).alias("top_frac"),
     )
+
+
+# --------------------------------------------------------------------------
+# sequence packing (training-batch assembly)
+# --------------------------------------------------------------------------
+def pack_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    budget_tokens: int = 2048,
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Concat-then-split sequence packing: assign each document to a
+    context-window pack by cumulative token position in deterministic
+    ``id_col`` order — pack k = floor(tokens_before / budget). Documents
+    may straddle pack boundaries (the concat-and-chunk packing used with
+    document-boundary attention masks), which is what makes the operator a
+    pure window expression instead of a stateful scan.
+
+    Scale shape: ONE running-sum window per shard. Always pass
+    ``shard_col`` at scale (e.g. language, domain, or a hash bucket) —
+    packing is embarrassingly parallel across shards, and an unsharded
+    call funnels the corpus through a single partition (warned in the
+    plan). → input columns + (n_tokens, pack_id).
+    """
+    from pyspark.sql import Window
+
+    shard = F.col(shard_col) if shard_col else F.lit(1)
+    w = (
+        Window.partitionBy(shard)
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n = token_count(text_col)
+    before = F.coalesce(F.sum(n).over(w), F.lit(0))
+    return df.select(
+        "*",
+        n.alias("n_tokens"),
+        F.floor(before / F.lit(budget_tokens)).cast("long").alias("pack_id"),
+    )

@@ -938,3 +938,35 @@ FROM (SELECT *, row_number() OVER (
       FROM scored)
 WHERE rn <= 5
 """
+
+ORACLES["pack_sequences"] = f"""
+WITH toks AS (
+  SELECT doc_id, lang, len({TOKS}) AS n_tokens FROM documents),
+packed AS (
+  SELECT doc_id, lang, n_tokens,
+    CAST(floor(COALESCE(SUM(n_tokens) OVER (
+      PARTITION BY lang ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048) AS BIGINT) AS pack_id
+  FROM toks)
+SELECT lang, pack_id,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+  CAST(MIN(doc_id) AS BIGINT) AS first_doc_id
+FROM packed GROUP BY lang, pack_id
+"""
+
+ORACLES["hopping_window_agg"] = """
+WITH cand AS (
+  SELECT event_type, value,
+    unnest([
+      to_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - 1800),
+      to_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800)
+    ]) AS window_start
+  FROM events)
+SELECT CAST(window_start AS TIMESTAMP) AS window_start,
+  CAST(window_start + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+  event_type,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM cand GROUP BY 1, 2, 3
+"""

@@ -68,3 +68,30 @@ def test_ngram_repetition(spark):
     assert out[2]["top_cnt"] == 1
     # doc 3: < n tokens → no rows (empty gram array explodes to nothing)
     assert 3 not in out
+
+
+def test_pack_documents(spark):
+    from datapipelines_essentials_python_spark.operators.text import pack_documents
+
+    # 4 docs of 3 tokens each, budget 5: cumulative starts 0,3,6,9 → packs 0,0,1,1
+    df = spark.createDataFrame(
+        [(i, "w w w", "en") for i in range(4)], "doc_id long, text string, lang string"
+    )
+    out = {r["doc_id"]: r["pack_id"] for r in pack_documents(
+        df, "doc_id", budget_tokens=5, shard_col="lang"
+    ).collect()}
+    assert out == {0: 0, 1: 0, 2: 1, 3: 1}
+
+
+def test_pack_documents_sharded_independent(spark):
+    from datapipelines_essentials_python_spark.operators.text import pack_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b", "en"), (2, "a b", "fr"), (3, "a b", "en"), (4, "a b", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    rows = pack_documents(df, "doc_id", budget_tokens=3, shard_col="lang").collect()
+    packs = {(r["lang"], r["doc_id"]): r["pack_id"] for r in rows}
+    # each shard packs independently from position 0
+    assert packs[("en", 1)] == 0 and packs[("en", 3)] == 0
+    assert packs[("fr", 2)] == 0 and packs[("fr", 4)] == 0
