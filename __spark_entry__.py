@@ -1207,6 +1207,26 @@ def hopping_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated salted join: events joined to an event-type dimension
+    through a deterministic hash salt — byte-identical results to the plain
+    join (the oracle IS the plain join), with hot keys spread over
+    salt_factor partitions."""
+    events = load_table(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [
+            ("click", 1.0), ("view", 0.5), ("purchase", 10.0),
+            ("signup", 5.0), ("error", 0.0),
+        ],
+        "event_type string, weight double",
+    )
+    joined = rel_ops.salted_join(events, dim, ["event_type"], salt_factor=8)
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(_dec("value") * _dec("weight")).cast("double").alias("weighted_value"),
+    )
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -1286,6 +1306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_chunks": media_chunks,
         "pack_sequences": pack_sequences,
         "hopping_window_agg": hopping_window_agg,
+        "salted_join_events": salted_join_events,
     }
 
 

@@ -68,6 +68,7 @@ HEADLINE = [
     "media_chunks",
     "pack_sequences",
     "hopping_window_agg",
+    "salted_join_events",
 ]
 
 

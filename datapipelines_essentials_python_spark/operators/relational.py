@@ -54,3 +54,66 @@ def top_k_per_group(
     win = Window.partitionBy(*partition_cols).orderBy(*order)
     out = df.withColumn(rank_col, ranker().over(win)).where(F.col(rank_col) <= k)
     return out if keep_rank else out.drop(rank_col)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    salt_factor: int = 8,
+) -> DataFrame:
+    """Skew-mitigated equi-join: identical semantics to ``big.join(small,
+    on, how)``, but hot keys no longer funnel into one reducer.
+
+    The big side gets a deterministic salt = xxhash64(row-of-join-keys +
+    uniquifying columns) mod ``salt_factor``; the small side is replicated
+    ``salt_factor``× (explode of a literal range). The join key becomes
+    (keys..., salt), so a key that used to land on one partition now
+    spreads over ``salt_factor`` partitions. Deterministic (hash salt, not
+    rand()) → reproducible plans and retry-safe tasks.
+
+    Use when AQE's runtime skew-join splitting isn't available or the skew
+    is in an aggregation-feeding join it can't rebalance; cost = small side
+    inflated ``salt_factor``×, so keep the small side small. ``how``
+    supports inner/left — semantics preserved because every big-side row
+    carries exactly one salt and meets the full small side for its key.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_factor))
+    big_s = big.withColumn("_salt", salt)
+    small_s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1)))
+    )
+    out = big_s.join(small_s, [*on, "_salt"], how)
+    return out.drop("_salt")
+
+
+def approx_distinct_profile(
+    df: DataFrame, columns: list[str], rsd: float = 0.05
+) -> DataFrame:
+    """Approximate distinct-cardinality profile: one HyperLogLog++ sketch
+    per column in a single pass — the scan-speed alternative to N exact
+    count-distinct shuffles when profiling wide tables at 100 TB.
+    Accuracy knob: ``rsd`` (relative standard deviation). Approximate by
+    design → exercised in unit tests, not the value-hash oracle gate."""
+    aggs = [
+        F.approx_count_distinct(c, rsd).cast("long").alias(f"{c}_approx_distinct")
+        for c in columns
+    ]
+    return df.agg(*aggs)
+
+
+def approx_quantiles_profile(
+    df: DataFrame, column: str, probabilities: list[float], accuracy: int = 10000
+) -> DataFrame:
+    """Approximate quantiles via the Greenwald-Khanna sketch
+    (``percentile_approx``): mergeable partial sketches → one shuffle of
+    sketch state, never of data. Exact percentiles at 100 TB would sort
+    the column; this reads it once."""
+    return df.agg(
+        F.percentile_approx(
+            column, probabilities, accuracy
+        ).alias("quantiles")
+    )

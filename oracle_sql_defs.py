@@ -970,3 +970,16 @@ SELECT CAST(window_start AS TIMESTAMP) AS window_start,
   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
 FROM cand GROUP BY 1, 2, 3
 """
+
+# The salted join's contract is result-equality with the PLAIN join — the
+# oracle is deliberately the unsalted formulation.
+ORACLES["salted_join_events"] = """
+WITH dim(event_type, weight) AS (
+  VALUES ('click', 1.0), ('view', 0.5), ('purchase', 10.0),
+         ('signup', 5.0), ('error', 0.0))
+SELECT e.event_type,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(weight AS DECIMAL(18,4))) AS DOUBLE) AS weighted_value
+FROM events e JOIN dim d ON e.event_type = d.event_type
+GROUP BY e.event_type
+"""

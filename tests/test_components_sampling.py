@@ -138,3 +138,56 @@ def test_unigram_logprob_score(spark):
     assert out[1]["n_tokens"] == 3
     assert abs(out[1]["avg_logprob"] - exp_doc1) < 1e-9
     assert abs(out[2]["avg_logprob"] - exp_doc2) < 1e-9
+
+
+# --------------------------------------------------------------------------
+# salted join
+# --------------------------------------------------------------------------
+def test_salted_join_equals_plain_join(spark):
+    from datapipelines_essentials_python_spark.operators.relational import salted_join
+
+    big = spark.createDataFrame(
+        [(i, "k%d" % (i % 3)) for i in range(100)], "id long, k string"
+    )
+    small = spark.createDataFrame(
+        [("k0", "a"), ("k1", "b"), ("k2", "c")], "k string, v string"
+    )
+    salted = salted_join(big, small, ["k"], salt_factor=4)
+    plain = big.join(small, ["k"])
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    from datapipelines_essentials_python_spark.operators.relational import salted_join
+
+    big = spark.createDataFrame([(1, "x"), (2, "missing")], "id long, k string")
+    small = spark.createDataFrame([("x", 9)], "k string, v long")
+    out = {r["id"]: r["v"] for r in salted_join(big, small, ["k"], "left").collect()}
+    assert out == {1: 9, 2: None}
+
+
+# --------------------------------------------------------------------------
+# approximate sketches
+# --------------------------------------------------------------------------
+def test_approx_distinct_profile(spark):
+    from datapipelines_essentials_python_spark.operators.relational import (
+        approx_distinct_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 100, i % 7) for i in range(2000)], "a long, b long"
+    )
+    row = approx_distinct_profile(df, ["a", "b"], rsd=0.02).collect()[0]
+    assert abs(row["a_approx_distinct"] - 100) <= 10
+    assert abs(row["b_approx_distinct"] - 7) <= 1
+
+
+def test_approx_quantiles_profile(spark):
+    from datapipelines_essentials_python_spark.operators.relational import (
+        approx_quantiles_profile,
+    )
+
+    df = spark.range(0, 10000).withColumnRenamed("id", "v")
+    row = approx_quantiles_profile(df, "v", [0.5, 0.9]).collect()[0]
+    med, p90 = row["quantiles"]
+    assert abs(med - 5000) < 200 and abs(p90 - 9000) < 200
