@@ -1227,6 +1227,161 @@ def salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped bidirectional nation-pair trade volume: two dim
+    chains (supplier→nation, orders→customer→nation) hanging off the fact,
+    both nation dims broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    s_nat = F.broadcast(nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    ))
+    c_nat = F.broadcast(nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    ))
+    j = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(s_nat, F.col("s_nationkey") == F.col("s_nkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(c_nat, F.col("c_nationkey") == F.col("c_nkey"))
+    )
+    pair = ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        j.where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped market share: one nation's share of revenue sold to
+    a region's customers, per order year — conditional/total exact sums in
+    one aggregation pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    s_nat = F.broadcast(nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    ))
+    c_geo = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+        .where(F.col("r_name") == "ASIA")
+        .select(F.col("n_nationkey").alias("c_nkey"))
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    j = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(s_nat, F.col("s_nationkey") == F.col("s_nkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(c_geo, F.col("c_nationkey") == F.col("c_nkey"))
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_7", rev)
+                    .otherwise(F.lit(0).cast("decimal(18,4)"))
+                ).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("mkt_share"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped: top-20 customers by revenue lost to returns in
+    1996 — join, conditional filter, agg, deterministic global top-k."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").where(F.year("o_orderdate") == 1996)
+    cust = load_table(spark, sf_dir, "customer")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase): per-user first
+    view, first click strictly after it, first purchase strictly after
+    that — the standard product-analytics sequence query, as three keyed
+    aggregations (no per-user Python, no collect)."""
+    events = load_table(spark, sf_dir, "events")
+    views = (
+        events.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        events.agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+        .crossJoin(views.agg(F.count(F.lit(1)).cast("long").alias("n_viewed")))
+        .crossJoin(clicks.agg(F.count(F.lit(1)).cast("long").alias("n_clicked")))
+        .crossJoin(purchases.agg(F.count(F.lit(1)).cast("long").alias("n_purchased")))
+    )
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, distinct active
+    users per (cohort day, day offset ≤ 7) — two keyed aggregations plus a
+    broadcast-back of the tiny cohort table."""
+    events = load_table(spark, sf_dir, "events")
+    first_seen = events.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    acts = events.join(F.broadcast(first_seen), "user_id").select(
+        "user_id",
+        "cohort_day",
+        F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_day")).alias(
+            "day_offset"
+        ),
+    )
+    return (
+        acts.where(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").cast("long").alias("active_users"))
+    )
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -1307,6 +1462,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": pack_sequences,
         "hopping_window_agg": hopping_window_agg,
         "salted_join_events": salted_join_events,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q10_returned_customers": q10_returned_customers,
+        "funnel_conversion": funnel_conversion,
+        "cohort_retention": cohort_retention,
     }
 
 

@@ -69,6 +69,11 @@ HEADLINE = [
     "pack_sequences",
     "hopping_window_agg",
     "salted_join_events",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_customers",
+    "funnel_conversion",
+    "cohort_retention",
 ]
 
 

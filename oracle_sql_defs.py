@@ -983,3 +983,82 @@ SELECT e.event_type,
 FROM events e JOIN dim d ON e.event_type = d.event_type
 GROUP BY e.event_type
 """
+
+ORACLES["q7_volume_shipping"] = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+  CAST(SUM({_REV}) AS DOUBLE) AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+"""
+
+ORACLES["q8_market_share"] = f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+  CAST(SUM(CASE WHEN sn.n_name = 'NATION_7' THEN {_REV}
+                ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+    / CAST(SUM({_REV}) AS DOUBLE) AS mkt_share,
+  CAST(SUM({_REV}) AS DOUBLE) AS total_revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region r ON cn.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY 1
+"""
+
+ORACLES["q10_returned_customers"] = f"""
+SELECT c_custkey, c_name, c_mktsegment,
+  CAST(SUM({_REV}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R' AND year(o_orderdate) = 1996
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+ORACLES["funnel_conversion"] = """
+WITH views AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+clicks AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN views v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id),
+purchases AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN clicks c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id)
+SELECT (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events) AS n_users,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM views) AS n_viewed,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM clicks) AS n_clicked,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM purchases) AS n_purchased
+"""
+
+ORACLES["cohort_retention"] = """
+WITH first_seen AS (
+  SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS cohort_day
+  FROM events GROUP BY user_id),
+acts AS (
+  SELECT e.user_id, f.cohort_day,
+    datediff('day', f.cohort_day, CAST(date_trunc('day', e.ts) AS TIMESTAMP)) AS day_offset
+  FROM events e JOIN first_seen f ON e.user_id = f.user_id)
+SELECT cohort_day, CAST(day_offset AS INT) AS day_offset,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+FROM acts WHERE day_offset <= 7
+GROUP BY 1, 2
+"""
