@@ -1382,6 +1382,43 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bloom_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered selective join: orders shed non-matching rows at
+    scan time (k deterministic hash-bit semi-joins against a broadcast bit
+    table) before the real join — result provably identical to the plain
+    join, which is the oracle."""
+    orders = load_table(spark, sf_dir, "orders")
+    vips = load_table(spark, sf_dir, "customer").where(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 9000)
+    )
+    pruned = rel_ops.bloom_prefilter(
+        orders, vips, "o_custkey", "c_custkey", num_bits=1 << 16, num_hashes=3
+    )
+    j = pruned.join(vips, pruned.o_custkey == vips.c_custkey)
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+    )
+
+
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout keys over two dimensions of the event
+    stream — the space-filling-curve clustering used before partitioned
+    writes so file-level min/max pruning serves predicates on either
+    dimension. Pure bit arithmetic, exactly portable."""
+    from datapipelines_essentials_python_spark.functions.hashing import zorder_key
+
+    events = load_table(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    x = F.pmod(F.col("user_id"), F.lit(1024))
+    y = F.least(F.floor(F.col("value")).cast("long"), F.lit(1023))
+    return events.select(
+        "event_id",
+        x.cast("long").alias("x"),
+        y.alias("y"),
+        zorder_key(x, y, bits=10).alias("zkey"),
+    )
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -1467,6 +1504,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_customers": q10_returned_customers,
         "funnel_conversion": funnel_conversion,
         "cohort_retention": cohort_retention,
+        "bloom_join_orders": bloom_join_orders,
+        "zorder_layout": zorder_layout,
     }
 
 

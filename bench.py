@@ -74,6 +74,8 @@ HEADLINE = [
     "q10_returned_customers",
     "funnel_conversion",
     "cohort_retention",
+    "bloom_join_orders",
+    "zorder_layout",
 ]
 
 

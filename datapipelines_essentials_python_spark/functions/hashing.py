@@ -45,3 +45,25 @@ def salted_key(columns: list[str], num_buckets: int, sep: str = "~") -> Column:
     remains useful to spread skewed *writes*."""
     salt = F.floor(F.rand() * num_buckets).cast("string")
     return F.concat_ws(sep, *[F.col(c).cast("string") for c in columns], salt)
+
+
+def zorder_key(x, y, bits: int = 10):
+    """Z-order (Morton) key: interleave the low ``bits`` bits of two
+    non-negative integer columns — the space-filling-curve sort key used
+    to cluster data files on two dimensions at once, so min/max pruning
+    works for predicates on EITHER column after
+    ``sortWithinPartitions(zorder_key(...))`` + write.
+
+    Pure integer arithmetic (shift/mod/multiply) → deterministic and
+    portable to any SQL engine.
+    """
+    from pyspark.sql import functions as F
+
+    xc = (F.col(x) if isinstance(x, str) else x).cast("long")
+    yc = (F.col(y) if isinstance(y, str) else y).cast("long")
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        xbit = F.shiftright(xc, b).bitwiseAND(F.lit(1))
+        ybit = F.shiftright(yc, b).bitwiseAND(F.lit(1))
+        key = key + xbit * F.lit(2 ** (2 * b)) + ybit * F.lit(2 ** (2 * b + 1))
+    return key

@@ -117,3 +117,48 @@ def approx_quantiles_profile(
             column, probabilities, accuracy
         ).alias("quantiles")
     )
+
+
+def bloom_prefilter(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """Bloom-filter semi-join pruning: drop big-side rows whose key cannot
+    be in ``small`` BEFORE the join shuffle.
+
+    The filter is built as a distinct set of bit positions (k deterministic
+    xxhash64 seeds mod m) collected from the small side and broadcast as an
+    array literal via a join-free ``isin``-style membership check — here
+    realized as a broadcast join against the distinct positions table, so
+    nothing is collected to the driver. False positives pass (and are
+    eliminated by the real join later); false negatives cannot happen, so
+    ``bloom_prefilter(...).join(small)`` ≡ ``big.join(small)``.
+
+    At 100 TB this is the classic shuffle-volume reducer for selective
+    joins: the big side sheds non-matching rows at scan time instead of
+    carrying them through the exchange. Spark's runtime bloom
+    (`spark.sql.optimizer.runtime.bloomFilter.enabled`) does this
+    automatically for some shapes; the explicit operator covers the rest
+    (pre-aggregated keys, reused filters, cross-job pruning).
+    """
+    def positions(key_col: Column, seed: int) -> Column:
+        return F.pmod(F.xxhash64(key_col, F.lit(seed)), F.lit(num_bits))
+
+    bits = None
+    for s in range(num_hashes):
+        p = small.select(positions(F.col(small_key), s).alias("bit"))
+        bits = p if bits is None else bits.unionByName(p)
+    bits = bits.distinct()
+
+    out = big
+    for s in range(num_hashes):
+        out = out.join(
+            F.broadcast(bits.withColumnRenamed("bit", f"_b{s}")),
+            positions(F.col(big_key), s) == F.col(f"_b{s}"),
+            "left_semi",
+        )
+    return out

@@ -1062,3 +1062,31 @@ SELECT cohort_day, CAST(day_offset AS INT) AS day_offset,
 FROM acts WHERE day_offset <= 7
 GROUP BY 1, 2
 """
+
+# bloom_prefilter's contract is result-equality with the PLAIN join.
+ORACLES["bloom_join_orders"] = """
+SELECT o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING' AND c.c_acctbal > 9000
+GROUP BY o_orderpriority
+"""
+
+
+def _zorder_sql(x: str, y: str, bits: int = 10) -> str:
+    terms = []
+    for b in range(bits):
+        terms.append(f"(CAST(floor({x} / {2 ** b}) AS BIGINT) % 2) * {2 ** (2 * b)}")
+        terms.append(f"(CAST(floor({y} / {2 ** b}) AS BIGINT) % 2) * {2 ** (2 * b + 1)}")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+ORACLES["zorder_layout"] = f"""
+WITH base AS (
+  SELECT event_id,
+    CAST(user_id % 1024 AS BIGINT) AS x,
+    least(CAST(floor(value) AS BIGINT), 1023) AS y
+  FROM events WHERE event_id < 2000)
+SELECT event_id, x, y, {_zorder_sql('x', 'y')} AS zkey FROM base
+"""

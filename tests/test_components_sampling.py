@@ -191,3 +191,28 @@ def test_approx_quantiles_profile(spark):
     row = approx_quantiles_profile(df, "v", [0.5, 0.9]).collect()[0]
     med, p90 = row["quantiles"]
     assert abs(med - 5000) < 200 and abs(p90 - 9000) < 200
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    from datapipelines_essentials_python_spark.operators.relational import bloom_prefilter
+
+    big = spark.createDataFrame([(i,) for i in range(500)], "k long")
+    small = spark.createDataFrame([(i * 7,) for i in range(20)], "k long")
+    pruned = bloom_prefilter(big, small.withColumnRenamed("k", "sk"), "k", "sk",
+                             num_bits=256, num_hashes=3)
+    kept = {r["k"] for r in pruned.collect()}
+    # every true match survives (no false negatives); pruning happened
+    assert {i * 7 for i in range(20) if i * 7 < 500} <= kept
+    assert len(kept) < 500
+
+
+def test_zorder_key_interleaves(spark):
+    from datapipelines_essentials_python_spark.functions.hashing import zorder_key
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, 0), (0, 1), (3, 0), (2, 3)], "x long, y long")
+    out = {(r["x"], r["y"]): r["z"] for r in df.select(
+        "x", "y", zorder_key("x", "y", bits=4).alias("z")).collect()}
+    # interleave: x bits at even positions, y bits at odd
+    assert out[(1, 0)] == 1 and out[(0, 1)] == 2
+    assert out[(3, 0)] == 0b0101 and out[(2, 3)] == 0b1110
