@@ -1419,6 +1419,96 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 4 combinations) — completes the grouping-set
+    surface next to ROLLUP (SURVEY §2.4 gap note)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+
+
+def flatten_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep nested flattening end-to-end through the flattener operator:
+    build order documents (struct header + sorted array-of-struct line
+    items) and explode the array leg back to relational child rows with
+    cascaded natural keys (SURVEY §2.10's signature recursion, here under
+    the value-hash gate, not just unit tests)."""
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)
+    li = load_table(spark, sf_dir, "lineitem")
+    docs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.first("o_orderstatus").alias("status"),
+            F.array_sort(
+                F.collect_list(F.struct("l_linenumber", "l_quantity"))
+            ).alias("items"),
+        )
+        .select(
+            "o_orderkey",
+            F.struct("status").alias("header"),
+            "items",
+        )
+    )
+    result = flatten_ops.flatten_nested(
+        docs, "orderdoc", cascade_keys={"o_orderkey": "pk_orderkey"}
+    )
+    child = result.tables["orderdoc_items"]
+    return child.select(
+        F.col("pk_orderkey").cast("long").alias("o_orderkey"),
+        F.col("l_linenumber").cast("int").alias("l_linenumber"),
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+    )
+
+
+def training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship end-to-end training-data pipeline: quality gate →
+    MinHash-LSH near-dedup (keep lowest doc per verified pair) →
+    deterministic stratified rebalancing → per-language corpus summary.
+    Every stage is the oracle-checked operator from its own query; the
+    composition is itself hash-checked."""
+    from datapipelines_essentials_python_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+
+    toks = text_ops.tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    avg_len = F.length(F.regexp_replace(F.lower(F.col("text")), " ", "")).cast(
+        "double"
+    ) / F.greatest(n_tokens, F.lit(1)).cast("double")
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / F.greatest(
+        n_tokens, F.lit(1)
+    ).cast("double")
+    keep = (
+        (n_tokens >= 5)
+        & (avg_len >= 2.0)
+        & (avg_len <= 14.0)
+        & (uniq_ratio >= 0.3)
+        & (text_ops.detect_language("text") != "und")
+    )
+    clean = docs.where(keep)
+
+    pairs = dedup_ops.minhash_lsh_pairs(
+        clean, "doc_id", "text", n=3, num_hashes=16, bands=8,
+        threshold=0.5, max_bucket=1_000_000,
+    )
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    deduped = clean.join(losers, "doc_id", "left_anti")
+
+    sampled = stratified_sample(
+        deduped, "lang",
+        {"en": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0},
+        "doc_id",
+    )
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(text_ops.tokens(F.col("text")))).cast("long").alias("n_tokens"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+    )
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -1506,6 +1596,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": cohort_retention,
         "bloom_join_orders": bloom_join_orders,
         "zorder_layout": zorder_layout,
+        "cube_agg": cube_agg,
+        "flatten_deep": flatten_deep,
+        "training_pipeline_e2e": training_pipeline_e2e,
     }
 
 

@@ -76,6 +76,9 @@ HEADLINE = [
     "cohort_retention",
     "bloom_join_orders",
     "zorder_layout",
+    "cube_agg",
+    "flatten_deep",
+    "training_pipeline_e2e",
 ]
 
 

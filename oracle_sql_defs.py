@@ -1090,3 +1090,75 @@ WITH base AS (
   FROM events WHERE event_id < 2000)
 SELECT event_id, x, y, {_zorder_sql('x', 'y')} AS zkey FROM base
 """
+
+ORACLES["cube_agg"] = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+  CAST(COUNT(*) AS BIGINT) AS cnt
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+ORACLES["flatten_deep"] = """
+SELECT l_orderkey AS o_orderkey,
+       CAST(l_linenumber AS INT) AS l_linenumber,
+       l_quantity
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderkey < 500)
+"""
+
+ORACLES["training_pipeline_e2e"] = f"""
+WITH m AS (
+  SELECT doc_id, lang, text, toks,
+    CAST(length(replace(lower(text), ' ', '')) AS DOUBLE)
+      / CAST(greatest(len(toks), 1) AS DOUBLE) AS avg_len,
+    CAST(len(list_distinct(toks)) AS DOUBLE)
+      / CAST(greatest(len(toks), 1) AS DOUBLE) AS uniq_ratio,
+    len(list_intersect(list_distinct(toks), {_PROFILES_SQL['de']})) AS s_de,
+    len(list_intersect(list_distinct(toks), {_PROFILES_SQL['en']})) AS s_en,
+    len(list_intersect(list_distinct(toks), {_PROFILES_SQL['es']})) AS s_es,
+    len(list_intersect(list_distinct(toks), {_PROFILES_SQL['fr']})) AS s_fr
+  FROM (SELECT doc_id, lang, text, {TOKS} AS toks FROM documents)),
+clean AS (
+  SELECT doc_id, lang, text, toks FROM m
+  WHERE len(toks) >= 5 AND avg_len >= 2.0 AND avg_len <= 14.0
+    AND uniq_ratio >= 0.3 AND greatest(s_de, s_en, s_es, s_fr) > 0),
+s AS (
+  SELECT doc_id, lang, toks,
+    CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[]) ELSE
+      list_sort(list_distinct([array_to_string(toks[i:i+2], ' ')
+        for i in range(1, greatest(len(toks) - 2, 1) + 1)])) END AS sh
+  FROM clean),
+v AS (SELECT doc_id, sh, {_minhash_vals()} AS vals FROM s),
+sigs AS (SELECT doc_id, sh, {_minhash_sig(16)} AS sig FROM v),
+bands AS (
+  SELECT doc_id,
+    unnest(range(0, 8)) AS band,
+    unnest({_bands(8, 2)}) AS bucket
+  FROM sigs),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id),
+verified AS (
+  SELECT c.id_a, c.id_b
+  FROM cands c
+  JOIN s a ON a.doc_id = c.id_a
+  JOIN s b ON b.doc_id = c.id_b
+  WHERE {_JACCARD} >= 0.5),
+losers AS (SELECT DISTINCT id_b AS doc_id FROM verified),
+deduped AS (
+  SELECT c.* FROM clean c LEFT JOIN losers l ON c.doc_id = l.doc_id
+  WHERE l.doc_id IS NULL),
+sampled AS (
+  SELECT * FROM deduped
+  WHERE {_HASH_FRAC('')} <
+    CASE WHEN lang = 'de' THEN 1.0 WHEN lang = 'en' THEN 0.5
+         WHEN lang = 'es' THEN 1.0 WHEN lang = 'fr' THEN 1.0
+         WHEN lang = 'zh' THEN 1.0 ELSE 0.0 END)
+SELECT lang,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(len(toks)) AS BIGINT) AS n_tokens,
+  CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+FROM sampled GROUP BY lang
+"""
