@@ -40,6 +40,37 @@ ALWAYS_BROADCAST = {"region", "nation"}
 # nation, supplier); bigger single-row-group files are fanned out.
 _PARALLELIZE_MIN_BYTES = 512 * 1024
 
+# Runtime-settable SQL confs this adapter REQUIRES, applied defensively so
+# the queries also run under a caller-provided session (e.g. the driver's)
+# that wasn't built by our session factory:
+# - nanosAsLong: events.parquet is TIMESTAMP(NANOS), which Spark otherwise
+#   rejects at scan time;
+# - UTC session timezone: timestamp semantics must match the DuckDB oracle.
+_REQUIRED_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+_CONFS_APPLIED: "weakref.WeakSet[SparkSession]" = None  # type: ignore[assignment]
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    global _CONFS_APPLIED
+    import weakref
+
+    if _CONFS_APPLIED is None:
+        _CONFS_APPLIED = weakref.WeakSet()
+    if spark in _CONFS_APPLIED:
+        return
+    for key, value in _REQUIRED_CONFS.items():
+        try:
+            if spark.conf.get(key, None) != value:
+                spark.conf.set(key, value)
+        except Exception:  # pragma: no cover — static conf in exotic deploys
+            pass
+    _CONFS_APPLIED.add(spark)
+
 
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, parallelize: bool = False
@@ -57,6 +88,7 @@ def load_table(
     Catalyst still pushes filters/pruning through the repartition to the
     scan (verified: PushedFilters on the FileScan).
     """
+    ensure_session_confs(spark)
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     df = spark.read.parquet(path)
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):

@@ -78,3 +78,18 @@ def test_ddl(spark, df):
     assert "CREATE TABLE IF NOT EXISTS db.t1" in ddl
     assert "`id` INT" in ddl and "USING PARQUET" in ddl
     assert "PARTITIONED BY (name)" in ddl and "LOCATION '/data/t1'" in ddl
+
+
+def test_load_table_under_foreign_session_confs(spark, sf_dir):
+    """A caller-provided session without our confs (e.g. the harness's own)
+    must still read the NANOS-timestamp events table: load_table applies
+    the required runtime confs defensively."""
+    from datapipelines_essentials_python_spark.tables import load_table
+
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    ns.conf.set("spark.sql.session.timeZone", "America/New_York")
+    df = load_table(ns, sf_dir, "events")
+    assert df.schema["ts"].dataType.typeName().startswith("timestamp")
+    assert df.limit(3).count() == 3
+    assert ns.conf.get("spark.sql.session.timeZone") == "UTC"
