@@ -1410,7 +1410,7 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events").where(F.col("event_id") < 2000)
     x = F.pmod(F.col("user_id"), F.lit(1024))
-    y = F.least(F.floor(F.col("value")).cast("long"), F.lit(1023))
+    y = F.greatest(F.least(F.floor(F.col("value")).cast("long"), F.lit(1023)), F.lit(0))
     return events.select(
         "event_id",
         x.cast("long").alias("x"),

@@ -1086,7 +1086,7 @@ ORACLES["zorder_layout"] = f"""
 WITH base AS (
   SELECT event_id,
     CAST(user_id % 1024 AS BIGINT) AS x,
-    least(CAST(floor(value) AS BIGINT), 1023) AS y
+    greatest(least(CAST(floor(value) AS BIGINT), 1023), 0) AS y
   FROM events WHERE event_id < 2000)
 SELECT event_id, x, y, {_zorder_sql('x', 'y')} AS zkey FROM base
 """

@@ -93,3 +93,13 @@ def test_load_table_under_foreign_session_confs(spark, sf_dir):
     assert df.schema["ts"].dataType.typeName().startswith("timestamp")
     assert df.limit(3).count() == 3
     assert ns.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_orc_roundtrip(spark, df, tmp_path):
+    from datapipelines_essentials_python_spark.io.readers import read_data
+    from datapipelines_essentials_python_spark.io.writers import write_data
+
+    path = str(tmp_path / "orc_out")
+    write_data(df, "orc", path)
+    back = read_data(spark, "orc", path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
