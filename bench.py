@@ -89,11 +89,18 @@ def main() -> None:
 
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
-    # Warm the JVM, codegen, and the parquet read path (footer decode,
-    # datasource init) on a tiny table so the first timed query doesn't
-    # absorb one-time session costs.
+    # Warm the JVM, codegen (incl. the decimal hash-agg path the headline
+    # queries lean on), and the parquet read path (footer decode, datasource
+    # init) so the first timed query doesn't absorb one-time session costs.
     spark.range(1000).count()
-    spark.read.parquet(f"{sf_dir.rstrip('/')}/region.parquet").groupBy().count().collect()
+    from pyspark.sql import functions as F
+
+    (
+        spark.read.parquet(f"{sf_dir.rstrip('/')}/region.parquet")
+        .groupBy("r_name")
+        .agg(F.sum(F.col("r_regionkey").cast("decimal(18,4)")).cast("double").alias("s"))
+        .collect()
+    )
 
     for name in HEADLINE:
         fn = queries[name]
