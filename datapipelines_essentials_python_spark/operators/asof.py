@@ -112,7 +112,9 @@ def range_join(
         if inclusive_hi
         else F.col(left_value) < F.col("__hi")
     )
-    joined = l.join(exploded, "__bucket", "left").where(
+    # inner join: the exact interval filter discards non-matches anyway, and
+    # an explicit inner lets Catalyst push/reorder freely
+    joined = l.join(exploded, "__bucket", "inner").where(
         (F.col(left_value) >= F.col("__lo")) & cond_hi
     )
     return joined.drop("__bucket", "__lo", "__hi")
