@@ -1509,6 +1509,32 @@ def training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ols_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group simple linear regression (price ~ quantity) in closed form
+    from DECIMAL-exact sufficient statistics — one-pass distributed model
+    fitting with bit-reproducible coefficients (n, Σx, Σy, Σxy, Σx² per
+    group, then a fixed double-precision formula)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = _dec("l_quantity"), _dec("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -1599,6 +1625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_agg": cube_agg,
         "flatten_deep": flatten_deep,
         "training_pipeline_e2e": training_pipeline_e2e,
+        "ols_fit": ols_fit,
     }
 
 

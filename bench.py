@@ -79,6 +79,7 @@ HEADLINE = [
     "cube_agg",
     "flatten_deep",
     "training_pipeline_e2e",
+    "ols_fit",
 ]
 
 

@@ -1162,3 +1162,19 @@ SELECT lang,
   CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
 FROM sampled GROUP BY lang
 """
+
+_OLS_SLOPE = "((n * sxy - sx * sy) / (n * sxx - sx * sx))"
+ORACLES["ols_fit"] = f"""
+WITH m AS (
+  SELECT l_returnflag,
+    CAST(COUNT(*) AS DOUBLE) AS n,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sxy,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sxx
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+  round({_OLS_SLOPE}, 6) AS slope,
+  round((sy - {_OLS_SLOPE} * sx) / n, 6) AS intercept
+FROM m
+"""
