@@ -75,3 +75,30 @@ def test_q6_single_scan_no_join(spark):
     assert "lineitem.parquet" in plan
     for other in ("orders.parquet", "customer.parquet", "part.parquet"):
         assert other not in plan
+
+
+def test_zorder_layout_is_narrow(spark):
+    # pure per-row bit arithmetic after a pruned scan: no shuffle at all
+    plan = plan_of(entry_mod.queries()["zorder_layout"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bloom_join_semi_joins(spark):
+    plan = plan_of(entry_mod.queries()["bloom_join_orders"](spark, SF_DIR))
+    assert plan.count("LeftSemi") >= 3  # one per hash function
+    assert "BatchEvalPython" not in plan
+
+
+def test_training_pipeline_stays_jvm_side(spark):
+    plan = plan_of(entry_mod.queries()["training_pipeline_e2e"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_ols_single_aggregation(spark):
+    plan = plan_of(entry_mod.queries()["ols_fit"](spark, SF_DIR))
+    # one scan, one partial+final hash aggregate pair, nothing else heavy
+    assert "HashAggregate" in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
