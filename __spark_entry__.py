@@ -1535,6 +1535,25 @@ def ols_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def audit_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-time audit columns (SURVEY §2.8 F7/F8): file name from
+    input_file_name() and a canonical-JSON row hash — computed during the
+    scan, replacing the reference's O(data) driver-side XML rewrite. The
+    derived file name and integer-key hash are deterministic, so even this
+    file-metadata surface is value-hash gated."""
+    from datapipelines_essentials_python_spark.io.readers import read_with_audit_columns
+
+    df = read_with_audit_columns(
+        spark,
+        "parquet",
+        f"{sf_dir.rstrip('/')}/lineitem.parquet",
+        hash_columns=["l_orderkey", "l_linenumber"],
+    )
+    return df.where(F.col("l_orderkey") < 1000).select(
+        "l_orderkey", "l_linenumber", "file_name", "hashcode"
+    )
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -1626,6 +1645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flatten_deep": flatten_deep,
         "training_pipeline_e2e": training_pipeline_e2e,
         "ols_fit": ols_fit,
+        "audit_columns": audit_columns,
     }
 
 

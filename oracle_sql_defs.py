@@ -1178,3 +1178,11 @@ SELECT l_returnflag, CAST(n AS BIGINT) AS n,
   round((sy - {_OLS_SLOPE} * sx) / n, 6) AS intercept
 FROM m
 """
+
+ORACLES["audit_columns"] = """
+SELECT l_orderkey, l_linenumber,
+  'lineitem.parquet' AS file_name,
+  md5('{"l_linenumber":' || CAST(l_linenumber AS VARCHAR)
+      || ',"l_orderkey":' || CAST(l_orderkey AS VARCHAR) || '}') AS hashcode
+FROM lineitem WHERE l_orderkey < 1000
+"""
