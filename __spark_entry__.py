@@ -432,10 +432,16 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (brute force baseline)."""
+    """Exact n-gram Jaccard near-dup pairs, blocked by language.
+
+    ``block_col`` turns the self-join into an equi-join on ``lang`` — the
+    quadratic term is bounded per block instead of per corpus. (The
+    unblocked all-pairs variant remains available on the operator as the
+    verification baseline; ``minhash_lsh`` is the sub-quadratic scale path.)
+    """
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     return dedup_ops.ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.5
+        docs, "doc_id", "text", n=3, threshold=0.5, block_col="lang"
     ).select(
         F.col("id_a").cast("long"), F.col("id_b").cast("long"), "jaccard"
     )
@@ -481,10 +487,16 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, exact all-pairs baseline."""
+    """Embedding-cosine near-duplicate pairs via SRP-LSH buckets.
+
+    ``bucket_planes=4`` prefilters candidates to vectors sharing the sign
+    pattern of 4 deterministic md5-derived hyperplanes — an equi-join on
+    the bucket id instead of an all-pairs cartesian. (``bucket_planes=0``
+    remains the operator's exact verification baseline.)
+    """
     emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
     return dedup_ops.embedding_neardup_pairs(
-        emb, "vec_id", "embedding", threshold=0.5, bucket_planes=0
+        emb, "vec_id", "embedding", threshold=0.5, bucket_planes=4
     ).select(F.col("id_a").cast("long"), F.col("id_b").cast("long"), "cosine")
 
 

@@ -27,9 +27,15 @@ def row_hash_md5(df: DataFrame, columns: list[str] | None = None) -> Column:
 
     Sorted column order makes the digest stable under projection reordering
     — the reference's whole-file md5 was sensitive to raw byte layout.
+    NULL fields are kept in the JSON (``ignoreNullFields=false``) so two
+    rows differing only in which nullable column is NULL never collide.
     """
     cols = sorted(columns) if columns else _cols(df)
-    return F.md5(F.to_json(F.struct(*[F.col(c) for c in cols])))
+    return F.md5(
+        F.to_json(
+            F.struct(*[F.col(c) for c in cols]), {"ignoreNullFields": "false"}
+        )
+    )
 
 
 def row_hash_xxhash64(df: DataFrame, columns: list[str] | None = None) -> Column:

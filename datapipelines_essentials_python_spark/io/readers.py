@@ -89,9 +89,14 @@ def read_data(
     if not location:
         raise ValueError(f"filetype {fmt!r} requires a path in `location`")
     if fmt == "text":
-        # reference reads text as a single 'line' column (spark.py:84-87)
+        # reference reads text as a single 'line' column (spark.py:84-87);
+        # a caller-provided schema (one string column) is honored, not
+        # silently dropped — the column is still normalized to 'line'.
         wholetext = opts.get("wholetext", "false").lower() == "true"
-        return spark.read.options(**opts).text(location, wholetext=wholetext).toDF("line")
+        treader = spark.read.options(**opts)
+        if schema is not None:
+            treader = treader.schema(schema)
+        return treader.text(location, wholetext=wholetext).toDF("line")
     return reader.format(fmt).load(location)
 
 
@@ -115,10 +120,23 @@ def read_with_audit_columns(
     """
     df = read_data(spark, filetype, location, schema=schema, options=options)
     cols = sorted(hash_columns or df.columns)
+    # input_file_name() yields a percent-encoded URI; decode it so names
+    # with spaces/non-ASCII match the reference's raw file-name column.
+    # Literal '+' is re-encoded first because url_decode (URLDecoder
+    # semantics) would otherwise turn it into a space.
+    decoded = F.url_decode(F.regexp_replace(F.input_file_name(), r"\+", "%2B"))
+    # ignoreNullFields=false keeps NULL columns present in the canonical
+    # JSON, so rows differing only in WHICH column is null hash differently.
     return (
-        df.withColumn(
-            "file_name", F.element_at(F.split(F.input_file_name(), "/"), -1)
+        df.withColumn("file_name", F.element_at(F.split(decoded, "/"), -1))
+        .withColumn(
+            "hashcode",
+            F.md5(
+                F.to_json(
+                    F.struct(*[F.col(c) for c in cols]),
+                    {"ignoreNullFields": "false"},
+                )
+            ),
         )
-        .withColumn("hashcode", F.md5(F.to_json(F.struct(*[F.col(c) for c in cols]))))
         .withColumn("spark_timestamp", F.current_timestamp())
     )

@@ -40,11 +40,32 @@ def exact_dedup(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
 def exact_dedup_keep_first(
     df: DataFrame, key_cols: list[str], order_cols: list[str]
 ) -> DataFrame:
-    """Deterministic exact dedup: keep the first row per key under
-    ``order_cols`` (window row_number=1) — reference CDC's W1 pattern."""
-    from datapipelines_essentials_python_spark.operators.cdc import snapshot
+    """Deterministic exact dedup: keep the FIRST row per key under
+    ascending ``order_cols`` (window row_number=1) — the ascending twin of
+    ``cdc.snapshot`` (which keeps the latest row under descending order).
+    """
+    from pyspark.sql import Window
 
-    return snapshot(df, key_cols, order_cols)
+    win = Window.partitionBy(*key_cols).orderBy(*[F.asc(c) for c in order_cols])
+    return (
+        df.withColumn("__rn", F.row_number().over(win))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def release(df: DataFrame) -> None:
+    """Unpersist the intermediates a pair-generator persisted for ``df``.
+
+    ``minhash_lsh_pairs`` / ``simhash_pairs`` persist their signature /
+    fingerprint base so the self-join doesn't recompute the expensive
+    sketch expressions twice. The returned DataFrame is lazy, so they
+    cannot unpersist before the caller materializes it — call
+    ``release(result)`` after your action (or ``spark.catalog.clearCache()``)
+    in long-lived sessions to drop the cached blocks eagerly.
+    """
+    for dep in getattr(df, "_sg_persisted", ()):  # noqa: SLF001 — own attr
+        dep.unpersist()
 
 
 # --------------------------------------------------------------------------
@@ -273,6 +294,7 @@ def minhash_lsh_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+    verified._sg_persisted = [signed]  # released via dedup.release(result)
     return verified
 
 
@@ -361,9 +383,11 @@ def simhash_pairs(
         .distinct()
     )
     hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-    return cand.select("id_a", "id_b", hamming.alias("hamming")).where(
+    out = cand.select("id_a", "id_b", hamming.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+    out._sg_persisted = [base]  # released via dedup.release(result)
+    return out
 
 
 # --------------------------------------------------------------------------

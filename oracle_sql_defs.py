@@ -406,11 +406,11 @@ FROM s
 """
 
 ORACLES["ngram_jaccard"] = f"""
-WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
-s AS (SELECT doc_id, {SHINGLES} AS sh FROM t)
+WITH t AS (SELECT doc_id, lang, {TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, lang, {SHINGLES} AS sh FROM t)
 SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
   {_JACCARD} AS jaccard
-FROM s a JOIN s b ON a.doc_id < b.doc_id
+FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
 WHERE {_JACCARD} >= 0.5
 """
 
@@ -456,13 +456,13 @@ WHERE rn <= 5
 """
 
 ORACLES["embedding_neardup"] = f"""
-WITH e AS (SELECT vec_id, embedding FROM embeddings)
+WITH e AS (SELECT vec_id, embedding, {{SRP4}} AS bkt FROM embeddings)
 SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b,
   round(CASE WHEN sqrt({_dot('a.embedding', 'a.embedding')}) * sqrt({_dot('b.embedding', 'b.embedding')}) > 0
         THEN {_dot('a.embedding', 'b.embedding')}
              / (sqrt({_dot('a.embedding', 'a.embedding')}) * sqrt({_dot('b.embedding', 'b.embedding')}))
         ELSE 0.0 END, 6) AS cosine
-FROM e a JOIN e b ON a.vec_id < b.vec_id
+FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
 WHERE round(CASE WHEN sqrt({_dot('a.embedding', 'a.embedding')}) * sqrt({_dot('b.embedding', 'b.embedding')}) > 0
       THEN {_dot('a.embedding', 'b.embedding')}
            / (sqrt({_dot('a.embedding', 'a.embedding')}) * sqrt({_dot('b.embedding', 'b.embedding')}))
@@ -922,6 +922,12 @@ def _srp_bucket(vec: str, planes: int = 4, dim: int = 64) -> str:
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
+# embedding_neardup's oracle is defined above (with the other dedup
+# oracles) before _srp_bucket exists; splice the planes=4 bucket in now.
+ORACLES["embedding_neardup"] = ORACLES["embedding_neardup"].replace(
+    "{SRP4}", _srp_bucket("embedding", planes=4)
+)
+
 ORACLES["embedding_lsh_topk"] = f"""
 WITH b AS (
   SELECT vec_id, embedding, {_srp_bucket('embedding')} AS bucket FROM embeddings),
@@ -1182,7 +1188,7 @@ FROM m
 ORACLES["audit_columns"] = """
 SELECT l_orderkey, l_linenumber,
   'lineitem.parquet' AS file_name,
-  md5('{"l_linenumber":' || CAST(l_linenumber AS VARCHAR)
-      || ',"l_orderkey":' || CAST(l_orderkey AS VARCHAR) || '}') AS hashcode
+  md5('{"l_linenumber":' || COALESCE(CAST(l_linenumber AS VARCHAR), 'null')
+      || ',"l_orderkey":' || COALESCE(CAST(l_orderkey AS VARCHAR), 'null') || '}') AS hashcode
 FROM lineitem WHERE l_orderkey < 1000
 """

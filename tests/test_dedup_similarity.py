@@ -22,9 +22,18 @@ def test_exact_dedup(spark, docs):
 
 def test_exact_dedup_keep_first(spark, docs):
     out = dedup.exact_dedup_keep_first(docs, ["text"], ["doc_id"])
-    # keep highest doc_id per text (desc order): base text keeps 4
+    # keep FIRST row per text under ascending doc_id: base text keeps 1, not 4
     kept = {r["doc_id"] for r in out.collect()}
-    assert 3 in kept and len(kept) == 3
+    assert kept == {1, 2, 3}
+
+
+def test_release_unpersists_pair_intermediates(spark, docs):
+    out = dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    out.collect()
+    (dep,) = out._sg_persisted
+    assert dep.storageLevel.useMemory  # persisted while result is live
+    dedup.release(out)
+    assert not dep.storageLevel.useMemory
 
 
 def test_jaccard_pairs_exact(spark, docs):

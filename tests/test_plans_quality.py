@@ -96,6 +96,16 @@ def test_training_pipeline_stays_jvm_side(spark):
     assert "ArrowEvalPython" not in plan
 
 
+def test_neardup_queries_are_equi_joins(spark):
+    # the two former all-pairs baselines must stay on their bucketed paths:
+    # an equi-join (lang block / SRP bucket), never a cartesian product
+    qs = entry_mod.queries()
+    for name in ("ngram_jaccard", "embedding_neardup"):
+        plan = plan_of(qs[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, f"{name} degraded to all-pairs"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name} degraded to all-pairs"
+
+
 def test_ols_single_aggregation(spark):
     plan = plan_of(entry_mod.queries()["ols_fit"](spark, SF_DIR))
     # one scan, one partial+final hash aggregate pair, nothing else heavy
