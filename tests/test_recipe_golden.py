@@ -1,0 +1,113 @@
+"""Golden-file parity with the reference's SHIPPED recipe fixtures.
+
+Round-1 coverage replayed the lifecycle on synthetic rows shaped like the
+golden formats; this test runs the engine's native pipeline over the
+reference's actual 1,042-record input
+(``/root/reference/resources/data/recipes/input/recipes-00*.json``, count
+asserted at ``tests/test_recipe_tasks.py:51``) and asserts byte-identical
+output to the reference's golden CSV
+(``resources/data/recipes/output/task2/part-00000-*.csv``).
+
+The reference computes this with row UDFs + a collect_list Python average
+(``recipe_tasks.py:125-239``); here every stage is a native Column
+expression — same numbers, no Python workers.
+"""
+
+import csv
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datapipelines_essentials_python_spark.functions.durations import (
+    seconds_to_iso_duration,
+    total_time_and_difficulty,
+)
+from datapipelines_essentials_python_spark.io.readers import read_data
+from datapipelines_essentials_python_spark.io.writers import write_data
+from datapipelines_essentials_python_spark.utils.columns import snake_case_column_names
+
+REF_INPUT = "/root/reference/resources/data/recipes/input"
+REF_GOLDEN = "/root/reference/resources/data/recipes/output/task2"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_INPUT), reason="reference fixtures not present"
+)
+
+
+def golden_rows() -> dict[str, str]:
+    (path,) = glob.glob(os.path.join(REF_GOLDEN, "part-*.csv"))
+    with open(path, newline="") as f:
+        rows = list(csv.DictReader(f))
+    return {r["difficulty"]: r["avg_total_cooking_time"] for r in rows}
+
+
+def test_recipe_pipeline_matches_reference_golden_output(spark, tmp_path):
+    # ---- task1 (recipe_tasks.py:56-122): read → standardize → normalize →
+    # cast/split → parquet staging
+    raw = read_data(spark, "json", REF_INPUT, options={"encoding": "utf-8"})
+    assert raw.count() == 1042  # reference asserts this input size
+
+    std = snake_case_column_names(raw)
+    pt = F.lit("PT")  # reference treats null/empty cook/prep as zero ("PT")
+    cleaned = std.select(
+        F.when(F.col("cook_time").isNull(), pt)
+        .when(F.col("cook_time") == "", pt)
+        .otherwise(F.trim(F.col("cook_time")))
+        .alias("cook_time"),
+        F.when(F.col("prep_time").isNull(), pt)
+        .when(F.col("prep_time") == "", pt)
+        .otherwise(F.trim(F.col("prep_time")))
+        .alias("prep_time"),
+        F.trim(F.col("date_published")).try_cast("date").alias("date_published"),
+        F.trim(F.col("name")).alias("name"),
+        F.trim(F.col("recipe_yield")).try_cast("int").alias("recipe_yield"),
+        F.split(F.col("ingredients"), "\n").alias("ingredients"),
+        F.trim(F.col("description")).alias("description"),
+        F.trim(F.col("url")).alias("url"),
+        F.trim(F.col("image")).alias("image"),
+    )
+    staged = str(tmp_path / "task1")
+    write_data(cleaned, "parquet", staged)
+    back = read_data(spark, "parquet", staged)
+    assert back.count() == 1042
+
+    # ---- task2 (recipe_tasks.py:125-190): difficulty struct → per-level
+    # average of total cooking seconds → isodate-shaped ISO text
+    with_diff = back.withColumn(
+        "ttd", total_time_and_difficulty("cook_time", "prep_time")
+    )
+    agg = with_diff.groupBy(F.col("ttd.difficulty").alias("difficulty")).agg(
+        F.avg(F.col("ttd.total_seconds")).alias("avg_secs")
+    )
+    out = agg.select(
+        "difficulty",
+        seconds_to_iso_duration("avg_secs").alias("avg_total_cooking_time"),
+    )
+    got = {r["difficulty"]: r["avg_total_cooking_time"] for r in out.collect()}
+
+    want = golden_rows()
+    assert want == {
+        "easy": "PT7M5.086705S",
+        "hard": "PT2H43M37.105263S",
+        "medium": "PT41M53.288136S",
+    }  # guard: the golden file itself is what we think it is
+    assert got == want
+
+    # ---- golden CSV shape: header + 3 rows, byte-identical lines
+    csv_out = str(tmp_path / "task2")
+    write_data(
+        out.orderBy("difficulty"),
+        "csv",
+        csv_out,
+        options={"header": True, "encoding": "utf-8"},
+        num_output_files=1,
+    )
+    (mine,) = glob.glob(os.path.join(csv_out, "part-*.csv"))
+    (ref,) = glob.glob(os.path.join(REF_GOLDEN, "part-*.csv"))
+    with open(mine) as f:
+        mine_lines = sorted(line.rstrip("\n") for line in f if line.strip())
+    with open(ref) as f:
+        ref_lines = sorted(line.rstrip("\n") for line in f if line.strip())
+    assert mine_lines == ref_lines
