@@ -940,6 +940,27 @@ def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_ann_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with the multi-probe recall knob: each query searches its 2
+    nearest cells (nprobe=2), candidates deduped across probes. Recall vs
+    the exact ``embedding_topk`` baseline strictly improves over nprobe=1
+    whenever a true neighbor lives in the query's second-closest cell."""
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
+    queries = emb.where(F.col("vec_id") < 8)
+    centroids = emb.where(F.col("vec_id") % 31 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    out = sim_ops.ivf_topk(
+        emb, queries, "vec_id", "embedding", k=5, centroids=centroids, nprobe=2
+    )
+    return out.select(
+        F.col("query_id").cast("long"),
+        F.col("neighbor_id").cast("long"),
+        F.col("rank").cast("int"),
+        "cosine",
+    )
+
+
 def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at Hamming distance ≤ 3 via the pigeonhole
     block trick (4 blocks of 8 bits → equi-join per block, no all-pairs
@@ -1631,6 +1652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_lm_quality": unigram_lm_quality,
         "dedup_components": dedup_components,
         "ivf_ann": ivf_ann,
+        "ivf_ann_nprobe2": ivf_ann_nprobe2,
         "simhash_neardup": simhash_neardup,
         "histogram_profile": histogram_profile,
         "corr_stats": corr_stats,

@@ -516,3 +516,105 @@ def connected_components(
             "id", F.coalesce("comp", F.col("id")).alias("component")
         )
     return labels.select("id", F.col("comp").alias("component"))
+
+
+def connected_components_star(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    nodes: DataFrame | None = None,
+    node_col: str = "id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star rounds —
+    the pointer-jumping upgrade of :func:`connected_components` for graphs
+    with large diameters (paths, chains), converging in O(log n) rounds
+    instead of O(diameter).
+
+    Algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14):
+
+    - **large-star**: for every node u over its full neighborhood Γ(u)
+      (both edge directions), link every larger neighbor v > u to
+      m = min(Γ(u) ∪ {u});
+    - **small-star**: key every edge on its LARGER endpoint; for node u
+      over its smaller neighbors Γ≤(u), link every non-min member of
+      Γ≤(u) ∪ {u} to m = min.
+
+    Each half-round is one aggregation + one join, both keyed on the same
+    node column (2 exchanges); convergence = the edge multiset's
+    (count, hash-sum) signature going stable — one 1-row action per round.
+    The fixed point is a depth-1 star per component rooted at its minimum
+    node id, so labels read directly off the final edge set and are
+    IDENTICAL to min-label propagation's.
+
+    Returns ``(id, component)``; rounds used are exposed on the result as
+    ``._sg_rounds`` for diagnostics/tests.
+    """
+    # localCheckpoint (not persist): each round's plan builds on the last,
+    # so without truncating lineage the analyzer's logical plan grows
+    # exponentially with rounds and OOMs the driver around round ~8.
+    e = (
+        edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # ---- large-star: symmetric neighborhoods, larger nodes re-point
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mv")).select(
+            "u", F.least(F.col("mv"), F.col("u")).alias("m")
+        )
+        large = (
+            sym.where(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # ---- small-star: key on the larger endpoint, all members re-point
+        keyed = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins_s = keyed.groupBy("u").agg(F.min("v").alias("m"))
+        joined = keyed.join(mins_s, "u")
+        new_e = (
+            joined.where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins_s.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # decimal(38,0) sum: a long sum of 64-bit hashes would overflow
+        # under ANSI mode
+        cnt, hsum = new_e.agg(
+            F.count(F.lit(1)),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+        ).collect()[0]
+        e = new_e
+        if (cnt, hsum) == prev_sig:
+            break
+        prev_sig = (cnt, hsum)
+    # fixed point: every non-root points straight at its component min
+    labels = e.select(F.col("u").alias("id"), F.col("v").alias("comp"))
+    roots = (
+        e.select(F.col("v").alias("id"))
+        .distinct()
+        .join(e.select(F.col("u").alias("id")).distinct(), "id", "left_anti")
+        .select("id", F.col("id").alias("comp"))
+    )
+    labels = labels.unionByName(roots)
+    if nodes is not None:
+        all_nodes = nodes.select(F.col(node_col).alias("id"))
+        labels = all_nodes.join(labels, "id", "left").select(
+            "id", F.coalesce("comp", F.col("id")).alias("component")
+        )
+    else:
+        labels = labels.select("id", F.col("comp").alias("component"))
+    labels._sg_rounds = rounds
+    return labels

@@ -165,9 +165,12 @@ def assign_to_centroid(
     vec_col: str,
     cent_id_col: str = "cent_id",
     cent_vec_col: str = "cent_vec",
+    n_best: int = 1,
 ) -> DataFrame:
-    """Append a ``cell`` column: the id of the nearest centroid by cosine
-    (rounded to 6 dp; ties broken by lower centroid id — deterministic).
+    """Append a ``cell`` column: the id(s) of the ``n_best`` nearest
+    centroids by cosine (rounded to 6 dp; ties broken by lower centroid id
+    — deterministic). ``n_best > 1`` emits one row per probed cell — the
+    multi-probe expansion used by IVF's nprobe knob.
 
     One broadcast nested-loop pass (N × n_centroids narrow rows) + one
     row_number window keyed on the vector id. No iterative training —
@@ -183,7 +186,7 @@ def assign_to_centroid(
     win = Window.partitionBy(id_col).orderBy(F.desc("_cent_cos"), F.asc(cent_id_col))
     return (
         scored.withColumn("_rn", F.row_number().over(win))
-        .where(F.col("_rn") == 1)
+        .where(F.col("_rn") <= n_best)
         .drop("_rn", "_cent_cos", cent_vec_col)
         .withColumnRenamed(cent_id_col, "cell")
     )
@@ -197,22 +200,26 @@ def ivf_topk(
     k: int = 5,
     centroids: DataFrame | None = None,
     n_centroids: int = 16,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF-style ANN: inverted-file search with nprobe=1.
+    """IVF-style ANN: inverted-file search with a multi-probe recall knob.
 
     1. Centroid table (default: the ``n_centroids`` lowest-id corpus
        vectors — deterministic; pass trained centroids in production).
-    2. Assign every corpus vector and every query to its nearest-centroid
-       ``cell`` (broadcast pass, no shuffle on the corpus side).
-    3. Join query↔corpus on ``cell`` only — the join shrinks ~n_centroids-
-       fold vs brute force — then exact cosine top-k within the cell.
+    2. Assign every corpus vector to its nearest-centroid ``cell`` and
+       every query to its ``nprobe`` nearest cells (broadcast pass, no
+       shuffle on the corpus side).
+    3. Join query↔corpus on ``cell`` only — the join shrinks
+       ~n_centroids/nprobe-fold vs brute force — then exact cosine top-k
+       over the union of probed cells (candidates deduped when a pair is
+       reachable through several probes).
 
-    → (query_id, neighbor_id, rank, cosine). Exact within the probed cell;
-    recall loss only for true neighbors that live in a different cell
-    (raise nprobe by unioning more cells if needed).
+    → (query_id, neighbor_id, rank, cosine). Exact within the probed
+    cells; raising ``nprobe`` trades candidate volume for recall — the
+    standard IVF recall knob.
 
     At 100 TB: write the corpus partitioned by ``cell`` once; each query
-    then scans a single partition — partition pruning turns the index
+    then scans ``nprobe`` partitions — partition pruning turns the index
     lookup into an I/O-level skip, and the per-cell top-k is a window over
     one shuffle keyed by query_id.
     """
@@ -226,16 +233,19 @@ def ivf_topk(
     )
     q = assign_to_centroid(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
-        centroids, "query_id", "q_vec",
+        centroids, "query_id", "q_vec", n_best=nprobe,
     )
-    scored = (
-        c.join(F.broadcast(q), "cell")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
-        )
+    cand = c.join(F.broadcast(q), "cell").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    if nprobe > 1:
+        # a (query, neighbor) pair reachable through several probed cells
+        # must score once; dedup on ids before the similarity math
+        cand = cand.dropDuplicates(["query_id", "neighbor_id"])
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
     )
     win = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

@@ -754,6 +754,39 @@ FROM (SELECT *, row_number() OVER (
 WHERE rn <= 5
 """
 
+ORACLES["ivf_ann_nprobe2"] = f"""
+WITH cent AS (
+  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id % 31 = 0),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cent_id AS cell,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY {_IVF_COS('e.embedding', 'c.cv')} DESC, c.cent_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c)
+  WHERE rn = 1),
+q_assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cent_id AS cell,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY {_IVF_COS('e.embedding', 'c.cv')} DESC, c.cent_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 8)
+  WHERE rn <= 2),
+scored AS (
+  SELECT DISTINCT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+    {_IVF_COS('q.embedding', 'e.embedding')} AS cosine
+  FROM embeddings q
+  JOIN q_assigned aq ON aq.vec_id = q.vec_id
+  JOIN assigned ae ON ae.cell = aq.cell
+  JOIN embeddings e ON e.vec_id = ae.vec_id
+  WHERE q.vec_id < 8 AND e.vec_id <> q.vec_id)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(rn AS INT) AS rank, cosine
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+      FROM scored)
+WHERE rn <= 5
+"""
+
 ORACLES["simhash_neardup"] = f"""
 WITH {_simhash_fp_ctes()},
 blocks AS (
