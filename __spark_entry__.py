@@ -379,6 +379,20 @@ def dq_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dq_file_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference DQ rule 1013 — input-file completeness: expected file
+    names anti-joined against the distinct ``input_file_name()`` values
+    actually scanned (``recipe-task1-dq-rules.json`` rule 1013). One
+    expected name is deliberately absent, so exactly it comes back as the
+    violation row."""
+    from datapipelines_essentials_python_spark.dq.engine import file_completeness
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return file_completeness(
+        li, ["lineitem.parquet", "lineitem-part2.parquet"]
+    ).withColumn("present", F.lit(False))
+
+
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language ID (driver-mandated text analysis)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1618,6 +1632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lookup_mapping": lookup_mapping,
         "events_by_day": events_by_day,
         "dq_summary": dq_summary,
+        "dq_file_completeness": dq_file_completeness,
         "lang_id": lang_id,
         "text_quality": text_quality,
         "token_stats": token_stats,

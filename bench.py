@@ -80,7 +80,37 @@ HEADLINE = [
     "flatten_deep",
     "training_pipeline_e2e",
     "ols_fit",
+    # round 2: the SRP-bucketed near-dup path, multi-probe IVF, and the
+    # rule-1013 completeness check. ngram_jaccard stays out: even blocked
+    # by language its exact-Jaccard verification is quadratic per block —
+    # minhash_lsh (in the set above) is the sub-quadratic scale path.
+    "embedding_neardup",
+    "ivf_ann_nprobe2",
+    "dq_file_completeness",
 ]
+
+
+def load_prior_bench(sf) -> tuple[str, dict[str, float]] | None:
+    """Latest BENCH_r{N}.json at the same sf → (tag, per-query seconds)."""
+    import re
+
+    best: tuple[int, str, dict[str, float]] | None = None
+    for p in Path(__file__).resolve().parent.glob("BENCH_r*.json"):
+        m = re.match(r"BENCH_r(\d+)\.json", p.name)
+        if not m:
+            continue
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, json.JSONDecodeError):
+            continue
+        # the driver records {n, rc, sf, parsed: <our JSON line>, ...}
+        data = data.get("parsed", data)
+        if data.get("sf") != sf or "queries" not in data:
+            continue
+        n = int(m.group(1))
+        if best is None or n > best[0]:
+            best = (n, p.name, data["queries"])
+    return (best[1], best[2]) if best else None
 
 
 def main() -> None:
@@ -110,6 +140,33 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # ---- regression guard: per-query delta vs the latest recorded round.
+    # Human-readable report goes to stderr; stdout stays ONE JSON line.
+    regressions: dict[str, dict[str, float]] = {}
+    prior = load_prior_bench(sf_val)
+    if prior:
+        tag, prev = prior
+        flagged = []
+        for name, now in timings.items():
+            if name not in prev:
+                continue
+            ratio = round(now / prev[name], 2) if prev[name] > 0 else 1.0
+            if ratio > 1.5 and now - prev[name] > 0.3:
+                regressions[name] = {"prev": prev[name], "now": now, "ratio": ratio}
+                flagged.append(f"  {name}: {prev[name]}s -> {now}s ({ratio}x)")
+        prev_total = round(sum(v for k, v in prev.items() if k in timings), 3)
+        print(
+            f"[bench] vs {tag}: total {prev_total}s -> "
+            f"{round(sum(v for k, v in timings.items() if k in prev), 3)}s "
+            f"on {len([k for k in timings if k in prev])} shared queries; "
+            f"{len(regressions)} regression(s) >1.5x",
+            file=sys.stderr,
+        )
+        for line in flagged:
+            print(line, file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -117,7 +174,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
+                "regressions_vs_prior": regressions,
             }
         )
     )

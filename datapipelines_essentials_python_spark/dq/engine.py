@@ -111,6 +111,30 @@ def execute_rules(
     return all(r.passed for r in results), results
 
 
+def file_completeness(
+    df: DataFrame, expected_files: list[str]
+) -> DataFrame:
+    """Missing-input-file check — the reference's rule 1013 anti-join shape
+    (``conf/data-quality/rules/production_configs/recipe-task1-dq-rules.json``):
+    every expected file name that no scanned row reports via
+    ``input_file_name()`` is a violation row.
+
+    Returns ``(missing_file)``. Scale shape: the distinct file-name side
+    collapses to one row per input file at the scan (map-side partial
+    aggregation over a name-only projection); the expected list is a tiny
+    local relation, so the anti-join broadcasts. Zero rows = rule passes.
+    """
+    spark = df.sparkSession
+    decoded = F.url_decode(F.regexp_replace(F.input_file_name(), r"\+", "%2B"))
+    seen = df.select(
+        F.element_at(F.split(decoded, "/"), -1).alias("missing_file")
+    ).distinct()
+    expected = spark.createDataFrame(
+        [(name,) for name in expected_files], "missing_file string"
+    )
+    return expected.join(seen, "missing_file", "left_anti")
+
+
 def dq_summary_df(spark: SparkSession, results: list[RuleResult]) -> DataFrame:
     """Rule results as a DataFrame (for sinks/reporting)."""
     rows = [

@@ -1218,6 +1218,12 @@ SELECT l_returnflag, CAST(n AS BIGINT) AS n,
 FROM m
 """
 
+# rule-1013 file completeness: the driver's lineitem table is the single
+# file lineitem.parquet, so only the deliberately-absent name comes back.
+ORACLES["dq_file_completeness"] = """
+SELECT 'lineitem-part2.parquet' AS missing_file, FALSE AS present
+"""
+
 ORACLES["audit_columns"] = """
 SELECT l_orderkey, l_linenumber,
   'lineitem.parquet' AS file_name,

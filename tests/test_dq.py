@@ -39,6 +39,49 @@ def test_rules_execute(spark, df):
     assert [r.rule_id for r in results] == ["1", "2", "3", "4"]
 
 
+def test_file_completeness_rule_1013(spark, tmp_path):
+    """Reference rule 1013 both ways: the engine's native anti-join helper
+    AND the reference's literal SQL formulation through a 'query' rule."""
+    from datapipelines_essentials_python_spark.dq.engine import file_completeness
+
+    src = spark.range(5).toDF("id")
+    p1, p2 = str(tmp_path / "f1"), str(tmp_path / "f2")
+    src.where("id < 3").coalesce(1).write.parquet(p1)
+    src.where("id >= 3").coalesce(1).write.parquet(p2)
+    df = spark.read.parquet(p1, p2)
+    import glob as _glob
+
+    names = sorted(
+        f.rsplit("/", 1)[-1]
+        for f in _glob.glob(f"{p1}/part-*.parquet") + _glob.glob(f"{p2}/part-*.parquet")
+    )
+    assert len(names) == 2
+
+    # native helper: all present → empty; one absent → exactly that row
+    assert file_completeness(df, names).count() == 0
+    missing = file_completeness(df, [*names, "never-written.parquet"]).collect()
+    assert [r["missing_file"] for r in missing] == ["never-written.parquet"]
+
+    # reference-shaped SQL rule (recipe-task1-dq-rules.json rule 1013)
+    expected_cte = " UNION ".join(
+        f"SELECT '{n}' AS file_name" for n in [*names, "never-written.parquet"]
+    )
+    rule_sql = (
+        f"WITH file_names AS ({expected_cte}) "
+        "SELECT f.file_name FROM file_names f "
+        "LEFT JOIN (SELECT DISTINCT reverse(split(input_file_name(), '/'))[0] "
+        "AS file_name FROM temp) t ON t.file_name = f.file_name "
+        "WHERE t.file_name IS NULL"
+    )
+    config = DQConfig(
+        dq_id="files",
+        rules=[Rule("1013", "input files check", "query", query=rule_sql)],
+    )
+    all_passed, results = execute_rules(spark, df, config)
+    assert not all_passed
+    assert results[0].violation_count == 1
+
+
 def test_rule_validation():
     with pytest.raises(ValueError):
         Rule("1", "x", "bogus")
