@@ -1164,6 +1164,270 @@ def q22_dormant_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped min-cost supplier (lineitem as the part↔supplier
+    bridge — the driver data has no partsupp table): per STANDARD part of
+    size < 10, the ASIA supplier with the lowest observed unit price.
+    The correlated MIN is decorrelated into a row_number window; the dim
+    chain (supplier→nation→region) broadcasts onto the offer aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    from pyspark.sql import Window
+
+    asia_sup = F.broadcast(
+        sup.join(nation, sup.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .where(F.col("r_name") == "ASIA")
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    sel_parts = F.broadcast(
+        part.where((F.col("p_size") < 10) & (F.col("p_type") == "STANDARD")).select(
+            "p_partkey", "p_name"
+        )
+    )
+    offers = (
+        li.join(sel_parts, li.l_partkey == F.col("p_partkey"))
+        .join(asia_sup, li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "n_name")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"))
+    )
+    win = Window.partitionBy("p_partkey").orderBy(
+        F.asc("unit_price"), F.asc("s_suppkey")
+    )
+    return (
+        offers.withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") == 1)
+        .select(
+            "p_partkey",
+            "p_name",
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            "n_name",
+            F.round("unit_price", 6).alias("unit_price"),
+        )
+    )
+
+
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped order-priority check: orders with EXISTS a lineitem
+    shipped > 90 days after the order date (the driver data has no
+    commit/receipt dates), counted per priority. The EXISTS is a left-semi
+    join on the order key with the lateness predicate inside the join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    late = li.select(
+        F.col("l_orderkey").alias("lk"), F.to_date("l_shipdate").alias("sd")
+    )
+    waited = orders.join(
+        late,
+        (orders.o_orderkey == late.lk)
+        & (late.sd > F.date_add(F.to_date(orders.o_orderdate), 90)),
+        "left_semi",
+    )
+    return waited.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("order_count")
+    )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped product-type profit by nation and year. With no
+    partsupp supply cost in the driver data, cost is proxied as
+    0.6 × p_retailprice × l_quantity; the proxy's true value has ≤ 4
+    decimals (0.6 × 2-decimal price × integer qty), so rounding the
+    double term to 4 dp and summing as DECIMAL is exact and
+    order-independent on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    gears = F.broadcast(
+        part.where(F.col("p_name").like("%gear%")).select("p_partkey", "p_retailprice")
+    )
+    s_nat = F.broadcast(
+        sup.join(nation, sup.s_nationkey == nation.n_nationkey).select(
+            "s_suppkey", "n_name"
+        )
+    )
+    profit = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")) - F.round(
+        F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity"), 4
+    ).cast("decimal(18,4)")
+    return (
+        li.join(gears, li.l_partkey == F.col("p_partkey"))
+        .join(s_nat, li.l_suppkey == F.col("s_suppkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped important stock: parts whose revenue exceeds
+    1.5× the per-part average — the HAVING > fraction-of-global-aggregate
+    pattern via a broadcast 1-row scalar aggregate (no second scan of the
+    grouped side). The average is total(decimal-exact)/distinct-part-count
+    so the threshold is order-independent, and a ratio (not a fixed
+    fraction) so the query stays non-trivial at every sf."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(F.sum(rev).cast("double").alias("value"))
+    total = li.agg(
+        F.sum(rev).cast("double").alias("total"),
+        F.countDistinct("l_partkey").cast("double").alias("n_parts"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("value") > F.col("total") / F.col("n_parts") * 1.5)
+        .select("l_partkey", "value")
+    )
+
+
+def q12_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped shipping-delay classes (no l_shipmode in the
+    driver data — the class IS the delay bucket): lines bucketed by
+    ship-after-order delay, with urgent/non-urgent conditional counts per
+    bucket in one aggregation pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    delay = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    bucket = (
+        F.when(delay > 90, F.lit("late"))
+        .when(delay > 30, F.lit("slow"))
+        .otherwise(F.lit("fast"))
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy(bucket.alias("delay_class")).agg(
+        F.sum(F.when(urgent, 1).otherwise(0)).cast("long").alias("high_line_count"),
+        F.sum(F.when(urgent, 0).otherwise(1)).cast("long").alias("low_line_count"),
+    )
+
+
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped supplier counts per part attribute (lineitem as
+    the part↔supplier bridge): distinct suppliers per (brand, type, size)
+    for selected sizes, excluding one brand and suppliers whose name ends
+    in '7' (the NOT IN → broadcast anti-join)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    sup = load_table(spark, sf_dir, "supplier")
+    sel_parts = F.broadcast(
+        part.where(
+            (F.col("p_brand") != "Brand#1")
+            & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
+        ).select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad_sup = F.broadcast(
+        sup.where(F.col("s_name").like("%7")).select(F.col("s_suppkey").alias("bad_key"))
+    )
+    pairs = (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(bad_sup, F.col("l_suppkey") == F.col("bad_key"), "left_anti")
+    )
+    return (
+        pairs.join(sel_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("int").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped excess-share shippers: NATION_3 suppliers that
+    shipped > 2× their fair share of some red part's volume — nested
+    aggregate (per pair vs per part) + ratio threshold + semi-join up to
+    the supplier dim. A fair-share ratio (not a fixed fraction) keeps the
+    result non-trivial as supplier counts grow with sf."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    red = F.broadcast(
+        part.where(F.col("p_name").like("red%")).select("p_partkey")
+    )
+    shipped = li.join(red, li.l_partkey == F.col("p_partkey")).select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    pair_qty = shipped.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("pair_qty")
+    )
+    part_qty = shipped.groupBy("l_partkey").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("part_qty"),
+        F.countDistinct("l_suppkey").cast("double").alias("n_sup"),
+    )
+    heavy = (
+        pair_qty.join(part_qty, "l_partkey")
+        .where(F.col("pair_qty") > F.col("part_qty") * 2.0 / F.col("n_sup"))
+        .select("l_suppkey")
+    )
+    return (
+        sup.join(nation, sup.s_nationkey == nation.n_nationkey)
+        .where(F.col("n_name") == "NATION_3")
+        .join(heavy, sup.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select(F.col("s_suppkey").cast("long").alias("s_suppkey"), "s_name")
+    )
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped suppliers-who-kept-orders-waiting: for finished
+    orders, NATION_5 suppliers whose line shipped > 60 days after the
+    order date, where another supplier participated in the order (EXISTS →
+    left-semi) but no other supplier was also late (NOT EXISTS →
+    left-anti). Counts are per offending line, as in Q21."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    fin = orders.where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("od")
+    )
+    lines = li.join(fin, li.l_orderkey == fin.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        "l_linenumber",
+        (F.to_date("l_shipdate") > F.date_add(F.col("od"), 60)).alias("is_late"),
+    )
+    late1 = lines.where(F.col("is_late"))
+    others = lines.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    ).distinct()
+    late_others = late1.select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    ).distinct()
+    waiting = (
+        late1.join(
+            others,
+            (F.col("l_orderkey") == F.col("ok2"))
+            & (F.col("l_suppkey") != F.col("sk2")),
+            "left_semi",
+        ).join(
+            late_others,
+            (F.col("l_orderkey") == F.col("ok3"))
+            & (F.col("l_suppkey") != F.col("sk3")),
+            "left_anti",
+        )
+    )
+    nat5 = F.broadcast(
+        sup.join(nation, sup.s_nationkey == nation.n_nationkey)
+        .where(F.col("n_name") == "NATION_5")
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        waiting.join(nat5, waiting.l_suppkey == nat5.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
+
+
 def snake_case_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column standardization surface (SURVEY §2.2 P4/P5): camelCase
     aliases → snake_case + alphabetical column ordering, value-checked
@@ -1677,6 +1941,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_suppliers": q15_top_suppliers,
         "q19_disjunctive": q19_disjunctive,
         "q22_dormant_rich": q22_dormant_rich,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q4_priority_exists": q4_priority_exists,
+        "q9_product_profit": q9_product_profit,
+        "q11_important_parts": q11_important_parts,
+        "q12_shipping_delay": q12_shipping_delay,
+        "q16_supplier_count": q16_supplier_count,
+        "q20_excess_shippers": q20_excess_shippers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
         "snake_case_projection": snake_case_projection,
         "date_parse_safe": date_parse_safe,
         "media_chunks": media_chunks,

@@ -87,6 +87,15 @@ HEADLINE = [
     "embedding_neardup",
     "ivf_ann_nprobe2",
     "dq_file_completeness",
+    # round 2: the remaining TPC-H-shaped queries (full 22-query suite)
+    "q2_min_cost_supplier",
+    "q4_priority_exists",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_shipping_delay",
+    "q16_supplier_count",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
 ]
 
 

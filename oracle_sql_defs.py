@@ -909,6 +909,121 @@ WHERE c.c_acctbal > avg_bal.avg_bal
 GROUP BY c_mktsegment
 """
 
+ORACLES["q2_min_cost_supplier"] = """
+WITH offers AS (
+  SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, n.n_name,
+         MIN(l.l_extendedprice / l.l_quantity) AS unit_price
+  FROM lineitem l
+  JOIN (SELECT p_partkey, p_name FROM part
+        WHERE p_size < 10 AND p_type = 'STANDARD') p ON l.l_partkey = p.p_partkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'ASIA'
+  GROUP BY 1, 2, 3, 4, 5)
+SELECT p_partkey, p_name, CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, n_name,
+       round(unit_price, 6) AS unit_price
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY p_partkey ORDER BY unit_price ASC, s_suppkey ASC) AS rn
+      FROM offers)
+WHERE rn = 1
+"""
+
+ORACLES["q4_priority_exists"] = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 90)
+GROUP BY o_orderpriority
+"""
+
+ORACLES["q9_product_profit"] = f"""
+SELECT n.n_name AS nation,
+  CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+  CAST(SUM({_REV} - CAST(round(0.6 * p.p_retailprice * l.l_quantity, 4)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%gear%'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2
+"""
+
+ORACLES["q11_important_parts"] = f"""
+WITH per_part AS (
+  SELECT l_partkey, CAST(SUM({_REV}) AS DOUBLE) AS value FROM lineitem GROUP BY 1),
+total AS (
+  SELECT CAST(SUM({_REV}) AS DOUBLE) AS total,
+         CAST(COUNT(DISTINCT l_partkey) AS DOUBLE) AS n_parts
+  FROM lineitem)
+SELECT l_partkey, value FROM per_part, total WHERE value > total / n_parts * 1.5
+"""
+
+ORACLES["q12_shipping_delay"] = """
+SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 90 THEN 'late'
+            WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 30 THEN 'slow'
+            ELSE 'fast' END AS delay_class,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+"""
+
+ORACLES["q16_supplier_count"] = """
+SELECT p.p_brand, p.p_type, CAST(p.p_size AS INTEGER) AS p_size,
+  CAST(COUNT(DISTINCT pr.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pr
+JOIN part p ON pr.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+  AND pr.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+GROUP BY 1, 2, 3
+"""
+
+ORACLES["q20_excess_shippers"] = """
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey, l_quantity FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')),
+pair_qty AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS pair_qty
+  FROM shipped GROUP BY 1, 2),
+part_qty AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS part_qty,
+         CAST(COUNT(DISTINCT l_suppkey) AS DOUBLE) AS n_sup
+  FROM shipped GROUP BY 1),
+heavy AS (
+  SELECT DISTINCT pq.l_suppkey
+  FROM pair_qty pq JOIN part_qty pt ON pq.l_partkey = pt.l_partkey
+  WHERE pq.pair_qty > pt.part_qty * 2.0 / pt.n_sup)
+SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_3'
+WHERE s.s_suppkey IN (SELECT l_suppkey FROM heavy)
+"""
+
+ORACLES["q21_waiting_suppliers"] = """
+WITH lines AS (
+  SELECT l.l_orderkey, l.l_suppkey, l.l_linenumber,
+         CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 60 AS is_late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F')
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM lines l1
+JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_5'
+WHERE l1.is_late
+  AND EXISTS (SELECT 1 FROM lines l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lines l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.is_late)
+GROUP BY s.s_name
+"""
+
 ORACLES["snake_case_projection"] = """
 SELECT CAST(c_acctbal AS DOUBLE) AS account_balance,
        c_custkey AS cust_key,

@@ -96,6 +96,28 @@ def test_training_pipeline_stays_jvm_side(spark):
     assert "ArrowEvalPython" not in plan
 
 
+def test_q21_uses_semi_and_anti_joins(spark):
+    # EXISTS → LeftSemi, NOT EXISTS → LeftAnti; no cartesian fallbacks
+    plan = plan_of(entry_mod.queries()["q21_waiting_suppliers"](spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_q2_broadcasts_dims(spark):
+    # supplier/nation/region chain and the part filter must broadcast
+    plan = plan_of(entry_mod.queries()["q2_min_cost_supplier"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_q4_is_semi_join(spark):
+    plan = plan_of(entry_mod.queries()["q4_priority_exists"](spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_neardup_queries_are_equi_joins(spark):
     # the two former all-pairs baselines must stay on their bucketed paths:
     # an equi-join (lang block / SRP bucket), never a cartesian product
