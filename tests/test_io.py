@@ -105,6 +105,18 @@ def test_orc_roundtrip(spark, df, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
 
 
+def test_audit_file_name_decodes_uri_escapes(spark, tmp_path):
+    """input_file_name() is percent-encoded; the audit column must carry
+    the raw name (spaces decoded, literal '+' preserved)."""
+    from datapipelines_essentials_python_spark.io.readers import read_with_audit_columns
+
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "my data+v2.json").write_text('{"id": 1}\n')
+    out = read_with_audit_columns(spark, "json", str(d))
+    assert out.select("file_name").collect()[0][0] == "my data+v2.json"
+
+
 def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
     """Real JDBC write/read against the Derby embedded database that ships
     in Spark's jars — exercises the actual JDBC sink/source path (S7/S12
