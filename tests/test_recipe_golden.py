@@ -73,6 +73,14 @@ def test_recipe_pipeline_matches_reference_golden_output(spark, tmp_path):
     back = read_data(spark, "parquet", staged)
     assert back.count() == 1042
 
+    # the reference also ships task1's staged parquet: row-identical check
+    ref_task1 = os.path.join(os.path.dirname(REF_GOLDEN), "task1")
+    if os.path.isdir(ref_task1):
+        golden1 = read_data(spark, "parquet", ref_task1).select(*back.columns)
+        mine = {tuple(map(str, r)) for r in back.collect()}
+        theirs = {tuple(map(str, r)) for r in golden1.collect()}
+        assert mine == theirs
+
     # ---- task2 (recipe_tasks.py:125-190): difficulty struct → per-level
     # average of total cooking seconds → isodate-shaped ISO text
     with_diff = back.withColumn(
