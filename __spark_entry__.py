@@ -437,6 +437,52 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over documents. The corpus text carries no planted
+    PII, so a deterministic synthetic contact line is appended to every
+    7th document first — the redactor must find and replace exactly
+    those (plus anything incidental), counted per pattern pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-123-4567 at 10.0.0."),
+                (F.col("doc_id") % 256).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return seeded.select("doc_id", text_ops.pii_redact("text").alias("red")).select(
+        "doc_id",
+        F.col("red.n_email").alias("n_email"),
+        F.col("red.n_phone").alias("n_phone"),
+        F.col("red.n_ip").alias("n_ip"),
+        F.md5(F.col("red.text")).alias("scrubbed_md5"),
+    )
+
+
+def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval n-gram decontamination: every 97th document stands in
+    for the benchmark set; each document reports what fraction of its
+    distinct 3-gram shingles collide with it (eval docs themselves come
+    back with ratio 1.0)."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    eval_docs = docs.where(F.col("doc_id") % 97 == 0)
+    out = text_ops.contamination(docs, eval_docs, "doc_id", "text", n=3)
+    return out.select(
+        F.col("id").cast("long").alias("doc_id"),
+        "n_shingles",
+        "n_contaminated",
+        "ratio",
+    )
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-min shingle-hash document fingerprint (driver-mandated)."""
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
@@ -1901,6 +1947,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": text_quality,
         "token_stats": token_stats,
         "doc_fingerprint": doc_fingerprint,
+        "pii_scrub": pii_scrub,
+        "decontamination": decontamination,
         "ngram_jaccard": ngram_jaccard,
         "minhash_lsh": minhash_lsh,
         "simhash_fp": simhash_fp,

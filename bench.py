@@ -96,6 +96,9 @@ HEADLINE = [
     "q16_supplier_count",
     "q20_excess_shippers",
     "q21_waiting_suppliers",
+    # round 2: PII scrubbing + benchmark decontamination
+    "pii_scrub",
+    "decontamination",
 ]
 
 

@@ -236,3 +236,86 @@ def pack_documents(
         n.alias("n_tokens"),
         F.floor(before / F.lit(budget_tokens)).cast("long").alias("pack_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------------
+# Patterns restricted to syntax shared by Java regex (Spark) and RE2
+# (DuckDB/many scanners) so redaction is replayable on any engine.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+)
+
+
+def pii_redact(col: Column | str) -> Column:
+    """Sequential PII redaction: emails, then phone numbers, then IPv4s,
+    each replaced with ``<EMAIL>``/``<PHONE>``/``<IP>``.
+
+    Returns a struct ``(text, n_email, n_phone, n_ip)`` where each count
+    is taken on the text as it stood BEFORE that pattern's pass (the
+    passes compose sequentially, so the order is part of the contract).
+    Pure regexp Column expressions — scan-speed, no Python workers.
+    """
+    redacted = F.col(col) if isinstance(col, str) else col
+    counts = []
+    for name, pat in PII_PATTERNS:
+        counts.append(F.regexp_count(redacted, F.lit(pat)).cast("long").alias(f"n_{name}"))
+        redacted = F.regexp_replace(redacted, pat, f"<{name.upper()}>")
+    return F.struct(redacted.alias("text"), *counts)
+
+
+# --------------------------------------------------------------------------
+# train/eval decontamination
+# --------------------------------------------------------------------------
+def contamination(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram overlap with an evaluation set — the standard
+    benchmark-decontamination check for training corpora.
+
+    Returns ``(id, n_shingles, n_contaminated, ratio)`` where ``ratio`` is
+    the fraction of the document's distinct n-gram shingles that also
+    occur anywhere in ``eval_docs``. Filter ``ratio >= threshold`` to drop
+    contaminated documents before training.
+
+    Scale shape: the eval side collapses to a distinct shingle set
+    (benchmarks are tiny vs the corpus) and BROADCASTS; the corpus side is
+    a narrow shingle explode + one aggregation keyed on the doc id — no
+    corpus-sized shuffle beyond the per-doc count.
+    """
+    from datapipelines_essentials_python_spark.operators.dedup import shingles
+
+    base = docs.select(
+        F.col(id_col).alias("id"), shingles(text_col, n).alias("sh")
+    ).withColumn("n_shingles", F.size("sh"))
+    ev = (
+        eval_docs.select(F.explode(shingles(text_col, n)).alias("s"))
+        .distinct()
+    )
+    exploded = base.select("id", F.explode("sh").alias("s"))
+    hits = (
+        exploded.join(F.broadcast(ev), "s")
+        .groupBy("id")
+        .agg(F.countDistinct("s").alias("n_contaminated"))
+    )
+    return (
+        base.select("id", "n_shingles")
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.coalesce("n_contaminated", F.lit(0)).cast("long").alias("n_contaminated"),
+            F.round(
+                F.coalesce("n_contaminated", F.lit(0)).cast("double")
+                / F.greatest(F.col("n_shingles"), F.lit(1)).cast("double"),
+                6,
+            ).alias("ratio"),
+        )
+    )

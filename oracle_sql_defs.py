@@ -405,6 +405,53 @@ SELECT doc_id,
 FROM s
 """
 
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+_PII_IP = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+ORACLES["pii_scrub"] = f"""
+WITH seeded AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0
+         THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 555-123-4567 at 10.0.0.'
+              || CAST(doc_id % 256 AS VARCHAR)
+         ELSE text END AS text
+  FROM documents),
+pass1 AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+    regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g') AS text
+  FROM seeded),
+pass2 AS (
+  SELECT doc_id, n_email,
+    CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+    regexp_replace(text, '{_PII_PHONE}', '<PHONE>', 'g') AS text
+  FROM pass1),
+pass3 AS (
+  SELECT doc_id, n_email, n_phone,
+    CAST(len(regexp_extract_all(text, '{_PII_IP}')) AS BIGINT) AS n_ip,
+    regexp_replace(text, '{_PII_IP}', '<IP>', 'g') AS text
+  FROM pass2)
+SELECT doc_id, n_email, n_phone, n_ip, md5(text) AS scrubbed_md5 FROM pass3
+"""
+
+ORACLES["decontamination"] = f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {SHINGLES} AS sh FROM t),
+ev AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 97 = 0),
+ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
+hits AS (
+  SELECT ex.doc_id, CAST(COUNT(DISTINCT ex.g) AS BIGINT) AS n_contaminated
+  FROM ex JOIN ev ON ex.g = ev.g GROUP BY 1)
+SELECT s.doc_id,
+  CAST(len(s.sh) AS BIGINT) AS n_shingles,
+  CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+  round(CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE)
+        / CAST(greatest(len(s.sh), 1) AS DOUBLE), 6) AS ratio
+FROM s LEFT JOIN hits h ON s.doc_id = h.doc_id
+"""
+
 ORACLES["ngram_jaccard"] = f"""
 WITH t AS (SELECT doc_id, lang, {TOKS} AS toks FROM documents),
 s AS (SELECT doc_id, lang, {SHINGLES} AS sh FROM t)

@@ -95,3 +95,41 @@ def test_pack_documents_sharded_independent(spark):
     # each shard packs independently from position 0
     assert packs[("en", 1)] == 0 and packs[("en", 3)] == 0
     assert packs[("fr", 2)] == 0 and packs[("fr", 4)] == 0
+
+
+def test_pii_redact_sequential_counts(spark):
+    from datapipelines_essentials_python_spark.operators.text import pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.com and c.d@e.org, call 555-123-4567, host 10.0.0.1"),
+            (2, "clean text with no pii at all"),
+            (3, "ip only 192.168.1.255 here"),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r["red"] for r in df.select("id", pii_redact("text").alias("red")).collect()}
+    assert (out[1]["n_email"], out[1]["n_phone"], out[1]["n_ip"]) == (2, 1, 1)
+    assert "<EMAIL>" in out[1]["text"] and "<PHONE>" in out[1]["text"] and "<IP>" in out[1]["text"]
+    assert "a@b.com" not in out[1]["text"] and "555-123-4567" not in out[1]["text"]
+    assert (out[2]["n_email"], out[2]["n_phone"], out[2]["n_ip"]) == (0, 0, 0)
+    assert out[2]["text"] == "clean text with no pii at all"
+    assert out[3]["n_ip"] == 1 and "<IP>" in out[3]["text"]
+
+
+def test_contamination_ratio(spark):
+    from datapipelines_essentials_python_spark.operators.text import contamination
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high"),   # shares shingles with eval
+            (2, "totally unrelated words entirely here now"),
+            (3, "the quick brown fox jumps high"),   # the eval doc itself
+        ],
+        "doc_id long, text string",
+    )
+    ev = docs.where("doc_id = 3")
+    out = {r["id"]: r for r in contamination(docs, ev).collect()}
+    assert out[3]["ratio"] == 1.0           # eval doc fully contaminated
+    assert out[1]["ratio"] == 1.0           # identical text → full overlap
+    assert out[2]["n_contaminated"] == 0 and out[2]["ratio"] == 0.0
