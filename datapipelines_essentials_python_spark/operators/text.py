@@ -276,6 +276,7 @@ def contamination(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    strategy: str = "broadcast_array",
 ) -> DataFrame:
     """Per-document n-gram overlap with an evaluation set — the standard
     benchmark-decontamination check for training corpora.
@@ -285,20 +286,40 @@ def contamination(
     occur anywhere in ``eval_docs``. Filter ``ratio >= threshold`` to drop
     contaminated documents before training.
 
-    Scale shape: the eval side collapses to a distinct shingle set
-    (benchmarks are tiny vs the corpus) and BROADCASTS; the corpus side is
-    a narrow shingle explode + one aggregation keyed on the doc id — no
-    corpus-sized shuffle beyond the per-doc count.
+    Strategies:
+
+    - ``broadcast_array`` (default): the eval side collapses to ONE row
+      holding its distinct shingle set (benchmarks are small and roughly
+      fixed-size, independent of corpus scale) and broadcasts; each doc
+      does a single ``array_intersect`` — one pass over the corpus, zero
+      shuffles, no explode blow-up.
+    - ``join``: shingle-explode + broadcast equi-join + per-doc count —
+      for eval sets too large to hold as one in-memory array.
     """
     from datapipelines_essentials_python_spark.operators.dedup import shingles
 
     base = docs.select(
         F.col(id_col).alias("id"), shingles(text_col, n).alias("sh")
     ).withColumn("n_shingles", F.size("sh"))
-    ev = (
-        eval_docs.select(F.explode(shingles(text_col, n)).alias("s"))
-        .distinct()
-    )
+
+    if strategy == "broadcast_array":
+        ev_set = (
+            eval_docs.select(F.explode(shingles(text_col, n)).alias("s"))
+            .agg(F.array_distinct(F.collect_list("s")).alias("ev"))
+        )
+        hit = F.size(F.array_intersect(F.col("sh"), F.col("ev")))
+        return base.crossJoin(F.broadcast(ev_set)).select(
+            "id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            hit.cast("long").alias("n_contaminated"),
+            F.round(
+                hit.cast("double")
+                / F.greatest(F.col("n_shingles"), F.lit(1)).cast("double"),
+                6,
+            ).alias("ratio"),
+        )
+
+    ev = eval_docs.select(F.explode(shingles(text_col, n)).alias("s")).distinct()
     exploded = base.select("id", F.explode("sh").alias("s"))
     hits = (
         exploded.join(F.broadcast(ev), "s")

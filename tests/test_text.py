@@ -133,3 +133,16 @@ def test_contamination_ratio(spark):
     assert out[3]["ratio"] == 1.0           # eval doc fully contaminated
     assert out[1]["ratio"] == 1.0           # identical text → full overlap
     assert out[2]["n_contaminated"] == 0 and out[2]["ratio"] == 0.0
+
+
+def test_contamination_strategies_agree(spark):
+    from datapipelines_essentials_python_spark.operators.text import contamination
+
+    docs = spark.createDataFrame(
+        [(i, f"common prefix words here plus tail {i} {i+1} {i+2}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    ev = docs.where("doc_id % 5 = 0")
+    a = sorted(map(tuple, contamination(docs, ev, strategy="broadcast_array").collect()))
+    b = sorted(map(tuple, contamination(docs, ev, strategy="join").collect()))
+    assert a == b
