@@ -979,6 +979,26 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as ``dedup_components`` — every document labeled with
+    its component's minimum doc id — computed by the large-star/small-star
+    pointer-jumping algorithm (O(log n) rounds instead of O(diameter)).
+    Shares ``dedup_components``'s oracle: the two algorithms must agree
+    exactly, and the driver gate proves it."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    pairs = dedup_ops.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=16, bands=8,
+        threshold=0.5, max_bucket=1_000_000,
+    )
+    comp = dedup_ops.connected_components_star(
+        pairs, "id_a", "id_b", nodes=docs, node_col="doc_id"
+    )
+    return comp.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN (nprobe=1): deterministic centroid subset (every 31st
     vector), nearest-centroid cell assignment, per-cell exact top-k.
@@ -1978,6 +1998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_holdout_split": train_holdout_split,
         "unigram_lm_quality": unigram_lm_quality,
         "dedup_components": dedup_components,
+        "dedup_components_star": dedup_components_star,
         "ivf_ann": ivf_ann,
         "ivf_ann_nprobe2": ivf_ann_nprobe2,
         "simhash_neardup": simhash_neardup,

@@ -775,6 +775,9 @@ _IVF_COS = lambda x, y: (  # noqa: E731
     f"ELSE 0.0 END, 6)"
 )
 
+# the star-algorithm twin must produce byte-identical labels
+ORACLES["dedup_components_star"] = ORACLES["dedup_components"]
+
 ORACLES["ivf_ann"] = f"""
 WITH cent AS (
   SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id % 31 = 0),
