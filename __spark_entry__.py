@@ -979,6 +979,20 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile profiling per event type (p50/p90/p99, linear
+    interpolation) — the exact twin of the approx_percentile scale path
+    (`operators.relational.approx_quantiles_profile`): identical contract,
+    so callers can swap exact↔approximate by budget."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
 def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same contract as ``dedup_components`` — every document labeled with
     its component's minimum doc id — computed by the large-star/small-star
@@ -1999,6 +2013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_lm_quality": unigram_lm_quality,
         "dedup_components": dedup_components,
         "dedup_components_star": dedup_components_star,
+        "quantile_profile": quantile_profile,
         "ivf_ann": ivf_ann,
         "ivf_ann_nprobe2": ivf_ann_nprobe2,
         "simhash_neardup": simhash_neardup,

@@ -96,9 +96,10 @@ HEADLINE = [
     "q16_supplier_count",
     "q20_excess_shippers",
     "q21_waiting_suppliers",
-    # round 2: PII scrubbing + benchmark decontamination
+    # round 2: PII scrubbing + benchmark decontamination + exact quantiles
     "pii_scrub",
     "decontamination",
+    "quantile_profile",
 ]
 
 

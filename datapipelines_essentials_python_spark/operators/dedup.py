@@ -569,12 +569,14 @@ def connected_components_star(
         mins = sym.groupBy("u").agg(F.min("v").alias("mv")).select(
             "u", F.least(F.col("mv"), F.col("u")).alias("m")
         )
+        # no distinct here: duplicate (v, m) edges don't change small-star's
+        # MIN aggregate and the round's final distinct dedups the output —
+        # dropping it saves one full exchange per round
         large = (
             sym.where(F.col("v") > F.col("u"))
             .join(mins, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
-            .distinct()
         )
         # ---- small-star: key on the larger endpoint, all members re-point
         keyed = large.select(

@@ -853,6 +853,15 @@ SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
 FROM cands WHERE bit_count(xor(fa, fb)) <= 3
 """
 
+ORACLES["quantile_profile"] = """
+SELECT event_type,
+  round(quantile_cont(value, 0.5), 6) AS p50,
+  round(quantile_cont(value, 0.9), 6) AS p90,
+  round(quantile_cont(value, 0.99), 6) AS p99,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1
+"""
+
 ORACLES["histogram_profile"] = """
 SELECT event_type,
   CAST(floor(value / 25.0) AS BIGINT) AS bucket,

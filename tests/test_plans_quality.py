@@ -56,6 +56,9 @@ def test_no_python_in_relational_headline(spark):
         "events_by_day", "having_clause", "corr_stats", "histogram_profile",
         "stratified_sample_docs", "lang_id", "text_quality", "token_stats",
         "doc_fingerprint", "simhash_fp",
+        "q9_product_profit", "q11_important_parts", "q12_shipping_delay",
+        "q16_supplier_count", "q20_excess_shippers", "pii_scrub",
+        "decontamination", "dq_file_completeness",
     ):
         plan = plan_of(qs[name](spark, SF_DIR))
         assert "BatchEvalPython" not in plan, f"{name} fell back to Python UDFs"
