@@ -86,3 +86,63 @@ def test_hash_fraction_deterministic_and_bounded(spark, frac, salt):
         for r in df.where(hash_fraction("id", salt) < frac).collect()
     }
     assert kept == kept2
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=30),
+            st.integers(min_value=1, max_value=30),
+        ),
+        min_size=0,
+        max_size=25,
+    )
+)
+def test_star_components_equal_propagation(spark, edges):
+    """Pointer-jumping and min-label propagation must agree on ANY graph."""
+    from datapipelines_essentials_python_spark.operators import dedup
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 31)], "id long")
+    e = spark.createDataFrame(
+        edges or [(1, 1)], "id_a long, id_b long"  # empty lists need a schema row
+    )
+    prop = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(e, nodes=nodes).collect()
+    }
+    star = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components_star(e, nodes=nodes).collect()
+    }
+    assert star == prop
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab @.-0123456789xyz"), min_size=0, max_size=60
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_pii_redact_idempotent(spark, texts):
+    """Redacting already-redacted text finds nothing and changes nothing."""
+    from datapipelines_essentials_python_spark.operators.text import pii_redact
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    once = df.select(pii_redact("text").alias("r")).select(
+        F.col("r.text").alias("text")
+    )
+    twice = once.select(pii_redact("text").alias("r")).select(
+        F.col("r.n_email").alias("e"),
+        F.col("r.n_phone").alias("p"),
+        F.col("r.n_ip").alias("i"),
+        F.col("r.text").alias("text2"),
+    )
+    joined = once.collect(), twice.collect()
+    for o, t in zip(*joined):
+        assert (t["e"], t["p"], t["i"]) == (0, 0, 0)
+        assert t["text2"] == o["text"]
