@@ -1900,6 +1900,68 @@ def training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def training_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-2 flagship: quality gate → benchmark DECONTAMINATION
+    (broadcast eval shingle set, inline ratio filter — no extra shuffle)
+    → MinHash-LSH near-dedup → stratified rebalance → per-language
+    summary. Same contract as ``training_pipeline_e2e`` with the
+    decontamination stage integrated mid-pipeline."""
+    from datapipelines_essentials_python_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+
+    toks = text_ops.tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    avg_len = F.length(F.regexp_replace(F.lower(F.col("text")), " ", "")).cast(
+        "double"
+    ) / F.greatest(n_tokens, F.lit(1)).cast("double")
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / F.greatest(
+        n_tokens, F.lit(1)
+    ).cast("double")
+    keep = (
+        (n_tokens >= 5)
+        & (avg_len >= 2.0)
+        & (avg_len <= 14.0)
+        & (uniq_ratio >= 0.3)
+        & (text_ops.detect_language("text") != "und")
+    )
+    clean = docs.where(keep)
+
+    # decontamination against the every-97th-doc benchmark stand-in:
+    # one broadcast row holding the eval shingle set, one array_intersect
+    # per doc — rides the same scan, no shuffle added
+    ev_set = (
+        docs.where(F.col("doc_id") % 97 == 0)
+        .select(F.explode(dedup_ops.shingles("text", 3)).alias("s"))
+        .agg(F.array_distinct(F.collect_list("s")).alias("ev"))
+    )
+    sh = dedup_ops.shingles("text", 3)
+    ratio = F.round(
+        F.size(F.array_intersect(sh, F.col("ev"))).cast("double")
+        / F.greatest(F.size(sh), F.lit(1)).cast("double"),
+        6,
+    )
+    decon = clean.crossJoin(F.broadcast(ev_set)).where(ratio < 0.8).drop("ev")
+
+    pairs = dedup_ops.minhash_lsh_pairs(
+        decon, "doc_id", "text", n=3, num_hashes=16, bands=8,
+        threshold=0.5, max_bucket=1_000_000,
+    )
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    deduped = decon.join(losers, "doc_id", "left_anti")
+
+    sampled = stratified_sample(
+        deduped, "lang",
+        {"en": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0},
+        "doc_id",
+    )
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(text_ops.tokens(F.col("text")))).cast("long").alias("n_tokens"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+    )
+
+
 def ols_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group simple linear regression (price ~ quantity) in closed form
     from DECIMAL-exact sufficient statistics — one-pass distributed model
@@ -2049,6 +2111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_agg": cube_agg,
         "flatten_deep": flatten_deep,
         "training_pipeline_e2e": training_pipeline_e2e,
+        "training_pipeline_v2": training_pipeline_v2,
         "ols_fit": ols_fit,
         "audit_columns": audit_columns,
     }

@@ -100,6 +100,7 @@ HEADLINE = [
     "pii_scrub",
     "decontamination",
     "quantile_profile",
+    "training_pipeline_v2",
 ]
 
 

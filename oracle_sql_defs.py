@@ -1405,3 +1405,25 @@ SELECT l_orderkey, l_linenumber,
       || ',"l_orderkey":' || COALESCE(CAST(l_orderkey AS VARCHAR), 'null') || '}') AS hashcode
 FROM lineitem WHERE l_orderkey < 1000
 """
+
+
+# training_pipeline_v2 = v1 with a decontamination stage spliced between the
+# quality gate and near-dedup: retarget the downstream CTEs from `clean` to
+# `decon` FIRST, then insert the evset/decon CTEs (which reference `clean`).
+_V2_DECON_CTES = f"""),
+evset AS (
+  SELECT list(DISTINCT g) AS ev FROM (
+    SELECT unnest({SHINGLES}) AS g
+    FROM (SELECT {TOKS} AS toks FROM documents WHERE doc_id % 97 = 0))),
+decon AS (
+  SELECT c.doc_id, c.lang, c.text, c.toks
+  FROM (SELECT *, {SHINGLES} AS sh0 FROM clean) c, evset
+  WHERE round(CAST(len(list_intersect(c.sh0, evset.ev)) AS DOUBLE)
+        / CAST(greatest(len(c.sh0), 1) AS DOUBLE), 6) < 0.8),
+s AS ("""
+
+ORACLES["training_pipeline_v2"] = (
+    ORACLES["training_pipeline_e2e"]
+    .replace("FROM clean", "FROM decon")
+    .replace("),\ns AS (", _V2_DECON_CTES)
+)

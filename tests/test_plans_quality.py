@@ -94,9 +94,10 @@ def test_bloom_join_semi_joins(spark):
 
 
 def test_training_pipeline_stays_jvm_side(spark):
-    plan = plan_of(entry_mod.queries()["training_pipeline_e2e"](spark, SF_DIR))
-    assert "BatchEvalPython" not in plan
-    assert "ArrowEvalPython" not in plan
+    for name in ("training_pipeline_e2e", "training_pipeline_v2"):
+        plan = plan_of(entry_mod.queries()[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
 
 
 def test_q21_uses_semi_and_anti_joins(spark):
