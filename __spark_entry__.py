@@ -979,6 +979,23 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gap_fill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily gap-fill + forward-fill over the event stream: days where
+    day-of-month % 5 = 0 are deterministically dropped first (the driver
+    calendar has no natural gaps), then the operator regenerates the full
+    calendar per event type and forward-fills the missing days, flagging
+    synthesized rows."""
+    events = load_table(spark, sf_dir, "events")
+    gappy = events.where(F.dayofmonth(F.to_date("ts")) % 5 != 0)
+    out = rel_ops.gap_fill_daily(gappy, "event_type", "ts", "value")
+    return out.select(
+        F.col("key").alias("event_type"),
+        "day",
+        F.round("value", 6).alias("value"),
+        "filled",
+    )
+
+
 def quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentile profiling per event type (p50/p90/p99, linear
     interpolation) — the exact twin of the approx_percentile scale path
@@ -2076,6 +2093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": dedup_components,
         "dedup_components_star": dedup_components_star,
         "quantile_profile": quantile_profile,
+        "gap_fill_events": gap_fill_events,
         "ivf_ann": ivf_ann,
         "ivf_ann_nprobe2": ivf_ann_nprobe2,
         "simhash_neardup": simhash_neardup,

@@ -101,6 +101,7 @@ HEADLINE = [
     "decontamination",
     "quantile_profile",
     "training_pipeline_v2",
+    "gap_fill_events",
 ]
 
 

@@ -162,3 +162,45 @@ def bloom_prefilter(
             "left_semi",
         )
     return out
+
+
+def gap_fill_daily(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+) -> DataFrame:
+    """Daily time-series completion with forward fill.
+
+    Aggregates ``val_col`` per (key, day), generates the full calendar
+    between each key's first and last day (``sequence`` + ``explode`` — a
+    narrow generator, no driver loop), left-joins the observed days back,
+    and forward-fills missing days with the last observed value (``last``
+    with ``ignorenulls`` over an unbounded-preceding window).
+
+    → ``(key, day, value, filled)`` where ``filled`` marks synthesized
+    days. Scale shape: one shuffle for the daily aggregate, one for the
+    calendar join (both keyed the same), one window per key ordered by
+    day — the calendar explode adds at most rows-per-day × key-span rows,
+    independent of the raw event volume.
+    """
+    from pyspark.sql import Window
+
+    daily = df.groupBy(
+        F.col(key_col).alias("key"), F.to_date(ts_col).alias("day")
+    ).agg(F.sum(F.col(val_col).cast("decimal(18,4)")).cast("double").alias("v"))
+    cal = (
+        daily.groupBy("key")
+        .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select("key", F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    joined = cal.join(daily, ["key", "day"], "left")
+    w = Window.partitionBy("key").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return joined.select(
+        "key",
+        "day",
+        F.last("v", ignorenulls=True).over(w).alias("value"),
+        F.col("v").isNull().alias("filled"),
+    )

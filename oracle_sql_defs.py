@@ -853,6 +853,27 @@ SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
 FROM cands WHERE bit_count(xor(fa, fb)) <= 3
 """
 
+ORACLES["gap_fill_events"] = """
+WITH daily AS (
+  SELECT event_type AS key, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+  FROM events WHERE day(CAST(ts AS DATE)) % 5 <> 0 GROUP BY 1, 2),
+cal AS (
+  SELECT key, CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                          CAST(hi AS TIMESTAMP),
+                                          INTERVAL 1 DAY)) AS DATE) AS day
+  FROM (SELECT key, MIN(day) AS lo, MAX(day) AS hi FROM daily GROUP BY 1)),
+j AS (
+  SELECT c.key, c.day, d.v
+  FROM cal c LEFT JOIN daily d ON c.key = d.key AND c.day = d.day)
+SELECT key AS event_type, day,
+  round(last_value(v IGNORE NULLS) OVER (
+    PARTITION BY key ORDER BY day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value,
+  v IS NULL AS filled
+FROM j
+"""
+
 ORACLES["quantile_profile"] = """
 SELECT event_type,
   round(quantile_cont(value, 0.5), 6) AS p50,

@@ -272,3 +272,27 @@ def test_zorder_key_interleaves(spark):
     # interleave: x bits at even positions, y bits at odd
     assert out[(1, 0)] == 1 and out[(0, 1)] == 2
     assert out[(3, 0)] == 0b0101 and out[(2, 3)] == 0b1110
+
+
+def test_gap_fill_daily_forward_fills(spark):
+    from datapipelines_essentials_python_spark.operators.relational import gap_fill_daily
+
+    df = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 10:00:00", 5.0),
+            ("a", "2024-01-01 11:00:00", 3.0),
+            ("a", "2024-01-04 09:00:00", 7.0),
+            ("b", "2024-01-02 00:00:00", 1.0),
+        ],
+        "k string, ts string, v double",
+    ).selectExpr("k", "cast(ts as timestamp) ts", "v")
+    out = {
+        (r["key"], str(r["day"])): (r["value"], r["filled"])
+        for r in gap_fill_daily(df, "k", "ts", "v").collect()
+    }
+    assert out[("a", "2024-01-01")] == (8.0, False)   # two events summed
+    assert out[("a", "2024-01-02")] == (8.0, True)    # forward-filled
+    assert out[("a", "2024-01-03")] == (8.0, True)
+    assert out[("a", "2024-01-04")] == (7.0, False)
+    assert out[("b", "2024-01-02")] == (1.0, False)   # single-day key: no fill
+    assert len(out) == 5
