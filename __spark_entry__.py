@@ -979,6 +979,22 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance sampling: each document survives with
+    probability equal to its unique-token ratio — deterministic (md5
+    hash-threshold, not rand()), so the sampled corpus is identical on
+    every run and engine."""
+    from datapipelines_essentials_python_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text_ops.tokens(F.col("text"))
+    w = F.size(F.array_distinct(toks)).cast("double") / F.greatest(
+        F.size(toks), F.lit(1)
+    ).cast("double")
+    out = weighted_sample(docs.withColumn("w", w), "doc_id", F.col("w"))
+    return out.select("doc_id", "lang", F.round("w", 6).alias("weight"))
+
+
 def gap_fill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily gap-fill + forward-fill over the event stream: days where
     day-of-month % 5 = 0 are deterministically dropped first (the driver
@@ -2094,6 +2110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components_star": dedup_components_star,
         "quantile_profile": quantile_profile,
         "gap_fill_events": gap_fill_events,
+        "weighted_sample_docs": weighted_sample_docs,
         "ivf_ann": ivf_ann,
         "ivf_ann_nprobe2": ivf_ann_nprobe2,
         "simhash_neardup": simhash_neardup,

@@ -64,3 +64,22 @@ def split_train_holdout(
     a row is in exactly one side on every engine and every rerun."""
     frac = hash_fraction(id_col, salt)
     return df.where(frac >= holdout_fraction), df.where(frac < holdout_fraction)
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight: Column,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic importance sampling: keep each row with probability
+    ``weight`` (a per-row Column in [0, 1] — e.g. a quality score, a
+    mixture weight, a per-domain rate).
+
+    The keep decision is ``hash_fraction(id) < weight`` — still a pure
+    narrow projection, still reproducible across runs/engines/cluster
+    sizes, unlike ``df.sample``/``rand()``. This is the standard
+    quality-weighted data-mixing move for training corpora: higher-quality
+    documents survive proportionally more often, with zero shuffle cost.
+    """
+    return df.where(hash_fraction(id_col, salt) < weight)

@@ -853,6 +853,16 @@ SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
 FROM cands WHERE bit_count(xor(fa, fb)) <= 3
 """
 
+ORACLES["weighted_sample_docs"] = f"""
+WITH w AS (
+  SELECT doc_id, lang,
+    CAST(len(list_distinct(toks)) AS DOUBLE)
+      / CAST(greatest(len(toks), 1) AS DOUBLE) AS w
+  FROM (SELECT doc_id, lang, {TOKS} AS toks FROM documents))
+SELECT doc_id, lang, round(w, 6) AS weight
+FROM w WHERE {_HASH_FRAC('')} < w
+"""
+
 ORACLES["gap_fill_events"] = """
 WITH daily AS (
   SELECT event_type AS key, CAST(ts AS DATE) AS day,

@@ -296,3 +296,17 @@ def test_gap_fill_daily_forward_fills(spark):
     assert out[("a", "2024-01-04")] == (7.0, False)
     assert out[("b", "2024-01-02")] == (1.0, False)   # single-day key: no fill
     assert len(out) == 5
+
+
+def test_weighted_sample_rates_scale_with_weight(spark):
+    df = spark.createDataFrame(
+        [(i, 0.0 if i % 2 == 0 else 1.0) for i in range(200)],
+        "id long, w double",
+    )
+    out = sampling.weighted_sample(df, "id", F.col("w"))
+    kept = [r["id"] for r in out.collect()]
+    assert all(i % 2 == 1 for i in kept)      # weight 0 never survives
+    assert len(kept) == 100                    # weight 1 always survives
+    # deterministic: identical sample on re-run
+    again = [r["id"] for r in sampling.weighted_sample(df, "id", F.col("w")).collect()]
+    assert sorted(kept) == sorted(again)
