@@ -100,6 +100,13 @@ def test_training_pipeline_stays_jvm_side(spark):
         assert "ArrowEvalPython" not in plan, name
 
 
+def test_weighted_sample_is_pure_narrow(spark):
+    # importance sampling must be a scan-speed filter: zero exchanges
+    plan = plan_of(entry_mod.queries()["weighted_sample_docs"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_q21_uses_semi_and_anti_joins(spark):
     # EXISTS → LeftSemi, NOT EXISTS → LeftAnti; no cartesian fallbacks
     plan = plan_of(entry_mod.queries()["q21_waiting_suppliers"](spark, SF_DIR))
