@@ -2040,6 +2040,130 @@ def audit_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time text normalization: control chars, casing, and
+    whitespace runs are seeded deterministically (doc_id-keyed) into the
+    clean fixture text, then ``normalize_text`` canonicalizes — the
+    round-trip proves the pass restores the canonical form. Normalizing
+    BEFORE hashing is what makes every fingerprint edit-stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.lit("  \t"),
+        F.when(F.col("doc_id") % 3 == 0, F.upper("text")).otherwise(F.col("text")),
+        F.lit("\x07  trailing\x1f junk\n\n"),
+    )
+    norm = text_ops.normalize_text(messy)
+    return docs.select(
+        "doc_id",
+        F.length(messy).cast("long").alias("n_chars_raw"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+        F.md5(norm).alias("norm_md5"),
+    )
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary sizing: top-50 corpus vocabulary with rank and
+    cumulative-coverage share (what fraction of all token occurrences a
+    k-entry vocab covers)."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = text_ops.build_vocab(docs, "text", top_k=50)
+    return vocab.select(
+        "token",
+        "cnt",
+        F.col("rank").cast("int").alias("rank"),
+        "cum_cnt",
+        F.round(F.col("cum_cnt").cast("double") / F.col("total_cnt").cast("double"), 6)
+        .alias("coverage"),
+    )
+
+
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF keywords (smoothed idf; integer outputs,
+    float score used only for ordering so the result hash-matches)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text_ops.tfidf_top_terms(docs, "doc_id", "text", k=3)
+    return out.select(
+        F.col("id").cast("long").alias("doc_id"), "term", "tf", "df",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus update: even doc_ids play the existing corpus,
+    odd doc_ids the incoming batch; admit only incoming docs whose
+    fingerprint is new to the corpus AND first within the batch. The
+    steady-state dedup shape at 100 TB — per-batch cost only."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    incoming = docs.where(F.col("doc_id") % 2 == 1)
+    out = dedup_ops.incremental_dedup(incoming, corpus, "doc_id", "text")
+    return out.select("doc_id", "lang", "fp")
+
+
+def curriculum_bins_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum labeling: every document binned 1..4 by exact quartile
+    boundaries of its unique-token-ratio quality score — broadcast
+    boundary table + narrow compare, no global sort."""
+    from datapipelines_essentials_python_spark.operators.sampling import curriculum_bins
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text_ops.tokens(F.col("text"))
+    score = F.round(
+        F.size(F.array_distinct(toks)).cast("double")
+        / F.greatest(F.size(toks), F.lit(1)).cast("double"),
+        6,
+    )
+    out = curriculum_bins(docs, score, "doc_id", num_bins=4)
+    return out.select("doc_id", F.col("score"), F.col("bin"))
+
+
+def domain_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-domain flattening: cap every source domain at 12 documents,
+    chosen by deterministic md5 order (a reproducible uniform draw, not
+    scan order)."""
+    from datapipelines_essentials_python_spark.operators.sampling import balance_domains
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = balance_domains(docs, "source", "doc_id", cap=12, salt="bal")
+    return out.select("doc_id", "source")
+
+
+def global_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible epoch ordering: every document assigned a (shard, pos)
+    coordinate — md5-bucket shard + md5-rank position. Same permutation on
+    every run/engine/cluster size; at scale this is repartition +
+    sortWithinPartitions, never a global sort."""
+    from datapipelines_essentials_python_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = deterministic_shuffle(docs, "doc_id", num_shards=8, salt="epoch0")
+    return out.select("doc_id", F.col("shard"), F.col("pos"))
+
+
+def sql_api_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front door: the same engine via ``spark.sql`` over temp
+    views — proving the surface isn't DataFrame-only. Catalyst compiles
+    this to the identical plan as the DataFrame twin (broadcast dims,
+    partial aggs)."""
+    for t in ("orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation,
+               year(o.o_orderdate) AS order_year,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                   AS total_price,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM v_orders o
+        JOIN v_customer c ON o.o_custkey = c.c_custkey
+        JOIN v_nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name, year(o.o_orderdate)
+        """
+    )
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -2149,6 +2273,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_pipeline_v2": training_pipeline_v2,
         "ols_fit": ols_fit,
         "audit_columns": audit_columns,
+        "text_normalize": text_normalize,
+        "vocab_coverage": vocab_coverage,
+        "tfidf_top_terms": tfidf_top_terms_q,
+        "incremental_dedup": incremental_dedup_q,
+        "curriculum_bins": curriculum_bins_q,
+        "domain_balance": domain_balance,
+        "global_shuffle_order": global_shuffle_order,
+        "sql_api_revenue": sql_api_revenue,
     }
 
 

@@ -620,3 +620,43 @@ def connected_components_star(
         labels = labels.select("id", F.col("comp").alias("component"))
     labels._sg_rounds = rounds
     return labels
+
+
+# --------------------------------------------------------------------------
+# incremental (cross-corpus) dedup
+# --------------------------------------------------------------------------
+def incremental_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    ngram: int = 3,
+    keep: int = 4,
+) -> DataFrame:
+    """Incremental corpus update: admit only the incoming documents whose
+    winnowing fingerprint (``text.fingerprint``) appears neither in the
+    existing corpus nor earlier (smaller id) in the incoming batch itself.
+
+    This is the steady-state form of corpus dedup at scale: the O(corpus)
+    sketch work happened once, historically; each new batch costs only its
+    own fingerprints + one anti-join against the corpus fingerprint table
+    (batch-sized build side → broadcast when small, shuffle-hash when not)
+    + one batch-local keep-first window. The full-corpus LSH pass is never
+    re-run.
+
+    Returns the surviving rows of ``new_df`` with their ``fp`` column.
+    """
+    from pyspark.sql import Window
+
+    from datapipelines_essentials_python_spark.operators.text import fingerprint
+
+    fp = fingerprint(text_col, ngram=ngram, keep=keep)
+    new_fp = new_df.withColumn("fp", fp)
+    corpus_fp = corpus_df.select(fingerprint(text_col, ngram=ngram, keep=keep).alias("fp"))
+    fresh = new_fp.join(corpus_fp.distinct(), "fp", "left_anti")
+    w = Window.partitionBy("fp").orderBy(F.col(id_col))
+    return (
+        fresh.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

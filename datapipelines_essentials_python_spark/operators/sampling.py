@@ -83,3 +83,95 @@ def weighted_sample(
     documents survive proportionally more often, with zero shuffle cost.
     """
     return df.where(hash_fraction(id_col, salt) < weight)
+
+
+def balance_domains(
+    df: DataFrame, domain_col: str, id_col: str, cap: int, salt: str = ""
+) -> DataFrame:
+    """Domain re-balancing by deterministic downsampling: keep at most
+    ``cap`` rows per domain, chosen by md5(salt|id) order (a uniform,
+    reproducible draw — NOT "first cap rows seen", which would bias toward
+    whatever the scan touched first).
+
+    The standard head-domain flattening move for crawled corpora (cap
+    wikipedia/reddit-sized domains so the mixture isn't dominated). One
+    shuffle on the domain key + a per-domain ranking window; heavily
+    skewed head domains are exactly the rows the cap discards, and the
+    window never materializes more than a partition at a time.
+    """
+    from pyspark.sql import Window
+
+    c = F.col(id_col)
+    key = F.md5(F.concat(F.lit(salt), F.lit("|"), c.cast("string")))
+    w = Window.partitionBy(domain_col).orderBy(key, c)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
+def curriculum_bins(
+    df: DataFrame,
+    score: Column,
+    id_col: str,
+    num_bins: int = 4,
+    probs: tuple[float, ...] | None = None,
+) -> DataFrame:
+    """Curriculum binning: label every row with a difficulty/quality bin
+    1..num_bins by exact score quantile boundaries — bin 1 holds the
+    lowest scores. Two passes, both scale-safe: ONE exact-percentile
+    aggregation producing a 1-row boundary table (broadcast), then a
+    narrow per-row boundary compare. No global sort, no single-partition
+    ntile window — the classic trap this operator exists to avoid.
+
+    Boundary rows (score == boundary) go to the lower bin on every engine
+    (strict ``>`` compare on the identical float), so the binning is
+    deterministic and oracle-checkable. → input columns + (score, bin).
+    """
+    if probs is None:
+        probs = tuple((i + 1) / num_bins for i in range(num_bins - 1))
+    scored = df.withColumn("score", score)
+    bounds = scored.agg(
+        *[
+            F.expr(f"percentile(score, {p!r})").alias(f"b{i}")
+            for i, p in enumerate(probs)
+        ]
+    )
+    bin_col = F.lit(1)
+    for i in range(len(probs)):
+        bin_col = bin_col + F.when(F.col("score") > F.col(f"b{i}"), 1).otherwise(0)
+    return (
+        scored.crossJoin(F.broadcast(bounds))
+        .withColumn("bin", bin_col.cast("int"))
+        .drop(*[f"b{i}" for i in range(len(probs))])
+    )
+
+
+def deterministic_shuffle(
+    df: DataFrame, id_col: str, num_shards: int, salt: str = "shuffle"
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    ``(shard, pos)`` coordinate — shard = md5-hash bucket, pos = rank of
+    the md5 key within the shard — giving a reproducible random
+    permutation of the corpus for epoch ordering (same order every run,
+    every engine, every cluster size; ``df.orderBy(rand())`` gives none of
+    that).
+
+    At scale this is exactly ``repartition(num_shards, shard)`` +
+    ``sortWithinPartitions(key)``: one all-to-all exchange, per-partition
+    sort, no global sort. The window form here emits the same coordinates
+    as auditable columns.
+    """
+    from pyspark.sql import Window
+
+    c = F.col(id_col)
+    key = F.md5(F.concat(F.lit(salt), F.lit("|"), c.cast("string")))
+    shard = F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % num_shards
+    w = Window.partitionBy("shard").orderBy("key", id_col)
+    return (
+        df.withColumn("key", key)
+        .withColumn("shard", shard.cast("int"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("key")
+    )

@@ -340,3 +340,101 @@ def contamination(
             ).alias("ratio"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# text normalization
+# --------------------------------------------------------------------------
+def normalize_text(col: Column | str, lowercase: bool = True) -> Column:
+    """Canonical text normalization for ingest: strip control characters
+    (C0 + DEL → space), optionally lowercase, collapse whitespace runs to
+    a single space, and trim. The standard first pass over raw crawled
+    text before tokenization/dedup — normalizing FIRST makes every
+    downstream hash (fingerprints, MinHash, SimHash) edit-stable.
+
+    Pure regexp Column expression — scan-speed, no Python workers, and the
+    same RE2/Java-portable character classes as the PII patterns, so the
+    pass is replayable on any engine.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"[\x00-\x1f\x7f]", " ")
+    if lowercase:
+        c = F.lower(c)
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+# --------------------------------------------------------------------------
+# vocabulary construction
+# --------------------------------------------------------------------------
+def build_vocab(
+    df: DataFrame, text_col: str = "text", top_k: int | None = None
+) -> DataFrame:
+    """Corpus vocabulary with coverage accounting: token → count, frequency
+    rank (count desc, token asc — a total order), cumulative count, and
+    corpus total. ``cum_cnt / total_cnt`` at rank k is the fraction of all
+    token occurrences a k-entry vocabulary covers — the curve you read off
+    to size a tokenizer vocab.
+
+    Scale shape: one word-count shuffle (map-side combined) over the
+    corpus, then a single-partition ranking window over the VOCABULARY
+    (≪ corpus; a few million rows at web scale, fine on one task). The
+    corpus itself is never globally sorted.
+    """
+    from pyspark.sql import Window
+
+    counts = unigram_counts(df, text_col)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    ranked = counts.select(
+        "token",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.row_number().over(w).alias("rank"),
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum_cnt"),
+    )
+    if top_k is not None:
+        ranked = ranked.where(F.col("rank") <= top_k)
+    total = df.agg(F.sum(token_count(text_col)).cast("long").alias("total_cnt"))
+    return ranked.crossJoin(F.broadcast(total))
+
+
+# --------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# --------------------------------------------------------------------------
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Per-document top-k terms by smoothed TF-IDF:
+    ``score = tf * ln((n_docs + 1) / (df + 1))``, ranked per document with
+    score desc, term asc (ties share tf and df, so term order makes the
+    ranking total and engine-portable). → (id, term, tf, df, rank).
+
+    The float score is used ONLY for ordering — the emitted columns are
+    integers, so results hash-match across engines despite float log.
+
+    Scale shape: explode → per-(doc, term) count (one shuffle, map-side
+    combined) → document-frequency agg on the term table (second shuffle,
+    vocabulary-sized) joined back by term, n_docs broadcast as a 1-row
+    scalar, then one per-document ranking window. No global sort.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.col("tf").cast("double") * F.log(
+        (F.col("n_docs") + F.lit(1)).cast("double")
+        / (F.col("df") + F.lit(1)).cast("double")
+    )
+    w = Window.partitionBy("id").orderBy(score.desc(), F.col("term"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select("id", "term", "tf", "df", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= k)
+    )

@@ -1458,3 +1458,125 @@ ORACLES["training_pipeline_v2"] = (
     .replace("FROM clean", "FROM decon")
     .replace("),\ns AS (", _V2_DECON_CTES)
 )
+
+# ---- round 2: training-data curation additions ----------------------------
+
+# text_normalize: seed deterministic mess (control chars, casing, whitespace
+# runs) keyed on doc_id, then canonicalize exactly like text.normalize_text.
+ORACLES["text_normalize"] = """
+WITH messy AS (
+  SELECT doc_id,
+    '  ' || chr(9)
+      || CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END
+      || chr(7) || '  trailing' || chr(31) || ' junk' || chr(10) || chr(10)
+      AS raw
+  FROM documents),
+norm AS (
+  SELECT doc_id, raw,
+    trim(regexp_replace(
+      lower(regexp_replace(raw, '[\\x00-\\x1f\\x7f]', ' ', 'g')),
+      '\\s+', ' ', 'g')) AS n
+  FROM messy)
+SELECT doc_id,
+  CAST(len(raw) AS BIGINT) AS n_chars_raw,
+  CAST(len(n) AS BIGINT) AS n_chars_norm,
+  md5(n) AS norm_md5
+FROM norm
+"""
+
+ORACLES["vocab_coverage"] = f"""
+WITH t AS (SELECT {TOKS} AS toks FROM documents),
+e AS (SELECT unnest(toks) AS token FROM t),
+c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY token),
+r AS (SELECT token, cnt,
+        row_number() OVER (ORDER BY cnt DESC, token) AS rank,
+        CAST(sum(cnt) OVER (ORDER BY cnt DESC, token
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt
+      FROM c),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_cnt FROM c)
+SELECT token, cnt, CAST(rank AS INT) AS rank, cum_cnt,
+  round(CAST(cum_cnt AS DOUBLE) / CAST(total_cnt AS DOUBLE), 6) AS coverage
+FROM r, tot WHERE rank <= 50
+"""
+
+ORACLES["tfidf_top_terms"] = f"""
+WITH e AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM e GROUP BY doc_id, term),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+s AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+        row_number() OVER (PARTITION BY tf.doc_id
+          ORDER BY CAST(tf.tf AS DOUBLE)
+                   * ln(CAST(n_docs + 1 AS DOUBLE) / CAST(dfq.df + 1 AS DOUBLE))
+                   DESC, tf.term) AS rank
+      FROM tf JOIN dfq USING (term), nd)
+SELECT doc_id, term, tf, df, CAST(rank AS INT) AS rank FROM s WHERE rank <= 3
+"""
+
+# incremental_dedup: even ids = existing corpus, odd ids = incoming batch;
+# admit incoming docs whose winnowing fingerprint is new to the corpus AND
+# first (smallest id) within the batch.
+ORACLES["incremental_dedup"] = f"""
+WITH t AS (SELECT doc_id, lang, {TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, lang, {SHINGLES} AS sh FROM t),
+f AS (SELECT doc_id, lang,
+        md5(coalesce(array_to_string(
+          list_sort([md5(x) for x in sh])[1:4], '|'), '')) AS fp
+      FROM s),
+corpus AS (SELECT DISTINCT fp FROM f WHERE doc_id % 2 = 0),
+fresh AS (SELECT * FROM f WHERE doc_id % 2 = 1
+          AND fp NOT IN (SELECT fp FROM corpus)),
+r AS (SELECT doc_id, lang, fp,
+        row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM fresh)
+SELECT doc_id, lang, fp FROM r WHERE rn = 1
+"""
+
+ORACLES["curriculum_bins"] = f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+sc AS (SELECT doc_id,
+         round(CAST(len(list_distinct(toks)) AS DOUBLE)
+               / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS score
+       FROM t),
+b AS (SELECT quantile_cont(score, 0.25) AS b0,
+             quantile_cont(score, 0.5) AS b1,
+             quantile_cont(score, 0.75) AS b2 FROM sc)
+SELECT doc_id, score,
+  CAST(1 + CAST(score > b0 AS INT) + CAST(score > b1 AS INT)
+         + CAST(score > b2 AS INT) AS INT) AS bin
+FROM sc, b
+"""
+
+ORACLES["domain_balance"] = """
+WITH r AS (
+  SELECT doc_id, source,
+    row_number() OVER (PARTITION BY source
+      ORDER BY md5('bal' || '|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents)
+SELECT doc_id, source FROM r WHERE rn <= 12
+"""
+
+_SHUF_KEY = "md5('epoch0' || '|' || CAST(doc_id AS VARCHAR))"
+ORACLES["global_shuffle_order"] = f"""
+WITH k AS (
+  SELECT doc_id, {_SHUF_KEY} AS key,
+    CAST({_hex_to_long(_SHUF_KEY, 8)} % 8 AS INT) AS shard
+  FROM documents)
+SELECT doc_id, shard,
+  CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) AS BIGINT)
+    AS pos
+FROM k
+"""
+
+ORACLES["sql_api_revenue"] = """
+SELECT n.n_name AS nation,
+       year(o.o_orderdate) AS order_year,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+           AS total_price,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name, year(o.o_orderdate)
+"""

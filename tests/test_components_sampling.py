@@ -310,3 +310,83 @@ def test_weighted_sample_rates_scale_with_weight(spark):
     # deterministic: identical sample on re-run
     again = [r["id"] for r in sampling.weighted_sample(df, "id", F.col("w")).collect()]
     assert sorted(kept) == sorted(again)
+
+
+def test_balance_domains_caps_and_is_deterministic(spark):
+    import pyspark.sql.functions as F
+
+    from datapipelines_essentials_python_spark.operators.sampling import balance_domains
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 40 else "small") for i in range(50)],
+        "doc_id long, source string",
+    )
+    out = balance_domains(df, "source", "doc_id", cap=5)
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(
+        F.count("*").alias("n")
+    ).collect()}
+    assert counts == {"big": 5, "small": 5}
+    again = sorted(r["doc_id"] for r in balance_domains(df, "source", "doc_id", cap=5).collect())
+    assert sorted(r["doc_id"] for r in out.collect()) == again
+
+
+def test_curriculum_bins_quartiles(spark):
+    import pyspark.sql.functions as F
+
+    from datapipelines_essentials_python_spark.operators.sampling import curriculum_bins
+
+    df = spark.createDataFrame([(i,) for i in range(1, 101)], "doc_id long")
+    out = curriculum_bins(df, F.col("doc_id").cast("double"), "doc_id", num_bins=4)
+    by_bin = {
+        r["bin"]: r["n"]
+        for r in out.groupBy("bin").agg(F.count("*").alias("n")).collect()
+    }
+    assert sum(by_bin.values()) == 100 and set(by_bin) == {1, 2, 3, 4}
+    # quartiles of 1..100 split 25/25/25/25 (boundary rows go low)
+    assert by_bin == {1: 26, 2: 25, 3: 25, 4: 24} or by_bin == {1: 25, 2: 25, 3: 25, 4: 25}
+    # bin is monotone in score
+    rows = out.orderBy("doc_id").collect()
+    assert all(a["bin"] <= b["bin"] for a, b in zip(rows, rows[1:]))
+
+
+def test_deterministic_shuffle_is_a_permutation(spark):
+    from datapipelines_essentials_python_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    out = deterministic_shuffle(df, "doc_id", num_shards=4).collect()
+    assert len(out) == 200
+    assert {r["shard"] for r in out} == {0, 1, 2, 3}
+    # positions are 1..n_shard within each shard (a true permutation)
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in out:
+        per[r["shard"]].append(r["pos"])
+    for shard, poss in per.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # reproducible
+    again = {(r["doc_id"], r["shard"], r["pos"]) for r in
+             deterministic_shuffle(df, "doc_id", num_shards=4).collect()}
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in out} == again
+
+
+def test_incremental_dedup_admits_only_new_fingerprints(spark):
+    from datapipelines_essentials_python_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon"), (2, "one two three four five")],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            (11, "alpha beta gamma delta epsilon"),   # dup of corpus → dropped
+            (13, "totally fresh new document text"),  # new → kept
+            (15, "totally fresh new document text"),  # dup within batch → dropped
+            (17, "another brand new unique doc here"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in incremental_dedup(incoming, corpus, "doc_id").collect())
+    assert kept == [13, 17]

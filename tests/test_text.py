@@ -146,3 +146,59 @@ def test_contamination_strategies_agree(spark):
     a = sorted(map(tuple, contamination(docs, ev, strategy="broadcast_array").collect()))
     b = sorted(map(tuple, contamination(docs, ev, strategy="join").collect()))
     assert a == b
+
+
+def test_normalize_text(spark):
+    from datapipelines_essentials_python_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "  Hello\t\x07WORLD  \n\nfoo\x1f bar  ")], "id long, text string"
+    )
+    out = df.select(normalize_text("text").alias("n")).head()["n"]
+    assert out == "hello world foo bar"
+    # idempotent: normalizing a normalized string is a no-op
+    df2 = spark.createDataFrame([(1, out)], "id long, text string")
+    assert df2.select(normalize_text("text").alias("n")).head()["n"] == out
+
+
+def test_normalize_text_preserves_case_when_asked(spark):
+    from datapipelines_essentials_python_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame([(1, " A  B ")], "id long, text string")
+    assert (
+        df.select(normalize_text("text", lowercase=False).alias("n")).head()["n"]
+        == "A B"
+    )
+
+
+def test_build_vocab_coverage_monotone(spark):
+    from datapipelines_essentials_python_spark.operators.text import build_vocab
+
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b d")], "id long, text string"
+    )
+    rows = build_vocab(df, "text").orderBy("rank").collect()
+    assert [r["token"] for r in rows] == ["a", "b", "c", "d"]
+    assert [r["cnt"] for r in rows] == [4, 3, 1, 1]
+    assert [r["cum_cnt"] for r in rows] == [4, 7, 8, 9]
+    assert all(r["total_cnt"] == 9 for r in rows)
+    # ties (c=1, d=1) broken by token order
+    assert rows[2]["token"] < rows[3]["token"]
+
+
+def test_tfidf_top_terms_ranks_distinctive_terms_first(spark):
+    from datapipelines_essentials_python_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "common common zebra zebra zebra"),
+            (2, "common common common yak"),
+            (3, "common plain words"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(df, "doc_id", "text", k=1).collect()
+    top = {r["id"]: r["term"] for r in out}
+    # the doc-unique term beats the corpus-wide one despite lower tf
+    assert top[1] == "zebra" and top[2] == "yak"
+    assert all(r["rank"] == 1 for r in out)
