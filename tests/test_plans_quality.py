@@ -145,3 +145,50 @@ def test_ols_single_aggregation(spark):
     assert "HashAggregate" in plan
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_text_normalize_is_pure_narrow(spark):
+    # normalization is a scan-speed projection: no exchange, no Python
+    plan = plan_of(entry_mod.queries()["text_normalize"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_new_curation_queries_stay_jvm_side(spark):
+    qs = entry_mod.queries()
+    for name in (
+        "vocab_coverage",
+        "tfidf_top_terms",
+        "incremental_dedup",
+        "curriculum_bins",
+        "domain_balance",
+        "global_shuffle_order",
+    ):
+        plan = plan_of(qs[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_sql_api_revenue_matches_dataframe_plan_shape(spark):
+    # the SQL front door compiles to the same physical strategy the
+    # DataFrame API gets: broadcast dim joins, partial hash aggregation
+    plan = plan_of(entry_mod.queries()["sql_api_revenue"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_curriculum_bins_broadcasts_boundaries(spark):
+    # the quantile boundary table is a 1-row broadcast, not a sort or a
+    # single-partition ntile window
+    plan = plan_of(entry_mod.queries()["curriculum_bins"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Window" not in plan
+
+
+def test_incremental_dedup_is_anti_join(spark):
+    plan = plan_of(entry_mod.queries()["incremental_dedup"](spark, SF_DIR))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
