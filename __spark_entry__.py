@@ -2142,6 +2142,22 @@ def global_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.col("shard"), F.col("pos"))
 
 
+def kmeans_step_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact Lloyd iteration over the embedding corpus: assign every
+    vector to its nearest deterministic seed centroid (every 31st vector),
+    then recompute per-cluster per-dimension means with DECIMAL-exact
+    sums. The training-side twin of the IVF index the ANN queries read."""
+    from datapipelines_essentials_python_spark.operators.clustering import kmeans_step
+
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
+    centroids = emb.where(F.col("vec_id") % 31 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    return kmeans_step(emb, centroids).select(
+        F.col("cluster").cast("long").alias("cluster"), "dim", "centroid", "n"
+    )
+
+
 def sql_api_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL front door: the same engine via ``spark.sql`` over temp
     views — proving the surface isn't DataFrame-only. Catalyst compiles
@@ -2281,6 +2297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_balance": domain_balance,
         "global_shuffle_order": global_shuffle_order,
         "sql_api_revenue": sql_api_revenue,
+        "kmeans_step": kmeans_step_q,
     }
 
 

@@ -102,6 +102,18 @@ HEADLINE = [
     "quantile_profile",
     "training_pipeline_v2",
     "gap_fill_events",
+    # round 2: curation slate (normalization, vocab/TF-IDF, incremental
+    # dedup, curriculum, domain balance, epoch shuffle, SQL front door,
+    # k-means training step)
+    "text_normalize",
+    "vocab_coverage",
+    "tfidf_top_terms",
+    "incremental_dedup",
+    "curriculum_bins",
+    "domain_balance",
+    "global_shuffle_order",
+    "sql_api_revenue",
+    "kmeans_step",
 ]
 
 

@@ -1580,3 +1580,28 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name, year(o.o_orderdate)
 """
+
+# kmeans_step: one Lloyd iteration — nearest-centroid assignment (rounded
+# cosine, centroid-id tie-break, same fragment as the IVF oracles) + per-
+# (cluster, dim) DECIMAL-exact mean.
+ORACLES["kmeans_step"] = f"""
+WITH cent AS (
+  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id % 31 = 0),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cent_id AS cell,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY {_IVF_COS('e.embedding', 'c.cv')} DESC, c.cent_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c)
+  WHERE rn = 1),
+exploded AS (
+  SELECT a.cell AS cluster,
+    unnest(range(0, len(e.embedding))) AS dim,
+    unnest(e.embedding) AS val
+  FROM embeddings e JOIN assigned a USING (vec_id))
+SELECT CAST(cluster AS BIGINT) AS cluster, CAST(dim AS INT) AS dim,
+  round(CAST(sum(CAST(CAST(val AS DOUBLE) AS DECIMAL(27,10))) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE), 6) AS centroid,
+  CAST(count(*) AS BIGINT) AS n
+FROM exploded GROUP BY cluster, dim
+"""

@@ -390,3 +390,63 @@ def test_incremental_dedup_admits_only_new_fingerprints(spark):
     )
     kept = sorted(r["doc_id"] for r in incremental_dedup(incoming, corpus, "doc_id").collect())
     assert kept == [13, 17]
+
+
+def test_kmeans_step_recovers_separated_clusters(spark):
+    from datapipelines_essentials_python_spark.operators.clustering import kmeans_step
+
+    # two well-separated directions in 2-D; seeds = one member of each
+    vecs = [
+        (0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [1.0, 0.2]),   # cluster around +x
+        (10, [0.0, 1.0]), (11, [0.1, 0.9]),                  # cluster around +y
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    centroids = df.where("vec_id in (0, 10)").selectExpr(
+        "vec_id as cent_id", "embedding as cent_vec"
+    )
+    out = kmeans_step(df, centroids).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], {})[r["dim"]] = (r["centroid"], r["n"])
+    assert set(by_cluster) == {0, 10}
+    # +x cluster: members 0,1,2 → mean = (2.9/3, 0.3/3)
+    assert by_cluster[0][0][1] == 3 and by_cluster[10][0][1] == 2
+    assert abs(by_cluster[0][0][0] - 2.9 / 3) < 1e-6
+    assert abs(by_cluster[0][1][0] - 0.3 / 3) < 1e-6
+    assert abs(by_cluster[10][0][0] - 0.1 / 2) < 1e-6
+    assert abs(by_cluster[10][1][0] - 1.9 / 2) < 1e-6
+
+
+def test_kmeans_iterates_toward_stability(spark):
+    from pyspark.sql import functions as F
+
+    from datapipelines_essentials_python_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_step,
+    )
+
+    vecs = [(i, [1.0 + 0.01 * i, 0.0]) for i in range(5)] + [
+        (100 + i, [0.0, 1.0 + 0.01 * i]) for i in range(5)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    cents = df.where("vec_id in (0, 100)").selectExpr(
+        "vec_id as cent_id", "embedding as cent_vec"
+    )
+    step1 = kmeans_step(df, cents)
+    # rebuild a centroid table from the step output and run assignment again:
+    # a second iteration must not move any point (the clusters are stable)
+    new_cents = (
+        step1.groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "centroid"))).alias("s"))
+        .select(
+            F.col("cluster").alias("cent_id"),
+            F.expr("transform(s, x -> cast(x.centroid as float))").alias("cent_vec"),
+        )
+    )
+    a1 = {r["vec_id"]: r["cell"] for r in kmeans_assign(df, cents).collect()}
+    a2 = {r["vec_id"]: r["cell"] for r in kmeans_assign(df, new_cents).collect()}
+    assert set(a1.values()) == {0, 100}
+    # same partition of points, just relabeled by the new centroid ids
+    groups1 = {c: {v for v, cc in a1.items() if cc == c} for c in set(a1.values())}
+    groups2 = {c: {v for v, cc in a2.items() if cc == c} for c in set(a2.values())}
+    assert sorted(map(sorted, groups1.values())) == sorted(map(sorted, groups2.values()))

@@ -148,3 +148,83 @@ def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
         read_data(spark, "jdbc", options={**opts, "url": url, "dbtable": "T1"}).count()
         == 105
     )
+
+
+# --------------------------------------------------------------------------
+# bucketed layout: the zero-exchange co-located join
+# --------------------------------------------------------------------------
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path, sf_dir):
+    import io as _io
+    import contextlib
+
+    from pyspark.sql import functions as F
+
+    from datapipelines_essentials_python_spark.io.bucketing import (
+        assert_cobucketed,
+        bucket_spec,
+        write_bucketed,
+    )
+    from datapipelines_essentials_python_spark.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    write_bucketed(orders, "b_orders", "o_orderkey", 4, sort_cols="o_orderkey")
+    write_bucketed(
+        lineitem, "b_lineitem", "l_orderkey", 4, sort_cols="l_orderkey"
+    )
+    try:
+        assert bucket_spec(spark, "b_orders") == (4, ["o_orderkey"])
+        assert_cobucketed(spark, "b_orders", "b_lineitem")
+
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("b_orders").join(
+                spark.table("b_lineitem"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            buf = _io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                joined.explain("formatted")
+            plan = buf.getvalue()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        # the whole point: co-located buckets join with ZERO exchange
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+        # and the result is the plain join's result
+        expected = orders.join(
+            lineitem, F.col("o_orderkey") == F.col("l_orderkey")
+        ).count()
+        assert joined.count() == expected
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_assert_cobucketed_rejects_mismatch(spark, sf_dir):
+    import pytest as _pytest
+
+    from datapipelines_essentials_python_spark.io.bucketing import (
+        assert_cobucketed,
+        write_bucketed,
+    )
+    from datapipelines_essentials_python_spark.tables import load_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    write_bucketed(nation, "b_n4", "n_nationkey", 4)
+    write_bucketed(nation, "b_n8", "n_nationkey", 8)
+    try:
+        with _pytest.raises(ValueError, match="bucket counts differ"):
+            assert_cobucketed(spark, "b_n4", "b_n8")
+        with _pytest.raises(ValueError, match="not bucketed"):
+            nation.createOrReplaceTempView("plain_nation")
+            assert_cobucketed(spark, "b_n4", "plain_nation")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_n4")
+        spark.sql("DROP TABLE IF EXISTS b_n8")
