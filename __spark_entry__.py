@@ -2142,6 +2142,42 @@ def global_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.col("shard"), F.col("pos"))
 
 
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation audit: two deterministic variants of the
+    orders table (old drops keys %7=0; new drops %11=0 and bumps the
+    price of %5=0) reconciled with one full-outer join — every key
+    classified added / removed / changed / unchanged. The audit twin of
+    cdc_merge."""
+    orders = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    old = orders.where(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", F.md5(price.cast("string")).alias("hashcode")
+    )
+    new_price = F.when(
+        F.col("o_orderkey") % 5 == 0, price + F.lit(1).cast("decimal(18,2)")
+    ).otherwise(price)
+    new = orders.where(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey", F.md5(new_price.cast("string")).alias("hashcode")
+    )
+    return cdc_ops.snapshot_diff(old, new, ["o_orderkey"])
+
+
+def rolling_events_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day moving average of event value per type — daily
+    pre-aggregate then a RANGE window over the day offset (gap-correct),
+    decimal-exact sums under the rolling mean."""
+    events = load_table(spark, sf_dir, "events")
+    return rel_ops.rolling_daily_mean(events, "event_type", "ts", "value")
+
+
+def iqr_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier profile per event type: exact quartile fences
+    (rounded 6 dp) + outlier counts; swap percentile→approx_percentile at
+    scale for one-pass sketching."""
+    events = load_table(spark, sf_dir, "events")
+    return rel_ops.iqr_outliers(events, "event_type", "value")
+
+
 def kmeans_step_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One exact Lloyd iteration over the embedding corpus: assign every
     vector to its nearest deterministic seed centroid (every 31st vector),
@@ -2298,6 +2334,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_shuffle_order": global_shuffle_order,
         "sql_api_revenue": sql_api_revenue,
         "kmeans_step": kmeans_step_q,
+        "snapshot_diff": snapshot_diff_orders,
+        "rolling_events_7d": rolling_events_7d,
+        "iqr_outlier_events": iqr_outlier_events,
     }
 
 

@@ -114,6 +114,10 @@ HEADLINE = [
     "global_shuffle_order",
     "sql_api_revenue",
     "kmeans_step",
+    # round 2: reconciliation audit + time-series/robust-stats profile
+    "snapshot_diff",
+    "rolling_events_7d",
+    "iqr_outlier_events",
 ]
 
 

@@ -123,3 +123,49 @@ def apply_cdc_pipeline(
     delta = merge_cdc(history, incoming, pk_cols, order_cols)
     full = delta if history is None else history.unionByName(delta, allowMissingColumns=True)
     return delta, snapshot(full, pk_cols, order_cols)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    pk_cols: list[str],
+    hash_col: str = "hashcode",
+) -> DataFrame:
+    """Full reconciliation between two snapshots: one full-outer join on
+    the keys classifying every key as ``added`` (new only), ``removed``
+    (old only), ``changed`` (both, hashes differ), or ``unchanged``.
+
+    The audit twin of :func:`merge_cdc` — merge produces the rows to
+    apply, diff produces the report you reconcile row counts against
+    (reference lifecycle: `clinical_trial_etl.py` CDC steps). Cost is the
+    same single shuffle the merge pays: both sides hash-partitioned on
+    the key columns, no extra passes.
+
+    → pk columns + ``status``.
+    """
+    o = old.select(
+        *[F.col(c).alias(f"__o_{c}") for c in pk_cols],
+        F.col(hash_col).alias("__o_hash"),
+    )
+    n = new.select(
+        *[F.col(c).alias(f"__n_{c}") for c in pk_cols],
+        F.col(hash_col).alias("__n_hash"),
+    )
+    cond = None
+    for c in pk_cols:
+        clause = o[f"__o_{c}"] == n[f"__n_{c}"]
+        cond = clause if cond is None else (cond & clause)
+    joined = o.join(n, cond, "full_outer")
+    status = (
+        F.when(F.col(f"__o_{pk_cols[0]}").isNull(), F.lit("added"))
+        .when(F.col(f"__n_{pk_cols[0]}").isNull(), F.lit("removed"))
+        .when(F.col("__o_hash") != F.col("__n_hash"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(
+        *[
+            F.coalesce(F.col(f"__n_{c}"), F.col(f"__o_{c}")).alias(c)
+            for c in pk_cols
+        ],
+        status.alias("status"),
+    )

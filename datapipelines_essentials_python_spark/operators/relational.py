@@ -204,3 +204,81 @@ def gap_fill_daily(
         F.last("v", ignorenulls=True).over(w).alias("value"),
         F.col("v").isNull().alias("filled"),
     )
+
+
+def rolling_daily_mean(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing ``window_days``-day moving average per key, computed on a
+    DAILY pre-aggregate: collapse events to (key, day, decimal-exact sum,
+    count) first — one keyed shuffle over data that shrinks to
+    keys × days — then run a RANGE window over the integer day offset, so
+    gaps in the calendar still cover exactly ``window_days`` real days
+    (a ROWS frame would silently span gaps).
+
+    The rolling mean divides the windowed decimal sum by the windowed
+    count (identical float op on every engine). → (key, day, n, mean).
+    """
+    day = F.to_date(ts_col)
+    daily = (
+        df.groupBy(F.col(key_col).alias("key"), day.alias("day"))
+        .agg(
+            F.sum(F.col(value_col).cast("decimal(18,4)")).alias("s"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    epoch_day = F.datediff(F.col("day"), F.lit("1970-01-01"))
+    w = (
+        Window.partitionBy("key")
+        .orderBy(epoch_day)
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    return daily.select(
+        "key",
+        "day",
+        "n",
+        F.round(
+            F.sum("s").over(w).cast("double") / F.sum("n").over(w).cast("double"), 6
+        ).alias("mean"),
+    )
+
+
+def iqr_outliers(
+    df: DataFrame, key_col: str, value_col: str, k: float = 1.5
+) -> DataFrame:
+    """Tukey-fence outlier profile per key: bounds = Q1 − k·IQR / Q3 +
+    k·IQR (exact percentiles, rounded to 6 dp so the fence compare is
+    engine-portable), plus how many values fall outside.
+
+    Two aggregations, both one shuffle on the key: the quantile pass
+    produces a per-key bounds table (broadcast back), the count pass
+    classifies. At 100 TB swap the exact percentile for
+    ``approx_percentile`` (same contract — see approx_quantiles_profile).
+
+    → (key, n_total, n_outliers, lo, hi).
+    """
+    bounds = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.expr(f"percentile({value_col}, 0.25)").alias("q1"),
+        F.expr(f"percentile({value_col}, 0.75)").alias("q3"),
+    )
+    bounds = bounds.select(
+        "key",
+        F.round(F.col("q1") - k * (F.col("q3") - F.col("q1")), 6).alias("lo"),
+        F.round(F.col("q3") + k * (F.col("q3") - F.col("q1")), 6).alias("hi"),
+    )
+    tagged = df.join(
+        F.broadcast(bounds), F.col(key_col) == F.col("key"), "inner"
+    )
+    out_of_fence = (F.col(value_col) < F.col("lo")) | (
+        F.col(value_col) > F.col("hi")
+    )
+    return tagged.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(out_of_fence.cast("long")).cast("long").alias("n_outliers"),
+        F.first("lo").alias("lo"),
+        F.first("hi").alias("hi"),
+    )

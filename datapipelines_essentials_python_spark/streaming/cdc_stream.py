@@ -61,3 +61,68 @@ def streaming_cdc_upsert(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def streaming_incremental_dedup(
+    stream: DataFrame,
+    corpus_fps: DataFrame,
+    id_col: str,
+    text_col: str,
+    sink: Callable[[DataFrame, int], None],
+    ngram: int = 3,
+    keep: int = 4,
+    checkpoint_dir: str | None = None,
+    query_name: str = "incremental_dedup",
+) -> StreamingQuery:
+    """Streaming corpus admission: each micro-batch of documents is
+    fingerprinted and deduped against the historical corpus via the batch
+    ``dedup.incremental_dedup`` operator — one algorithm, two execution
+    modes (the same contract ``streaming_cdc_upsert`` keeps with
+    ``merge_cdc``).
+
+    ``corpus_fps`` is the served fingerprint table: pass a DataFrame with
+    either a precomputed ``fp`` column or raw ``text_col`` (fingerprints
+    are derived). The sink receives only the ADMITTED rows per batch
+    (with their ``fp``), so the caller can append them to both the corpus
+    store and the fingerprint table.
+
+    At scale the per-batch cost is batch-sized: the corpus side is a
+    fingerprint-only projection (one narrow column), and the anti-join
+    broadcasts whichever side is smaller.
+    """
+    from datapipelines_essentials_python_spark.operators.dedup import (
+        incremental_dedup,
+    )
+
+    if "fp" in corpus_fps.columns:
+        corpus = corpus_fps
+    else:
+        corpus = corpus_fps.select(text_col)
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        if "fp" in corpus.columns:
+            from pyspark.sql import Window
+            from datapipelines_essentials_python_spark.operators.text import (
+                fingerprint,
+            )
+
+            batch_fp = batch_df.withColumn(
+                "fp", fingerprint(text_col, ngram=ngram, keep=keep)
+            )
+            fresh = batch_fp.join(corpus.select("fp").distinct(), "fp", "left_anti")
+            w = Window.partitionBy("fp").orderBy(F.col(id_col))
+            admitted = (
+                fresh.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        else:
+            admitted = incremental_dedup(
+                batch_df, corpus, id_col, text_col, ngram=ngram, keep=keep
+            )
+        sink(admitted, epoch_id)
+
+    writer = stream.writeStream.queryName(query_name).foreachBatch(_process)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -1605,3 +1605,58 @@ SELECT CAST(cluster AS BIGINT) AS cluster, CAST(dim AS INT) AS dim,
   CAST(count(*) AS BIGINT) AS n
 FROM exploded GROUP BY cluster, dim
 """
+
+# snapshot_diff: full-outer reconciliation of two deterministic orders
+# variants (old: keys %7<>0; new: keys %11<>0, price bumped where %5=0).
+ORACLES["snapshot_diff"] = """
+WITH old AS (
+  SELECT o_orderkey,
+    md5(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)) AS h
+  FROM orders WHERE o_orderkey % 7 <> 0),
+new AS (
+  SELECT o_orderkey,
+    md5(CAST(CASE WHEN o_orderkey % 5 = 0
+         THEN CAST(o_totalprice AS DECIMAL(18,2)) + CAST(1 AS DECIMAL(18,2))
+         ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS VARCHAR)) AS h
+  FROM orders WHERE o_orderkey % 11 <> 0)
+SELECT COALESCE(new.o_orderkey, old.o_orderkey) AS o_orderkey,
+  CASE WHEN old.o_orderkey IS NULL THEN 'added'
+       WHEN new.o_orderkey IS NULL THEN 'removed'
+       WHEN old.h <> new.h THEN 'changed'
+       ELSE 'unchanged' END AS status
+FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+"""
+
+# rolling_events_7d: daily pre-aggregate + RANGE window over day offsets
+# (gap-correct trailing 7 real days), decimal-exact sums.
+ORACLES["rolling_events_7d"] = """
+WITH daily AS (
+  SELECT event_type AS key, CAST(date_trunc('day', ts) AS DATE) AS day,
+    SUM(CAST(value AS DECIMAL(18,4))) AS s, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2)
+SELECT key, day, n,
+  round(CAST(SUM(s) OVER w AS DOUBLE) / CAST(SUM(n) OVER w AS DOUBLE), 6)
+    AS mean
+FROM daily
+WINDOW w AS (PARTITION BY key
+  ORDER BY date_diff('day', DATE '1970-01-01', day)
+  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+ORACLES["iqr_outlier_events"] = """
+WITH b AS (
+  SELECT event_type AS key,
+    round(quantile_cont(value, 0.25)
+          - 1.5 * (quantile_cont(value, 0.75) - quantile_cont(value, 0.25)), 6)
+      AS lo,
+    round(quantile_cont(value, 0.75)
+          + 1.5 * (quantile_cont(value, 0.75) - quantile_cont(value, 0.25)), 6)
+      AS hi
+  FROM events GROUP BY 1)
+SELECT b.key, CAST(count(*) AS BIGINT) AS n_total,
+  CAST(SUM(CAST(e.value < b.lo OR e.value > b.hi AS INT)) AS BIGINT)
+    AS n_outliers,
+  first(b.lo) AS lo, first(b.hi) AS hi
+FROM events e JOIN b ON e.event_type = b.key
+GROUP BY b.key
+"""

@@ -71,3 +71,30 @@ def test_apply_cdc_pipeline(spark):
         (2, "b2"),
         (3, "c"),
     }
+
+
+def test_snapshot_diff_classifies_all_statuses(spark):
+    from datapipelines_essentials_python_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "h1"), (2, "h2"), (3, "h3")], "id long, hashcode string"
+    )
+    new = spark.createDataFrame(
+        [(2, "h2"), (3, "h3x"), (4, "h4")], "id long, hashcode string"
+    )
+    got = {r["id"]: r["status"] for r in snapshot_diff(old, new, ["id"]).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_snapshot_diff_composite_keys(spark):
+    from datapipelines_essentials_python_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", "h1")], "k1 long, k2 string, hashcode string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "h1"), (1, "b", "h2")], "k1 long, k2 string, hashcode string"
+    )
+    got = {(r["k1"], r["k2"]): r["status"]
+           for r in snapshot_diff(old, new, ["k1", "k2"]).collect()}
+    assert got == {(1, "a"): "unchanged", (1, "b"): "added"}

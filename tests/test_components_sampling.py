@@ -450,3 +450,38 @@ def test_kmeans_iterates_toward_stability(spark):
     groups1 = {c: {v for v, cc in a1.items() if cc == c} for c in set(a1.values())}
     groups2 = {c: {v for v, cc in a2.items() if cc == c} for c in set(a2.values())}
     assert sorted(map(sorted, groups1.values())) == sorted(map(sorted, groups2.values()))
+
+
+def test_rolling_daily_mean_respects_calendar_gaps(spark):
+    from datapipelines_essentials_python_spark.operators.relational import (
+        rolling_daily_mean,
+    )
+
+    # two readings 10 days apart: a ROWS frame would average both; the
+    # RANGE frame must keep them in separate 7-day windows
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", 10.0), ("a", "2024-01-11 00:00:00", 30.0)],
+        "k string, ts string, v double",
+    ).selectExpr("k", "cast(ts as timestamp) ts", "v")
+    out = {str(r["day"]): r["mean"] for r in
+           rolling_daily_mean(df, "k", "ts", "v").collect()}
+    assert out == {"2024-01-01": 10.0, "2024-01-11": 30.0}
+    # adjacent days DO share a window
+    df2 = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", 10.0), ("a", "2024-01-02 00:00:00", 30.0)],
+        "k string, ts string, v double",
+    ).selectExpr("k", "cast(ts as timestamp) ts", "v")
+    out2 = {str(r["day"]): r["mean"] for r in
+            rolling_daily_mean(df2, "k", "ts", "v").collect()}
+    assert out2["2024-01-02"] == 20.0
+
+
+def test_iqr_outliers_flags_extremes(spark):
+    from datapipelines_essentials_python_spark.operators.relational import iqr_outliers
+
+    vals = [float(v) for v in range(1, 101)] + [1000.0, -1000.0]
+    df = spark.createDataFrame([("a", v) for v in vals], "k string, v double")
+    row = iqr_outliers(df, "k", "v").head()
+    assert row["n_total"] == 102
+    assert row["n_outliers"] == 2
+    assert row["lo"] < 1.0 and row["hi"] > 100.0
