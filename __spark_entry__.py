@@ -2093,7 +2093,11 @@ def incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     odd doc_ids the incoming batch; admit only incoming docs whose
     fingerprint is new to the corpus AND first within the batch. The
     steady-state dedup shape at 100 TB — per-batch cost only."""
-    docs = load_table(spark, sf_dir, "documents")
+    from datapipelines_essentials_python_spark.operators.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True).withColumn(
+        "fp", fingerprint("text")
+    )
     corpus = docs.where(F.col("doc_id") % 2 == 0)
     incoming = docs.where(F.col("doc_id") % 2 == 1)
     out = dedup_ops.incremental_dedup(incoming, corpus, "doc_id", "text")

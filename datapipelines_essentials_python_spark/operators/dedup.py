@@ -645,14 +645,22 @@ def incremental_dedup(
     re-run.
 
     Returns the surviving rows of ``new_df`` with their ``fp`` column.
+
+    Either side may carry a precomputed ``fp`` column (the served
+    fingerprint-table shape): it is used as-is, so the sketch work isn't
+    repeated — pass it when batch and corpus derive from one scan.
     """
     from pyspark.sql import Window
 
     from datapipelines_essentials_python_spark.operators.text import fingerprint
 
     fp = fingerprint(text_col, ngram=ngram, keep=keep)
-    new_fp = new_df.withColumn("fp", fp)
-    corpus_fp = corpus_df.select(fingerprint(text_col, ngram=ngram, keep=keep).alias("fp"))
+    new_fp = new_df if "fp" in new_df.columns else new_df.withColumn("fp", fp)
+    corpus_fp = (
+        corpus_df.select("fp")
+        if "fp" in corpus_df.columns
+        else corpus_df.select(fp.alias("fp"))
+    )
     fresh = new_fp.join(corpus_fp.distinct(), "fp", "left_anti")
     w = Window.partitionBy("fp").orderBy(F.col(id_col))
     return (

@@ -192,3 +192,26 @@ def test_incremental_dedup_is_anti_join(spark):
     plan = plan_of(entry_mod.queries()["incremental_dedup"](spark, SF_DIR))
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_snapshot_diff_single_shuffle_join(spark):
+    plan = plan_of(entry_mod.queries()["snapshot_diff"](spark, SF_DIR))
+    # full-outer on the key: sort-merge join, no cartesian/nested-loop
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_rolling_mean_aggregates_before_window(spark):
+    plan = plan_of(entry_mod.queries()["rolling_events_7d"](spark, SF_DIR))
+    # the RANGE window must run over the daily PRE-AGGREGATE (keys × days),
+    # never over raw events: HashAggregate appears below the Window
+    assert "HashAggregate" in plan
+    assert "Window" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_iqr_broadcasts_bounds(spark):
+    plan = plan_of(entry_mod.queries()["iqr_outlier_events"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
