@@ -2198,6 +2198,27 @@ def kmeans_step_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kmeans_two_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO chained Lloyd iterations, oracle-checked end to end: the
+    iteration-2 centroid table is rebuilt from iteration 1's ROUNDED
+    per-dimension means, so the whole iterative run stays deterministic
+    and engine-portable — the oracle replays both rounds in SQL."""
+    from datapipelines_essentials_python_spark.operators.clustering import (
+        centroids_of,
+        kmeans_step,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
+    seeds = emb.where(F.col("vec_id") % 31 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    round1 = kmeans_step(emb, seeds)
+    round2 = kmeans_step(emb, centroids_of(round1))
+    return round2.select(
+        F.col("cluster").cast("long").alias("cluster"), "dim", "centroid", "n"
+    )
+
+
 def sql_api_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL front door: the same engine via ``spark.sql`` over temp
     views — proving the surface isn't DataFrame-only. Catalyst compiles
@@ -2338,6 +2359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_shuffle_order": global_shuffle_order,
         "sql_api_revenue": sql_api_revenue,
         "kmeans_step": kmeans_step_q,
+        "kmeans_two_step": kmeans_two_step,
         "snapshot_diff": snapshot_diff_orders,
         "rolling_events_7d": rolling_events_7d,
         "iqr_outlier_events": iqr_outlier_events,

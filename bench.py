@@ -118,6 +118,8 @@ HEADLINE = [
     "snapshot_diff",
     "rolling_events_7d",
     "iqr_outlier_events",
+    # round 2: iterative training step (two chained Lloyd rounds)
+    "kmeans_two_step",
 ]
 
 

@@ -82,3 +82,41 @@ def kmeans_step(
     (collected to a literal table or re-joined) for the next round."""
     assigned = kmeans_assign(df, centroids, id_col, vec_col)
     return kmeans_update(assigned, vec_col)
+
+
+def centroids_of(update: DataFrame) -> DataFrame:
+    """Rebuild a centroid table (cent_id, cent_vec) from a
+    :func:`kmeans_update` result. The vector is assembled from the
+    ROUNDED per-dimension means in dim order, so a rebuilt centroid is
+    identical on every engine — what makes a multi-iteration run
+    oracle-checkable end to end."""
+    return (
+        update.groupBy(F.col("cluster").alias("cent_id"))
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "centroid"))).alias("s"))
+        .select(
+            "cent_id",
+            F.expr("transform(s, x -> cast(x.centroid as double))").alias("cent_vec"),
+        )
+    )
+
+
+def kmeans_train(
+    df: DataFrame,
+    centroids: DataFrame,
+    iters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Run ``iters`` Lloyd iterations, returning the final centroid table
+    (cent_id, cent_vec). Driver-side loop, one short job per round —
+    the same iterate-and-truncate pattern as
+    ``dedup.connected_components``: ``localCheckpoint`` caps lineage so
+    the logical plan doesn't grow with the iteration count."""
+    cents = centroids
+    for _ in range(iters):
+        update = kmeans_update(kmeans_assign(df, cents, id_col, vec_col), vec_col)
+        cents = centroids_of(update)
+        if checkpoint:
+            cents = cents.localCheckpoint(eager=True)
+    return cents

@@ -1660,3 +1660,48 @@ SELECT b.key, CAST(count(*) AS BIGINT) AS n_total,
 FROM events e JOIN b ON e.event_type = b.key
 GROUP BY b.key
 """
+
+# kmeans_two_step: two chained Lloyd iterations — round 2's centroids are
+# rebuilt from round 1's ROUNDED means (list ordered by dim), then the
+# assignment + DECIMAL-exact mean repeats.
+ORACLES["kmeans_two_step"] = f"""
+WITH cent AS (
+  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id % 31 = 0),
+a1 AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cent_id AS cell,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY {_IVF_COS('e.embedding', 'c.cv')} DESC, c.cent_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c)
+  WHERE rn = 1),
+x1 AS (
+  SELECT a.cell AS cluster,
+    unnest(range(0, len(e.embedding))) AS dim,
+    unnest(e.embedding) AS val
+  FROM embeddings e JOIN a1 a USING (vec_id)),
+u1 AS (
+  SELECT cluster, dim,
+    round(CAST(sum(CAST(CAST(val AS DOUBLE) AS DECIMAL(27,10))) AS DOUBLE)
+          / CAST(count(*) AS DOUBLE), 6) AS centroid
+  FROM x1 GROUP BY cluster, dim),
+cent2 AS (
+  SELECT cluster AS cent_id, list(centroid ORDER BY dim) AS cv
+  FROM u1 GROUP BY cluster),
+a2 AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cent_id AS cell,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY {_IVF_COS('e.embedding', 'c.cv')} DESC, c.cent_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cent2 c)
+  WHERE rn = 1),
+x2 AS (
+  SELECT a.cell AS cluster,
+    unnest(range(0, len(e.embedding))) AS dim,
+    unnest(e.embedding) AS val
+  FROM embeddings e JOIN a2 a USING (vec_id))
+SELECT CAST(cluster AS BIGINT) AS cluster, CAST(dim AS INT) AS dim,
+  round(CAST(sum(CAST(CAST(val AS DOUBLE) AS DECIMAL(27,10))) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE), 6) AS centroid,
+  CAST(count(*) AS BIGINT) AS n
+FROM x2 GROUP BY cluster, dim
+"""

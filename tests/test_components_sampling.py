@@ -485,3 +485,29 @@ def test_iqr_outliers_flags_extremes(spark):
     assert row["n_total"] == 102
     assert row["n_outliers"] == 2
     assert row["lo"] < 1.0 and row["hi"] > 100.0
+
+
+def test_kmeans_train_loop_converges_and_truncates_lineage(spark):
+    from datapipelines_essentials_python_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_train,
+    )
+
+    vecs = [(i, [1.0 + 0.01 * i, 0.0]) for i in range(6)] + [
+        (100 + i, [0.0, 1.0 + 0.01 * i]) for i in range(6)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    seeds = df.where("vec_id in (0, 100)").selectExpr(
+        "vec_id as cent_id", "embedding as cent_vec"
+    )
+    cents3 = kmeans_train(df, seeds, iters=3)
+    rows = cents3.collect()
+    assert len(rows) == 2 and all(len(r["cent_vec"]) == 2 for r in rows)
+    # converged: a further assignment splits the points exactly as the seeds did
+    a = {r["vec_id"]: r["cell"] for r in kmeans_assign(df, cents3).collect()}
+    groups = {}
+    for v, c in a.items():
+        groups.setdefault(c, set()).add(v)
+    assert sorted(map(sorted, groups.values())) == [
+        list(range(6)), [100 + i for i in range(6)]
+    ]
