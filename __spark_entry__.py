@@ -560,6 +560,57 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("id_a").cast("long"), F.col("id_b").cast("long"), "cosine")
 
 
+def ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the SRP-LSH ANN scale path against the exact brute-force
+    top-k — the quality gauge you run before committing an index layout at
+    100 TB. Both sides are deterministic (md5-derived hyperplanes), so even
+    the recall measurement is hash-checkable."""
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
+    queries = emb.where(F.col("vec_id") < 8)
+    exact = sim_ops.brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+    approx = sim_ops.lsh_topk(emb, queries, "vec_id", "embedding", k=5, planes=4)
+    return sim_ops.recall_at_k(approx, exact).select(
+        F.col("query_id").cast("long"), "n_exact", "n_hit", "recall"
+    )
+
+
+def quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-k over int8-quantized embeddings — the memory-bound ANN
+    variant (4-8x smaller index payload; per-vector scales cancel in the
+    cosine, so no dequantization)."""
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
+    queries = emb.where(F.col("vec_id") < 8)
+    return sim_ops.quantized_topk(emb, queries, "vec_id", "embedding", k=5).select(
+        F.col("query_id").cast("long"),
+        F.col("neighbor_id").cast("long"),
+        F.col("rank").cast("int"),
+        "qcosine",
+    )
+
+
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` gap-based sessions (30-minute gap) — the
+    same operator Structured Streaming uses for streaming sessionization,
+    run in batch; ``sessionize`` is its hand-rolled gap-and-island twin.
+    Session end = last event + gap (the engine's contract)."""
+    events = load_table(spark, sf_dir, "events")
+    win = F.session_window("ts", "30 minutes")
+    return (
+        events.groupBy(win.alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary media column → Arrow-batched
     mapInPandas feature extraction (stub decoder; driver-mandated)."""
@@ -2293,6 +2344,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": range_join_query,
         "near_dedup_keep": near_dedup_keep,
         "embedding_lsh_topk": embedding_lsh_topk,
+        "ann_recall_lsh": ann_recall_lsh,
+        "quantized_topk": quantized_topk,
         "q6_revenue_delta": q6_revenue_delta,
         "q13_custdist": q13_custdist,
         "q14_promo_revenue": q14_promo_revenue,
@@ -2336,6 +2389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_chunks": media_chunks,
         "pack_sequences": pack_sequences,
         "hopping_window_agg": hopping_window_agg,
+        "session_window_agg": session_window_agg,
         "salted_join_events": salted_join_events,
         "q7_volume_shipping": q7_volume_shipping,
         "q8_market_share": q8_market_share,

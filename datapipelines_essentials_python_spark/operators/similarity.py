@@ -158,6 +158,95 @@ def lsh_topk(
     )
 
 
+def recall_at_k(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """Per-query recall of an approximate top-k result against the exact one.
+
+    Both inputs use the (query_id, neighbor_id, ...) contract every top-k
+    operator here returns. → (query_id, n_exact, n_hit, recall) with
+    ``recall = |approx ∩ exact| / |exact|`` rounded to 6 dp.
+
+    This is the quality gauge for the ANN scale paths: run it once per
+    (planes / n_centroids / nprobe) setting on a sampled query set to pick
+    the recall/cost point before committing the 100 TB index layout. Scale
+    shape: two narrow projections joined on (query_id, neighbor_id) — the
+    exact side is small (sampled queries × k), so the join broadcasts.
+    """
+    ex = exact.select("query_id", "neighbor_id")
+    ap = approx.select("query_id", "neighbor_id").withColumn("_hit", F.lit(1))
+    return (
+        ex.join(ap, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_hit"),
+        )
+        .withColumn(
+            "recall",
+            F.round(F.col("n_hit").cast("double") / F.col("n_exact"), 6),
+        )
+    )
+
+
+def quantize_vec(vec: Column, bits: int = 8) -> Column:
+    """Symmetric per-vector integer quantization of a float array.
+
+    scale = (2^(bits-1) - 1) / max(|v|); elements map to
+    ``floor(v * scale + 0.5)`` — floor(+0.5) instead of ``round`` so the
+    semantics are identical in every engine (SQL ``round`` half-away vs
+    half-even varies). The all-zero vector quantizes to all zeros.
+
+    Cosine over quantized vectors needs NO dequantization: the per-vector
+    scales cancel in dot/(|a||b|), so the integer arrays are the whole
+    index payload — 4× smaller than float32, 8× smaller than float64,
+    which at 100 TB is the difference between an in-memory and a spilled
+    ANN candidate join.
+    """
+    qmax = float(2 ** (bits - 1) - 1)
+    amax = F.array_max(F.transform(vec, lambda v: F.abs(v.cast("double"))))
+    scale = F.when(amax > 0, F.lit(qmax) / amax).otherwise(F.lit(0.0))
+    return F.transform(
+        vec, lambda v: F.floor(v.cast("double") * scale + F.lit(0.5)).cast("long")
+    )
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    bits: int = 8,
+) -> DataFrame:
+    """Cosine top-k over int8-quantized vectors — the memory-bound ANN
+    variant: same plan shape as :func:`brute_force_topk` (broadcast query
+    side, narrow map-side scoring, one window shuffle), but the corpus-side
+    payload is integer-quantized so candidate joins move 4-8× fewer bytes.
+
+    Integer dot products up to ~127²·dim are exactly representable in
+    doubles, so the score is deterministic and the oracle can replay it.
+    → (query_id, neighbor_id, rank, qcosine).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize_vec(F.col(vec_col), bits).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantize_vec(F.col(vec_col), bits).alias("c_vec")
+    )
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6
+        ).alias("qcosine"),
+    )
+    win = Window.partitionBy("query_id").orderBy(F.desc("qcosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "qcosine")
+    )
+
+
 def assign_to_centroid(
     df: DataFrame,
     centroids: DataFrame,

@@ -1705,3 +1705,96 @@ SELECT CAST(cluster AS BIGINT) AS cluster, CAST(dim AS INT) AS dim,
   CAST(count(*) AS BIGINT) AS n
 FROM x2 GROUP BY cluster, dim
 """
+
+# ---------------------------------------------------------------------------
+# round 2 additions: ANN recall gauge, int8-quantized top-k, native session
+# windows
+# ---------------------------------------------------------------------------
+
+# recall@5 of the SRP-LSH path (planes=4) vs brute-force exact top-5 for
+# query vectors vec_id < 8 — the oracle replays BOTH ANN paths.
+ORACLES["ann_recall_lsh"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+exact_scored AS (
+  SELECT query_id, neighbor_id,
+    {_IVF_COS('qv', 'cv')} AS cosine
+  FROM c, q WHERE query_id <> neighbor_id),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+    FROM exact_scored) WHERE rn <= 5),
+b AS (
+  SELECT vec_id, embedding, {_srp_bucket('embedding')} AS bucket FROM embeddings),
+qb AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < 8),
+approx_scored AS (
+  SELECT qb.query_id, cb.vec_id AS neighbor_id,
+    {_IVF_COS('qb.qv', 'cb.embedding')} AS cosine
+  FROM b cb JOIN qb ON cb.bucket = qb.bucket
+  WHERE cb.vec_id <> qb.query_id),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+    FROM approx_scored) WHERE rn <= 5)
+SELECT CAST(e.query_id AS BIGINT) AS query_id,
+  CAST(COUNT(*) AS BIGINT) AS n_exact,
+  CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+  round(CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+FROM exact e
+LEFT JOIN approx a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+def _quant_vec(vec: str, dim: int = 64) -> str:
+    """int8 symmetric quantization mirroring similarity.quantize_vec:
+    scale = 127/max|v|, element -> floor(v*scale + 0.5). floor(+0.5), not
+    round(), so half-away/half-even engine differences cannot bite."""
+    amax = f"list_max([abs(CAST({vec}[i] AS DOUBLE)) for i in range(1, {dim + 1})])"
+    scale = f"(CASE WHEN {amax} > 0 THEN 127.0 / {amax} ELSE 0.0 END)"
+    return (
+        f"[CAST(floor(CAST({vec}[i] AS DOUBLE) * {scale} + 0.5) AS BIGINT) "
+        f"for i in range(1, {dim + 1})]"
+    )
+
+
+ORACLES["quantized_topk"] = f"""
+WITH qz AS (SELECT vec_id, {_quant_vec('embedding')} AS qv FROM embeddings),
+q AS (SELECT vec_id AS query_id, qv FROM qz WHERE vec_id < 8),
+c AS (SELECT vec_id AS neighbor_id, qv AS cv FROM qz),
+scored AS (
+  SELECT query_id, neighbor_id,
+    {_IVF_COS('q.qv', 'c.cv')} AS qcosine
+  FROM c, q WHERE query_id <> neighbor_id)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(rn AS INT) AS rank, qcosine
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY qcosine DESC, neighbor_id ASC) AS rn
+      FROM scored)
+WHERE rn <= 5
+"""
+
+# native session_window semantics: a new session starts when the gap to the
+# previous event is >= 30 min (window end is exclusive); session end = last
+# event + gap.
+ORACLES["session_window_agg"] = """
+WITH marked AS (
+  SELECT user_id, ts, event_id, value,
+    CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w >= 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, ts, value,
+    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked)
+SELECT user_id,
+  CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+  CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM sess GROUP BY user_id, sid
+"""

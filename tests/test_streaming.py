@@ -116,3 +116,132 @@ def test_stateful_session_counts_emits_on_timeout(spark, sf_dir, tmp_path):
         assert rows >= 1  # at least one session closed via timeout
     finally:
         q.stop()
+
+
+def _staged_events(spark, sf_dir, tmp_path, name, n=300, dup=False):
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    src = str(tmp_path / name)
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .limit(n)
+    )
+    if dup:
+        batch = batch.unionByName(batch.limit(n // 3))
+    batch.write.mode("overwrite").parquet(src)
+    return spark.readStream.schema(schema).parquet(src), batch
+
+
+def test_streaming_exact_dedup_bounded_state(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark drops the 100 duplicated rows and the
+    plan carries the state-bounding watermark."""
+    from datapipelines_essentials_python_spark.streaming.windows import (
+        streaming_exact_dedup,
+    )
+
+    stream, batch = _staged_events(spark, sf_dir, tmp_path, "dedup_src", dup=True)
+    deduped = streaming_exact_dedup(stream, ["event_id"], "ts", watermark="2 hours")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_dedup")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM stream_dedup").collect()[0]
+        want = batch.select("event_id").distinct().count()
+        assert got["n"] == got["d"] == want
+    finally:
+        q.stop()
+
+
+def test_streaming_session_windows_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming session_window aggregation equals the same operator
+    run in batch over the staged slice (complete mode: all sessions)."""
+    from datapipelines_essentials_python_spark.streaming.windows import (
+        streaming_session_windows,
+    )
+
+    stream, batch = _staged_events(spark, sf_dir, tmp_path, "sess_win_src")
+    q = (
+        streaming_session_windows(stream, gap="30 minutes", watermark="1 hour")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_sessions")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+            for r in spark.sql("SELECT * FROM stream_sessions").collect()
+        }
+        want_df = (
+            batch.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id", F.col("w.start").alias("s"), F.col("w.end").alias("e"), "n_events")
+        )
+        want = {(r["user_id"], r["s"], r["e"]): r["n_events"] for r in want_df.collect()}
+        assert got == want and len(got) > 0
+    finally:
+        q.stop()
+
+
+def test_stream_stream_interval_join(spark, sf_dir, tmp_path):
+    """Click→any-event attribution within 30 minutes: the stream-stream
+    interval join matches the equivalent batch join on the staged slice."""
+    from datapipelines_essentials_python_spark.streaming.windows import (
+        stream_stream_interval_join,
+    )
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    base = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .limit(400)
+    )
+    clicks_src = str(tmp_path / "clicks_src")
+    acts_src = str(tmp_path / "acts_src")
+    clicks_b = base.where(F.col("event_type") == "click")
+    acts_b = base.where(F.col("event_type") != "click")
+    clicks_b.write.mode("overwrite").parquet(clicks_src)
+    acts_b.write.mode("overwrite").parquet(acts_src)
+
+    joined = stream_stream_interval_join(
+        spark.readStream.schema(schema).parquet(clicks_src),
+        spark.readStream.schema(schema).parquet(acts_src),
+        key_col="user_id",
+        within="30 minutes",
+        watermark="2 hours",
+    )
+    q = (
+        joined.select("l_event_id", "r_event_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attrib")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["l_event_id"], r["r_event_id"])
+            for r in spark.sql("SELECT * FROM attrib").collect()
+        }
+        want = {
+            (r["l"], r["r"])
+            for r in clicks_b.alias("c")
+            .join(
+                acts_b.alias("a"),
+                (F.col("c.user_id") == F.col("a.user_id"))
+                & (F.col("a.ts") >= F.col("c.ts"))
+                & (F.col("a.ts") <= F.col("c.ts") + F.expr("INTERVAL 30 minutes")),
+            )
+            .select(F.col("c.event_id").alias("l"), F.col("a.event_id").alias("r"))
+            .collect()
+        }
+        assert got == want and len(got) > 0
+    finally:
+        q.stop()
