@@ -41,6 +41,8 @@ from datapipelines_essentials_python_spark.plans.datamodel import DataModel
 from datapipelines_essentials_python_spark.plans.join_planner import execute_joins, plan_joins
 from datapipelines_essentials_python_spark.tables import load_table
 
+from oracle_sql_defs import LSH_MAX_BUCKET
+
 
 def _dec(c: str | Column) -> Column:
     col = F.col(c) if isinstance(c, str) else c
@@ -510,8 +512,9 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs with exact verification (driver-mandated).
 
-    Same deterministic md5 hash family as the oracle; cap disabled at test
-    scale so the oracle needs no cap arm.
+    Same deterministic md5 hash family as the oracle; the degenerate-bucket
+    cap (``LSH_MAX_BUCKET``) is REAL and mirrored in the oracle's ``capped``
+    CTE, so the quadratic guard holds at 100 TB without breaking parity.
     """
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     return dedup_ops.minhash_lsh_pairs(
@@ -522,7 +525,7 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=16,
         bands=8,
         threshold=0.5,
-        max_bucket=1_000_000,
+        max_bucket=LSH_MAX_BUCKET,
     ).select(F.col("id_a").cast("long"), F.col("id_b").cast("long"), "jaccard")
 
 
@@ -750,7 +753,7 @@ def near_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     pairs = dedup_ops.minhash_lsh_pairs(
         docs, "doc_id", "text", n=3, num_hashes=16, bands=8,
-        threshold=0.5, max_bucket=1_000_000,
+        threshold=0.5, max_bucket=LSH_MAX_BUCKET,
     )
     losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     kept = docs.join(losers, "doc_id", "left_anti")
@@ -1019,7 +1022,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     pairs = dedup_ops.minhash_lsh_pairs(
         docs, "doc_id", "text", n=3, num_hashes=16, bands=8,
-        threshold=0.5, max_bucket=1_000_000,
+        threshold=0.5, max_bucket=LSH_MAX_BUCKET,
     )
     comp = dedup_ops.connected_components(
         pairs, "id_a", "id_b", nodes=docs, node_col="doc_id"
@@ -1086,7 +1089,7 @@ def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     pairs = dedup_ops.minhash_lsh_pairs(
         docs, "doc_id", "text", n=3, num_hashes=16, bands=8,
-        threshold=0.5, max_bucket=1_000_000,
+        threshold=0.5, max_bucket=LSH_MAX_BUCKET,
     )
     comp = dedup_ops.connected_components_star(
         pairs, "id_a", "id_b", nodes=docs, node_col="doc_id"
@@ -1967,7 +1970,7 @@ def training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = dedup_ops.minhash_lsh_pairs(
         clean, "doc_id", "text", n=3, num_hashes=16, bands=8,
-        threshold=0.5, max_bucket=1_000_000,
+        threshold=0.5, max_bucket=LSH_MAX_BUCKET,
     )
     losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     deduped = clean.join(losers, "doc_id", "left_anti")
@@ -2029,7 +2032,7 @@ def training_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = dedup_ops.minhash_lsh_pairs(
         decon, "doc_id", "text", n=3, num_hashes=16, bands=8,
-        threshold=0.5, max_bucket=1_000_000,
+        threshold=0.5, max_bucket=LSH_MAX_BUCKET,
     )
     losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     deduped = decon.join(losers, "doc_id", "left_anti")
@@ -2304,24 +2307,68 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # The driver's CORRECTNESS gate records only the first 50 entries;
+        # the riskiest queries (time-typed arithmetic, iterative/stateful
+        # loops, LSH pipelines) are deliberately ordered into that window.
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_revenue_orders": q3_top_revenue_orders,
         "q5_nation_revenue": q5_nation_revenue,
+        "sessionize": sessionize,
+        "gap_fill_events": gap_fill_events,
+        "rolling_events_7d": rolling_events_7d,
+        "session_window_agg": session_window_agg,
+        "hopping_window_agg": hopping_window_agg,
+        "funnel_conversion": funnel_conversion,
+        "cohort_retention": cohort_retention,
+        "events_by_day": events_by_day,
+        "tz_convert": tz_convert,
+        "date_sequence_backfill": date_sequence_backfill,
+        "date_parse_safe": date_parse_safe,
+        "asof_join": asof_join_query,
+        "range_join": range_join_query,
+        "dedup_components": dedup_components,
+        "dedup_components_star": dedup_components_star,
+        "kmeans_step": kmeans_step_q,
+        "kmeans_two_step": kmeans_two_step,
+        "incremental_dedup": incremental_dedup_q,
+        "training_pipeline_e2e": training_pipeline_e2e,
+        "training_pipeline_v2": training_pipeline_v2,
+        "minhash_lsh": minhash_lsh,
+        "near_dedup_keep": near_dedup_keep,
+        "ngram_jaccard": ngram_jaccard,
+        "simhash_fp": simhash_fp,
+        "simhash_neardup": simhash_neardup,
+        "embedding_topk": embedding_topk,
+        "embedding_neardup": embedding_neardup,
+        "embedding_lsh_topk": embedding_lsh_topk,
+        "ann_recall_lsh": ann_recall_lsh,
+        "quantized_topk": quantized_topk,
+        "ivf_ann": ivf_ann,
+        "ivf_ann_nprobe2": ivf_ann_nprobe2,
+        "exact_dedup": exact_dedup,
+        "cdc_merge": cdc_merge,
+        "snapshot_diff": snapshot_diff_orders,
+        "window_latest_order": window_latest_order,
+        "json_flatten": json_flatten,
+        "flatten_deep": flatten_deep,
+        "multimodal_features": multimodal_features,
+        "media_chunks": media_chunks,
+        "pack_sequences": pack_sequences,
+        "metadata_pipeline": metadata_pipeline,
         "filter_dsl_scan": filter_dsl_scan,
+        "duration_buckets": duration_buckets,
+        "salted_join_events": salted_join_events,
+        "bloom_join_orders": bloom_join_orders,
+        "ols_fit": ols_fit,
+        # ---- entries below are covered by tools/check_parity.py
+        # ---- (full-suite log committed per round as PARITY_r{N}.txt)
         "projection_cast_nvl": projection_cast_nvl,
         "agg_dispatch": agg_dispatch,
-        "window_latest_order": window_latest_order,
         "top_k_per_group": top_k_per_group,
         "set_ops": set_ops,
-        "cdc_merge": cdc_merge,
         "word_count": word_count,
-        "exact_dedup": exact_dedup,
         "array_explode": array_explode,
-        "json_flatten": json_flatten,
-        "sessionize": sessionize,
-        "duration_buckets": duration_buckets,
         "lookup_mapping": lookup_mapping,
-        "events_by_day": events_by_day,
         "dq_summary": dq_summary,
         "dq_file_completeness": dq_file_completeness,
         "lang_id": lang_id,
@@ -2330,22 +2377,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": doc_fingerprint,
         "pii_scrub": pii_scrub,
         "decontamination": decontamination,
-        "ngram_jaccard": ngram_jaccard,
-        "minhash_lsh": minhash_lsh,
-        "simhash_fp": simhash_fp,
-        "embedding_topk": embedding_topk,
-        "embedding_neardup": embedding_neardup,
-        "multimodal_features": multimodal_features,
-        "metadata_pipeline": metadata_pipeline,
         "window_functions": window_functions,
         "rollup_agg": rollup_agg,
         "pivot_agg": pivot_agg,
-        "asof_join": asof_join_query,
-        "range_join": range_join_query,
-        "near_dedup_keep": near_dedup_keep,
-        "embedding_lsh_topk": embedding_lsh_topk,
-        "ann_recall_lsh": ann_recall_lsh,
-        "quantized_topk": quantized_topk,
         "q6_revenue_delta": q6_revenue_delta,
         "q13_custdist": q13_custdist,
         "q14_promo_revenue": q14_promo_revenue,
@@ -2354,20 +2388,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join_returned": semi_join_returned,
         "anti_join_dormant": anti_join_dormant,
         "having_clause": having_clause,
-        "tz_convert": tz_convert,
-        "date_sequence_backfill": date_sequence_backfill,
         "string_ops": string_ops,
         "stratified_sample_docs": stratified_sample_docs,
         "train_holdout_split": train_holdout_split,
         "unigram_lm_quality": unigram_lm_quality,
-        "dedup_components": dedup_components,
-        "dedup_components_star": dedup_components_star,
         "quantile_profile": quantile_profile,
-        "gap_fill_events": gap_fill_events,
         "weighted_sample_docs": weighted_sample_docs,
-        "ivf_ann": ivf_ann,
-        "ivf_ann_nprobe2": ivf_ann_nprobe2,
-        "simhash_neardup": simhash_neardup,
         "histogram_profile": histogram_profile,
         "corr_stats": corr_stats,
         "repetition_stats": repetition_stats,
@@ -2385,37 +2411,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_excess_shippers": q20_excess_shippers,
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "snake_case_projection": snake_case_projection,
-        "date_parse_safe": date_parse_safe,
-        "media_chunks": media_chunks,
-        "pack_sequences": pack_sequences,
-        "hopping_window_agg": hopping_window_agg,
-        "session_window_agg": session_window_agg,
-        "salted_join_events": salted_join_events,
         "q7_volume_shipping": q7_volume_shipping,
         "q8_market_share": q8_market_share,
         "q10_returned_customers": q10_returned_customers,
-        "funnel_conversion": funnel_conversion,
-        "cohort_retention": cohort_retention,
-        "bloom_join_orders": bloom_join_orders,
         "zorder_layout": zorder_layout,
         "cube_agg": cube_agg,
-        "flatten_deep": flatten_deep,
-        "training_pipeline_e2e": training_pipeline_e2e,
-        "training_pipeline_v2": training_pipeline_v2,
-        "ols_fit": ols_fit,
         "audit_columns": audit_columns,
         "text_normalize": text_normalize,
         "vocab_coverage": vocab_coverage,
         "tfidf_top_terms": tfidf_top_terms_q,
-        "incremental_dedup": incremental_dedup_q,
         "curriculum_bins": curriculum_bins_q,
         "domain_balance": domain_balance,
         "global_shuffle_order": global_shuffle_order,
         "sql_api_revenue": sql_api_revenue,
-        "kmeans_step": kmeans_step_q,
-        "kmeans_two_step": kmeans_two_step,
-        "snapshot_diff": snapshot_diff_orders,
-        "rolling_events_7d": rolling_events_7d,
         "iqr_outlier_events": iqr_outlier_events,
     }
 

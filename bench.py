@@ -136,9 +136,10 @@ def load_prior_bench(sf) -> tuple[str, dict[str, float]] | None:
             data = json.loads(p.read_text())
         except (OSError, json.JSONDecodeError):
             continue
-        # the driver records {n, rc, sf, parsed: <our JSON line>, ...}
-        data = data.get("parsed", data)
-        if data.get("sf") != sf or "queries" not in data:
+        # the driver records {n, rc, sf, parsed: <our JSON line>, ...};
+        # a crashed round records {"parsed": null} — skip, don't crash
+        data = data.get("parsed") or data
+        if not isinstance(data, dict) or data.get("sf") != sf or "queries" not in data:
             continue
         n = int(m.group(1))
         if best is None or n > best[0]:

@@ -20,7 +20,19 @@ driver-shaped bottleneck kept only for small dimension syncs.
 
 from __future__ import annotations
 
+from typing import TYPE_CHECKING, Any, Callable
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame, SparkSession
+
 DEFAULT_COPY_OPTIONS = ("DATEFORMAT 'auto'", "COMPUPDATE ON", "TRUNCATECOLUMNS")
+
+# A warehouse statement executor: receives the assembled COPY/UNLOAD SQL and
+# runs it against the warehouse (psycopg2 cursor.execute in production; any
+# callable in tests). Injected so the flow is end-to-end testable without a
+# Redshift — mirroring how the reference exercises its vendored locopy COPY
+# path against a mocked warehouse (test_mocked_redshift.py:52-71,440).
+StatementExecutor = Callable[[str], Any]
 
 
 def add_default_copy_options(copy_options: list[str] | None = None) -> list[str]:
@@ -97,3 +109,70 @@ def unload_statement(
     if options:
         parts.append(" ".join(options))
     return " ".join(parts)
+
+
+def stage_and_copy(
+    df: "DataFrame",
+    table: str,
+    stage_path: str,
+    execute: StatementExecutor,
+    iam_role: str | None = None,
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    file_format: str = "PARQUET",
+    copy_options: list[str] | None = None,
+    num_output_files: int | None = None,
+) -> str:
+    """End-to-end COPY ingest: Spark stages ``df`` to ``stage_path``
+    (S3/local), then the warehouse pulls the staged files with COPY.
+
+    Returns the executed statement. The write leg reuses the format
+    dispatcher (``io.writers.write_data``); the COPY leg goes through the
+    injected ``execute``. At 100 TB this is the only sane load path — the
+    warehouse ingests the stage in parallel instead of the driver pushing
+    rows through JDBC INSERTs.
+    """
+    from datapipelines_essentials_python_spark.io.writers import write_data
+
+    write_data(
+        df,
+        file_format.lower(),
+        stage_path,
+        options={"header": "true"} if file_format.upper() == "CSV" else None,
+        num_output_files=num_output_files,
+    )
+    stmt = copy_statement(
+        table,
+        stage_path,
+        iam_role=iam_role,
+        access_key=access_key,
+        secret_key=secret_key,
+        file_format=file_format,
+        copy_options=copy_options,
+    )
+    execute(stmt)
+    return stmt
+
+
+def unload_and_read(
+    spark: "SparkSession",
+    query: str,
+    stage_path: str,
+    execute: StatementExecutor,
+    iam_role: str = "unused",
+    file_format: str = "PARQUET",
+    parallel: bool = True,
+    options: list[str] | None = None,
+) -> "DataFrame":
+    """End-to-end UNLOAD export: the warehouse writes ``query``'s result to
+    ``stage_path`` (via the injected ``execute``), then Spark reads the
+    staged files back as a DataFrame."""
+    stmt = unload_statement(
+        query, stage_path, iam_role, file_format=file_format,
+        parallel=parallel, options=options,
+    )
+    execute(stmt)
+    reader = spark.read
+    if file_format.upper() == "CSV":
+        reader = reader.option("header", "true").option("inferSchema", "true")
+    return reader.format(file_format.lower()).load(stage_path)

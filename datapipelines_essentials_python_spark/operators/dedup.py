@@ -459,8 +459,12 @@ def connected_components(
     labels going stable — one lightweight action per round.
 
     Scale notes (100 TB): each round is one shuffle (groupBy ``dst``) plus
-    one broadcast-eligible join; the edge list is persisted once. For
-    graphs with large diameters (paths), switch to pointer-jumping
+    one broadcast-eligible join; the edge list is persisted once. Each
+    round's labels are ``localCheckpoint``-ed: the round plan references
+    ``labels`` twice (join leg + union leg), so without lineage truncation
+    the logical plan DOUBLES per round and OOMs the driver JVM on
+    deep-diameter graphs long before the data is the problem. For graphs
+    with large diameters (paths), switch to pointer-jumping
     (large-star/small-star, O(log n) rounds) — near-dup dedup never needs
     it. This is the exact-closure upgrade of the keep-lowest-per-pair
     approximation used by ``near_dedup_keep``-style one-pass dedup.
@@ -485,7 +489,7 @@ def connected_components(
         und.groupBy(F.col("src").alias("id"))
         .agg(F.min("dst").alias("nbr"))
         .select("id", F.least(F.col("id"), F.col("nbr")).alias("comp"))
-        .persist()
+        .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
     for _ in range(max_iter):
@@ -493,6 +497,10 @@ def connected_components(
         # groupBy taking the min over {own label} ∪ {neighbors' labels} —
         # the self-contribution rides the same shuffle as a union leg, so
         # each round costs two exchanges, not three.
+        # localCheckpoint (not persist): the plan references ``labels``
+        # twice per round, so un-truncated lineage doubles every iteration
+        # and OOMs the driver JVM (same fix as connected_components_star
+        # and clustering.kmeans_train).
         contrib = und.join(labels.withColumnRenamed("id", "src"), "src").select(
             F.col("dst").alias("id"), "comp"
         )
@@ -500,10 +508,9 @@ def connected_components(
             contrib.unionByName(labels)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
-            .persist()
+            .localCheckpoint()
         )
         new_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
-        labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
             break

@@ -5,17 +5,21 @@ documents embeddings — one parquet each under ``/root/testdata/sf*/``.
 
 Normalization applied here (and nowhere else):
 
-- ``events.ts`` arrives as TIMESTAMP(NANOS) parquet; Spark reads it as
-  long (``nanosAsLong``) and we truncate ns → µs exactly as DuckDB does
-  (integer DIV, not float division — ns epoch values exceed 2^53 and would
-  lose precision through a double).
+- ``events.ts`` is normalized to plain ``TIMESTAMP`` (session-tz, pinned
+  UTC) whatever the parquet encoding of the current testdata drop is:
+  TIMESTAMP(NANOS) read as long under ``nanosAsLong`` (ns → µs via integer
+  DIV — ns epoch values exceed 2^53 and would lose precision through a
+  double), TIMESTAMP(MICROS) without tz read as ``TIMESTAMP_NTZ`` (cast,
+  instant-preserving under the UTC session tz), or already ``TIMESTAMP``.
+  Untyped-timezone parquet is the norm in real lakes; downstream operators
+  get ONE timestamp semantic and never need per-site NTZ special cases.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = (
     "region",
@@ -72,6 +76,18 @@ def ensure_session_confs(spark: SparkSession) -> None:
     _CONFS_APPLIED.add(spark)
 
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to plain ``TIMESTAMP`` regardless of
+    how the parquet encoded it (see module docstring). Relies on the UTC
+    session timezone for the NTZ cast to be instant-preserving."""
+    dtype = df.schema[col].dataType
+    if isinstance(dtype, LongType):  # TIMESTAMP(NANOS) under nanosAsLong
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    if isinstance(dtype, TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, parallelize: bool = False
 ) -> DataFrame:
@@ -91,8 +107,8 @@ def load_table(
     ensure_session_confs(spark)
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     df = spark.read.parquet(path)
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events":
+        df = normalize_event_ts(df)
     if parallelize:
         import os
 

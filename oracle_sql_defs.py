@@ -71,6 +71,22 @@ def _bands(bands: int = 8, rows_per_band: int = 2) -> str:
     )
 
 
+# Degenerate-LSH-bucket cap shared by the Spark operators
+# (dedup.minhash_lsh_pairs ``max_bucket``) and every LSH oracle below: both
+# sides drop (band, bucket) groups larger than this before the quadratic
+# self-join, so results stay hash-identical while the blow-up guard is REAL
+# (a 10⁶-doc degenerate band would otherwise emit ~10¹² candidate pairs at
+# 100 TB). Deterministic md5-derived band keys make the mirror exact.
+LSH_MAX_BUCKET = 1000
+
+_CAPPED_BANDS = f"""capped AS (
+  SELECT doc_id, band, bucket FROM (
+    SELECT doc_id, band, bucket,
+      COUNT(*) OVER (PARTITION BY band, bucket) AS bsz
+    FROM bands)
+  WHERE bsz <= {LSH_MAX_BUCKET}),"""
+
+
 _JACCARD = (
     "CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0 "
     "ELSE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) "
@@ -471,9 +487,10 @@ bands AS (
     unnest(range(0, 8)) AS band,
     unnest({_bands(8, 2)}) AS bucket
   FROM sigs),
+{_CAPPED_BANDS}
 cands AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  FROM capped a JOIN capped b ON a.band = b.band AND a.bucket = b.bucket
   WHERE a.doc_id < b.doc_id)
 SELECT CAST(c.id_a AS BIGINT) AS id_a, CAST(c.id_b AS BIGINT) AS id_b,
   {_JACCARD} AS jaccard
@@ -592,9 +609,10 @@ bands AS (
     unnest(range(0, 8)) AS band,
     unnest({_bands(8, 2)}) AS bucket
   FROM sigs),
+{_CAPPED_BANDS}
 cands AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  FROM capped a JOIN capped b ON a.band = b.band AND a.bucket = b.bucket
   WHERE a.doc_id < b.doc_id),
 verified AS (
   SELECT c.id_a, c.id_b
@@ -746,9 +764,10 @@ bands AS (
     unnest(range(0, 8)) AS band,
     unnest({_bands(8, 2)}) AS bucket
   FROM sigs),
+{_CAPPED_BANDS}
 cands AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  FROM capped a JOIN capped b ON a.band = b.band AND a.bucket = b.bucket
   WHERE a.doc_id < b.doc_id),
 verified AS (
   SELECT c.id_a, c.id_b
@@ -1380,9 +1399,10 @@ bands AS (
     unnest(range(0, 8)) AS band,
     unnest({_bands(8, 2)}) AS bucket
   FROM sigs),
+{_CAPPED_BANDS}
 cands AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  FROM capped a JOIN capped b ON a.band = b.band AND a.bucket = b.bucket
   WHERE a.doc_id < b.doc_id),
 verified AS (
   SELECT c.id_a, c.id_b

@@ -4,6 +4,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from datapipelines_essentials_python_spark.streaming.cdc_stream import windowed_event_counts
+from datapipelines_essentials_python_spark.tables import load_table
 
 
 def test_windowed_event_counts_memory_sink(spark, sf_dir, tmp_path):
@@ -11,8 +12,7 @@ def test_windowed_event_counts_memory_sink(spark, sf_dir, tmp_path):
     src = str(tmp_path / "stream_src")
     # stage a small deterministic slice of events as the stream source
     (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        load_table(spark, sf_dir, "events")
         .select("event_id", "ts", "user_id", "event_type", "value")
         .limit(200)
         .write.mode("overwrite").parquet(src)
@@ -44,8 +44,7 @@ def test_stateful_running_totals(spark, sf_dir, tmp_path):
     schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
     src = str(tmp_path / "stateful_src")
     batch = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        load_table(spark, sf_dir, "events")
         .select("event_id", "ts", "user_id", "event_type", "value")
         .limit(300)
     )
@@ -88,8 +87,7 @@ def test_stateful_session_counts_emits_on_timeout(spark, sf_dir, tmp_path):
     schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
     src = str(tmp_path / "sess_src")
     (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        load_table(spark, sf_dir, "events")
         .select("event_id", "ts", "user_id", "event_type", "value")
         .where(F.col("user_id") < 5)
         .limit(50)
@@ -122,8 +120,7 @@ def _staged_events(spark, sf_dir, tmp_path, name, n=300, dup=False):
     schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
     src = str(tmp_path / name)
     batch = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        load_table(spark, sf_dir, "events")
         .select("event_id", "ts", "user_id", "event_type", "value")
         .limit(n)
     )
@@ -198,8 +195,7 @@ def test_stream_stream_interval_join(spark, sf_dir, tmp_path):
 
     schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
     base = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        load_table(spark, sf_dir, "events")
         .select("event_id", "ts", "user_id", "event_type", "value")
         .limit(400)
     )
