@@ -485,6 +485,38 @@ def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination — the bounded-memory scale path of
+    ``decontamination``. The broadcast side is the distinct set of lit
+    bloom bit positions (k=2 md5 positions per eval shingle, 2^20 bits):
+    capped at ``m_bits`` rows no matter how large the eval suite grows,
+    where the exact check's broadcast shingle set grows without bound.
+    One-sided error (bloom can only over-flag), and the md5 hashing is
+    deterministic, so even the filter construction replays in the oracle."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    eval_docs = docs.where(F.col("doc_id") % 97 == 0)
+    out = text_ops.bloom_contamination(docs, eval_docs, "doc_id", "text", n=3)
+    return out.select(
+        F.col("id").cast("long").alias("doc_id"),
+        "n_shingles",
+        "n_bloom_hits",
+        "ratio",
+    )
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embedding corpus: nearest
+    deterministic centroid per vector (every 31st vector — the same seeds
+    the IVF/k-means queries use), cosine pairs only within a cluster,
+    higher id loses. Returns the kept corpus."""
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
+    kept = dedup_ops.semantic_dedup_keep(emb, "vec_id", "embedding", threshold=0.85)
+    return kept.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("label").cast("int").alias("label"),
+    )
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-min shingle-hash document fingerprint (driver-mandated)."""
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
@@ -2358,8 +2390,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_dsl_scan": filter_dsl_scan,
         "duration_buckets": duration_buckets,
         "salted_join_events": salted_join_events,
-        "bloom_join_orders": bloom_join_orders,
-        "ols_fit": ols_fit,
+        "decontamination_bloom": decontamination_bloom,
+        "semantic_dedup": semantic_dedup,
         # ---- entries below are covered by tools/check_parity.py
         # ---- (full-suite log committed per round as PARITY_r{N}.txt)
         "projection_cast_nvl": projection_cast_nvl,
@@ -2425,6 +2457,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_shuffle_order": global_shuffle_order,
         "sql_api_revenue": sql_api_revenue,
         "iqr_outlier_events": iqr_outlier_events,
+        "bloom_join_orders": bloom_join_orders,
+        "ols_fit": ols_fit,
     }
 
 

@@ -435,6 +435,79 @@ def embedding_neardup_pairs(
 
 
 # --------------------------------------------------------------------------
+# SemDeDup-style semantic dedup (cluster-scoped embedding-cosine pairs)
+# --------------------------------------------------------------------------
+def semantic_dedup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    centroid_mod: int = 31,
+    threshold: float = 0.85,
+) -> DataFrame:
+    """Semantic near-duplicate pairs à la SemDeDup (Abbas et al., 2023):
+    assign every embedding to its nearest centroid, then compare cosines
+    only WITHIN a cluster — the quadratic term shrinks from N² to
+    Σ(cluster size)², the same inverted-file trick :mod:`similarity`'s IVF
+    index uses for search.
+
+    ``centroids`` defaults to the deterministic ``id % centroid_mod == 0``
+    subset (pass k-means-trained centroids from :mod:`clustering` in
+    production — ``kmeans_train`` exists precisely to feed this). Returns
+    ``(id_a, id_b, cell, cosine)`` with ``cosine >= threshold``.
+
+    At 100 TB: centroid assignment is a broadcast pass over the corpus (no
+    shuffle); the pair join shuffles on ``cell`` — cluster sizes are the
+    skew knob, controlled by centroid count, exactly as in the paper.
+    """
+    from datapipelines_essentials_python_spark.operators.similarity import (
+        assign_to_centroid,
+        cosine_similarity,
+    )
+
+    if centroids is None:
+        centroids = emb.where(F.col(id_col) % centroid_mod == 0).select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+        )
+    # persist: both self-join legs read the assignment, which is itself a
+    # broadcast pass + a row_number window — without caching the whole
+    # pipeline runs twice (same discipline as minhash_lsh_pairs's `signed`)
+    assigned = assign_to_centroid(
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        centroids, "id", "v",
+    ).persist()
+    lhs = assigned.select("cell", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    rhs = assigned.select("cell", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    pairs = lhs.join(rhs, "cell").where(F.col("id_a") < F.col("id_b"))
+    cos = F.round(cosine_similarity(F.col("v_a"), F.col("v_b")), 6)
+    out = pairs.select(
+        "id_a", "id_b", F.col("cell"), cos.alias("cosine")
+    ).where(F.col("cosine") >= threshold)
+    out._sg_persisted = [assigned]  # released via dedup.release(result)
+    return out
+
+
+def semantic_dedup_keep(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    centroid_mod: int = 31,
+    threshold: float = 0.85,
+) -> DataFrame:
+    """Corpus minus semantic near-duplicates: for every qualifying pair the
+    higher id loses (keep-lowest policy, same convention as
+    ``near_dedup_keep``). One left-anti join against the loser set."""
+    pairs = semantic_dedup_pairs(
+        emb, id_col, vec_col, centroids, centroid_mod, threshold
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    kept = emb.join(losers, id_col, "left_anti")
+    kept._sg_persisted = getattr(pairs, "_sg_persisted", [])
+    return kept
+
+
+# --------------------------------------------------------------------------
 # connected-component dedup clustering
 # --------------------------------------------------------------------------
 def connected_components(

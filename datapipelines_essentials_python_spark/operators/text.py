@@ -342,6 +342,72 @@ def contamination(
     )
 
 
+def bloom_contamination(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    m_bits: int = 1 << 20,
+) -> DataFrame:
+    """Bloom-filter decontamination — the bounded-memory scale path of
+    :func:`contamination`.
+
+    The exact check broadcasts the eval set's full distinct-shingle set,
+    which grows with the eval corpus. Here the broadcast side is the
+    DISTINCT set of bloom bit positions lit by the eval shingles (k=2
+    md5-derived positions per shingle over ``m_bits`` addressable bits):
+    at most ``min(2·|eval shingles|, m_bits)`` BIGINTs regardless of how
+    large the eval suite grows — always broadcastable. Error is one-sided:
+    a shingle whose two positions are both lit may be a false positive
+    (classic bloom rate ≈ (bits_set/m)²), but a true eval shingle is NEVER
+    missed, so a drop decision based on this gate is conservative — the
+    right direction for decontamination.
+
+    All hashing is deterministic md5 (same family as the MinHash/LSH
+    operators), so the whole pipeline — including the filter construction —
+    replays exactly in the SQL oracle.
+
+    Returns ``(id, n_shingles, n_bloom_hits, ratio)``.
+    """
+    from datapipelines_essentials_python_spark.operators.dedup import shingles
+
+    def pos(s: Column, offset: int) -> Column:
+        return F.conv(F.substring(F.md5(s), offset, 8), 16, 10).cast("long") % m_bits
+
+    bits = (
+        eval_docs.select(F.explode(shingles(text_col, n)).alias("g"))
+        .select(F.explode(F.array(pos(F.col("g"), 1), pos(F.col("g"), 9))).alias("bit"))
+        .distinct()
+    )
+    base = docs.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
+    probes = base.select("id", F.explode("sh").alias("g")).select(
+        "id", "g",
+        pos(F.col("g"), 1).alias("p1"),
+        pos(F.col("g"), 9).alias("p2"),
+    )
+    hits = (
+        probes.join(F.broadcast(bits.withColumnRenamed("bit", "p1")), "p1")
+        .join(F.broadcast(bits.withColumnRenamed("bit", "p2")), "p2")
+        .groupBy("id")
+        .agg(F.count_distinct("g").alias("n_bloom_hits"))
+    )
+    return (
+        base.select("id", F.size("sh").alias("n_shingles"))
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.coalesce("n_bloom_hits", F.lit(0)).cast("long").alias("n_bloom_hits"),
+            F.round(
+                F.coalesce("n_bloom_hits", F.lit(0)).cast("double")
+                / F.greatest(F.col("n_shingles"), F.lit(1)).cast("double"),
+                6,
+            ).alias("ratio"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # text normalization
 # --------------------------------------------------------------------------

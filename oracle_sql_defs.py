@@ -1818,3 +1818,54 @@ SELECT user_id,
   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
 FROM sess GROUP BY user_id, sid
 """
+
+# ---- round 3: bloom decontamination + semantic dedup ----------------------
+
+_BLOOM_M = 1 << 20
+_BLOOM_P1 = f"{_hex_to_long('md5(g)', 8)} % {_BLOOM_M}"
+_BLOOM_P2 = f"{_hex_to_long('substr(md5(g), 9, 8)', 8)} % {_BLOOM_M}"
+
+ORACLES["decontamination_bloom"] = f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {SHINGLES} AS sh FROM t),
+ev AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 97 = 0),
+bits AS (
+  SELECT DISTINCT bit FROM (
+    SELECT {_BLOOM_P1} AS bit FROM ev
+    UNION ALL
+    SELECT {_BLOOM_P2} AS bit FROM ev)),
+ex AS (SELECT DISTINCT doc_id, unnest(sh) AS g FROM s),
+pr AS (SELECT doc_id, g, {_BLOOM_P1} AS p1, {_BLOOM_P2} AS p2 FROM ex),
+hits AS (
+  SELECT doc_id, CAST(COUNT(DISTINCT g) AS BIGINT) AS n_bloom_hits
+  FROM pr JOIN bits b1 ON pr.p1 = b1.bit JOIN bits b2 ON pr.p2 = b2.bit
+  GROUP BY doc_id)
+SELECT s.doc_id,
+  CAST(len(s.sh) AS BIGINT) AS n_shingles,
+  CAST(COALESCE(h.n_bloom_hits, 0) AS BIGINT) AS n_bloom_hits,
+  round(CAST(COALESCE(h.n_bloom_hits, 0) AS DOUBLE)
+        / CAST(greatest(len(s.sh), 1) AS DOUBLE), 6) AS ratio
+FROM s LEFT JOIN hits h ON s.doc_id = h.doc_id
+"""
+
+ORACLES["semantic_dedup"] = f"""
+WITH cent AS (
+  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id % 31 = 0),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cent_id AS cell,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY {_IVF_COS('e.embedding', 'c.cv')} DESC, c.cent_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c)
+  WHERE rn = 1),
+pairs AS (
+  SELECT aa.vec_id AS id_a, ab.vec_id AS id_b
+  FROM assigned aa JOIN assigned ab ON aa.cell = ab.cell AND aa.vec_id < ab.vec_id
+  JOIN embeddings a ON a.vec_id = aa.vec_id
+  JOIN embeddings b ON b.vec_id = ab.vec_id
+  WHERE {_IVF_COS('a.embedding', 'b.embedding')} >= 0.85),
+losers AS (SELECT DISTINCT id_b FROM pairs)
+SELECT CAST(e.vec_id AS BIGINT) AS vec_id, CAST(e.label AS INT) AS label
+FROM embeddings e LEFT JOIN losers l ON e.vec_id = l.id_b
+WHERE l.id_b IS NULL
+"""

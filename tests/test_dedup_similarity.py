@@ -116,3 +116,46 @@ def test_lsh_topk_identical_vector_recalled(spark, vectors):
     out = similarity.lsh_topk(vectors, vectors.where(F.col("vec_id") == 1), k=2, planes=3)
     got = {r["neighbor_id"] for r in out.collect()}
     assert 4 in got  # identical vector is always in the same bucket
+
+
+def test_semantic_dedup_drops_within_cluster_twin(spark, vectors):
+    # centroids = vectors 1 and 3 (orthogonal); 4 is identical to 1, so it
+    # lands in 1's cluster and loses to the lower id
+    cents = vectors.where(F.col("vec_id").isin(1, 3)).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    pairs = dedup.semantic_dedup_pairs(
+        vectors, "vec_id", "embedding", centroids=cents, threshold=0.999
+    )
+    assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(1, 4)}
+    kept = dedup.semantic_dedup_keep(
+        vectors, "vec_id", "embedding", centroids=cents, threshold=0.999
+    )
+    assert {r["vec_id"] for r in kept.collect()} == {1, 2, 3}
+
+    # an impossible threshold keeps the whole corpus
+    all_kept = dedup.semantic_dedup_keep(
+        vectors, "vec_id", "embedding", centroids=cents, threshold=1.01
+    )
+    assert all_kept.count() == vectors.count()
+
+
+def test_semantic_dedup_never_pairs_across_clusters(spark, vectors):
+    # every vector is its own centroid -> singleton clusters -> no pairs,
+    # even for the identical twins 1 and 4
+    cents = vectors.select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    # identical vectors tie on cosine to their two identical centroids; the
+    # lower cent_id wins for BOTH, so 1 and 4 still share a cell — use the
+    # orthogonal trio instead for the cross-cluster assertion
+    trio = vectors.where(F.col("vec_id").isin(1, 2, 3))
+    pairs = dedup.semantic_dedup_pairs(
+        trio, "vec_id", "embedding",
+        centroids=cents.where(F.col("cent_id").isin(1, 2, 3)),
+        threshold=0.0,
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert all(a != b for a, b in got)
+    # 1 and 3 are orthogonal and sit in different cells: never a pair
+    assert (1, 3) not in got

@@ -215,3 +215,20 @@ def test_iqr_broadcasts_bounds(spark):
     plan = plan_of(entry_mod.queries()["iqr_outlier_events"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_bloom_decontamination_broadcasts_filter(spark):
+    """The bloom bit table must broadcast (it is bounded by m_bits rows at
+    any corpus scale) and the whole pipeline stays JVM-side."""
+    plan = plan_of(entry_mod.queries()["decontamination_bloom"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_semantic_dedup_no_python_no_cartesian(spark):
+    """Cluster-scoped pairs: the only nested-loop is the broadcast centroid
+    assignment (the IVF pattern); no unbounded CartesianProduct, no Python."""
+    plan = plan_of(entry_mod.queries()["semantic_dedup"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

@@ -202,3 +202,45 @@ def test_tfidf_top_terms_ranks_distinctive_terms_first(spark):
     # the doc-unique term beats the corpus-wide one despite lower tf
     assert top[1] == "zebra" and top[2] == "yak"
     assert all(r["rank"] == 1 for r in out)
+
+
+def test_bloom_contamination_superset_of_exact(spark):
+    """Bloom hits can only over-count the exact check (one-sided error),
+    and eval members themselves always come back fully hit."""
+    from datapipelines_essentials_python_spark.operators.text import (
+        bloom_contamination,
+        contamination,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    exact = {
+        r["id"]: r["n_contaminated"]
+        for r in contamination(docs, ev, "doc_id", "text").collect()
+    }
+    bloom = {
+        r["id"]: (r["n_shingles"], r["n_bloom_hits"], r["ratio"])
+        for r in bloom_contamination(docs, ev, "doc_id", "text").collect()
+    }
+    assert set(bloom) == set(exact)
+    for doc_id, (n_sh, n_hits, ratio) in bloom.items():
+        assert n_hits >= exact[doc_id]  # never a false negative
+    for r in ev.select("doc_id").collect():
+        n_sh, n_hits, ratio = bloom[r["doc_id"]]
+        assert n_hits == n_sh and (ratio == 1.0 or n_sh == 0)
+
+
+def test_bloom_contamination_tiny_filter_over_flags_only(spark):
+    """With a deliberately tiny bit space every probe collides -> all
+    documents are fully flagged, demonstrating the error is one-sided."""
+    from datapipelines_essentials_python_spark.operators.text import (
+        bloom_contamination,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc dd"), (2, "zz yy xx ww vv")], "doc_id long, text string"
+    )
+    ev = docs.where(F.col("doc_id") == 1)
+    out = {r["id"]: r["ratio"] for r in
+           bloom_contamination(docs, ev, "doc_id", "text", m_bits=1).collect()}
+    assert out[1] == 1.0 and out[2] == 1.0
