@@ -25,8 +25,10 @@ from pyspark.sql import functions as F
 
 from datapipelines_essentials_python_spark.expr.filter_dsl import compile_filters
 from datapipelines_essentials_python_spark.operators import cdc as cdc_ops
+from datapipelines_essentials_python_spark.operators import chunking as chunk_ops
 from datapipelines_essentials_python_spark.operators import dedup as dedup_ops
 from datapipelines_essentials_python_spark.operators import flatten as flatten_ops
+from datapipelines_essentials_python_spark.operators import incremental as inc_ops
 from datapipelines_essentials_python_spark.operators import multimodal as mm_ops
 from datapipelines_essentials_python_spark.operators import relational as rel_ops
 from datapipelines_essentials_python_spark.operators import similarity as sim_ops
@@ -2327,6 +2329,162 @@ def sql_api_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (RAG/pretraining context windows).
+
+    Pure explode + higher-order array projection riding the documents scan
+    — no Python workers, bounded blow-up (~n_tokens/stride rows per doc).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_ops.chunk_documents(docs, chunk_size=16, stride=12)
+
+
+def span_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style span dedup: drop repeated 4-token blocks corpus-wide
+    (first occurrence wins), reassemble surviving blocks per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_ops.span_dedup(docs, block_size=4)
+
+
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 adjacent bigrams; one partial-agg shuffle and a
+    k-row result with a total order."""
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_ops.heavy_hitters_bigrams(docs, k=20)
+
+
+def feature_hash_tf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick TF vectorizer: md5-bucketed term frequencies in
+    sparse long format — per-doc state bounded by num_buckets."""
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_ops.feature_hash_tf(docs, num_buckets=64)
+
+
+def _scd2_staging(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Deterministic SCD2 staging from orders: the dimension is the full
+    order set; the snapshot drops ``k % 13 == 0`` (deletes), bumps price by
+    an exact decimal 1.1× on ``k % 7 == 0`` (changes), and adds shifted
+    keys from ``k % 11 == 0`` (inserts)."""
+    k = F.col("k")
+    price = _dec("o_totalprice").cast("double")
+    bumped = (
+        F.col("o_totalprice").cast("decimal(18,4)")
+        * F.lit("1.1").cast("decimal(2,1)")
+    ).cast("double")
+    ords = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        price.alias("price"),
+        bumped.alias("bumped"),
+    )
+    dim = ords.select(
+        "k",
+        "status",
+        "price",
+        F.lit("1992-01-01").cast("date").alias("effective_from"),
+        F.lit("9999-12-31").cast("date").alias("effective_to"),
+        F.lit(True).alias("is_current"),
+    )
+    snap = (
+        ords.where(k % 13 != 0)
+        .select(
+            "k",
+            "status",
+            F.when(k % 7 == 0, F.col("bumped")).otherwise(F.col("price")).alias(
+                "price"
+            ),
+        )
+        .unionByName(
+            ords.where(k % 11 == 0).select(
+                (k + 100_000_000).alias("k"),
+                F.lit("N").alias("status"),
+                F.col("price"),
+            )
+        )
+    )
+    return dim, snap
+
+
+def scd2_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension merge (§2.9 upgraded to queryable
+    history): unchanged keys keep their current row, changed keys get a
+    closed row + a new open row, snapshot-only keys insert, missing keys
+    soft-delete. One full-outer pk shuffle; history rides through."""
+    dim, snap = _scd2_staging(spark, sf_dir)
+    return cdc_ops.scd2_merge(
+        dim, snap, ["k"], ["status", "price"], load_date="1998-08-01"
+    )
+
+
+def incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance: per-customer order aggregate kept
+    fresh by merging an already-aggregated delta batch into the stored
+    state — O(delta) work, never re-reading the base. The oracle is the
+    full recompute over all rows: the merge must be EXACTLY equal (decimal
+    sums make the addition order-independent)."""
+    ords = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.sum(_dec("o_totalprice")).alias("sum_price_dec"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+
+    base = agg(ords.where(F.col("o_orderdate") < cutoff))
+    delta = agg(ords.where(F.col("o_orderdate") >= cutoff))
+    merged = inc_ops.merge_agg_state(
+        base, delta, ["o_custkey"], ["sum_price_dec"], count_col="n_orders"
+    )
+    return merged.select(
+        "o_custkey",
+        F.col("sum_price_dec").cast("double").alias("sum_price"),
+        "n_orders",
+        (
+            F.col("sum_price_dec").cast("double")
+            / F.col("n_orders").cast("double")
+        ).alias("avg_price"),
+    )
+
+
+def data_skipping_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data skipping: per-split min/max/count over l_shipdate for
+    2048-order-key logical splits, plus the prune verdict for a
+    ship-date-range predicate — the math behind parquet row-group pruning
+    and lakehouse file skipping. Stats are one partial-agg shuffle and the
+    result is split-count sized (broadcastable)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    split = F.floor(F.col("l_orderkey") / F.lit(2048)).cast("long")
+    zm = inc_ops.zone_map(li, split, ["l_shipdate"])
+    return inc_ops.prune_plan(
+        zm,
+        "l_shipdate",
+        F.lit("1995-01-01").cast("timestamp"),
+        F.lit("1995-12-31").cast("timestamp"),
+    )
+
+
+def group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles (p25/p50/p75 of n_chars per lang) via
+    the native ``percentile`` aggregate — linear interpolation on quarter
+    fractions over integer inputs is exact in binary, so the DuckDB
+    ``quantile_cont`` oracle matches bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = F.percentile(
+        F.col("n_chars"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    )
+    agged = docs.groupBy("lang").agg(
+        q.alias("q"), F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return agged.select(
+        "lang",
+        F.element_at("q", 1).alias("p25"),
+        F.element_at("q", 2).alias("p50"),
+        F.element_at("q", 3).alias("p75"),
+        "n_docs",
+    )
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -2459,6 +2617,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iqr_outlier_events": iqr_outlier_events,
         "bloom_join_orders": bloom_join_orders,
         "ols_fit": ols_fit,
+        "chunk_documents": chunk_documents_q,
+        "span_dedup": span_dedup_q,
+        "heavy_hitters": heavy_hitters,
+        "feature_hash_tf": feature_hash_tf_q,
+        "group_quantiles": group_quantiles,
+        "scd2_merge": scd2_merge_q,
+        "incremental_agg": incremental_agg,
+        "data_skipping_plan": data_skipping_plan,
     }
 
 

@@ -125,6 +125,94 @@ def apply_cdc_pipeline(
     return delta, snapshot(full, pk_cols, order_cols)
 
 
+def scd2_merge(
+    dim: DataFrame,
+    snap: DataFrame,
+    pk_cols: list[str],
+    tracked_cols: list[str],
+    load_date: str,
+    from_col: str = "effective_from",
+    to_col: str = "effective_to",
+    current_col: str = "is_current",
+    open_end_date: str = "9999-12-31",
+    close_deletes: bool = True,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 merge: evolve a versioned dimension
+    (validity intervals + ``is_current`` flag) against a fresh snapshot.
+
+    The natural upgrade of :func:`merge_cdc` when history must be queryable
+    (reference §2.9 keeps only latest-per-key; SCD2 keeps every version):
+
+    - unchanged current rows are kept as-is;
+    - changed keys close the current row (``effective_to = load_date``,
+      ``is_current = false``) and open a new one;
+    - keys only in the snapshot open a new row;
+    - keys missing from the snapshot are soft-deleted (closed) when
+      ``close_deletes``.
+
+    ``open_end_date`` is the sentinel high date for open rows (avoids
+    NULL-end-date semantics in downstream BETWEEN filters).
+
+    Scale: one full-outer shuffle join on the pk between the *current* slice
+    and the snapshot; closed history rides through untouched (union, no
+    shuffle). Change detection is an md5 hash over ``tracked_cols`` computed
+    once per side.
+    """
+    out_cols = pk_cols + tracked_cols + [from_col, to_col, current_col]
+    hist = dim.where(~F.col(current_col)).select(*out_cols)
+    cur = dim.where(F.col(current_col))
+
+    cur_h = cur.withColumn("__h", row_hash_md5(cur, tracked_cols)).select(
+        *[F.col(c).alias(f"__c_{c}") for c in out_cols], F.col("__h").alias("__c_h")
+    )
+    snap_h = snap.withColumn("__h", row_hash_md5(snap, tracked_cols)).select(
+        *[F.col(c).alias(f"__s_{c}") for c in pk_cols + tracked_cols],
+        F.col("__h").alias("__s_h"),
+    )
+    cond = None
+    for c in pk_cols:
+        clause = cur_h[f"__c_{c}"] == snap_h[f"__s_{c}"]
+        cond = clause if cond is None else (cond & clause)
+    j = cur_h.join(snap_h, cond, "full_outer")
+
+    in_cur = F.col(f"__c_{pk_cols[0]}").isNotNull()
+    in_snap = F.col(f"__s_{pk_cols[0]}").isNotNull()
+    changed = in_cur & in_snap & (F.col("__c_h") != F.col("__s_h"))
+    load = F.lit(load_date).cast("date")
+    open_end = F.lit(open_end_date).cast("date")
+
+    def _cur_row(close: bool) -> list:
+        cols = [F.col(f"__c_{c}").alias(c) for c in pk_cols + tracked_cols]
+        cols.append(F.col(f"__c_{from_col}").alias(from_col))
+        cols.append((load if close else F.col(f"__c_{to_col}")).alias(to_col))
+        cols.append(F.lit(not close).alias(current_col))
+        return cols
+
+    def _snap_row() -> list:
+        cols = [F.col(f"__s_{c}").alias(c) for c in pk_cols + tracked_cols]
+        cols.append(load.alias(from_col))
+        cols.append(open_end.alias(to_col))
+        cols.append(F.lit(True).alias(current_col))
+        return cols
+
+    kept = j.where(in_cur & in_snap & (F.col("__c_h") == F.col("__s_h"))).select(
+        *_cur_row(close=False)
+    )
+    closed_changed = j.where(changed).select(*_cur_row(close=True))
+    opened_changed = j.where(changed).select(*_snap_row())
+    inserted = j.where(in_snap & ~in_cur).select(*_snap_row())
+    deleted = j.where(in_cur & ~in_snap).select(
+        *_cur_row(close=close_deletes)
+    )
+    return (
+        hist.unionByName(kept)
+        .unionByName(closed_changed)
+        .unionByName(opened_changed)
+        .unionByName(inserted)
+        .unionByName(deleted)
+    )
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

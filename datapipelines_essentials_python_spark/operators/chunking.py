@@ -1,0 +1,160 @@
+"""Token-window chunking and span-level dedup for training-data pipelines.
+
+Beyond-reference surface (driver mandate): the chunk/window primitives a
+RAG-or-pretraining corpus pipeline needs — overlapping token-window
+chunking (context windows for embedding/indexing), non-overlapping block
+("span") dedup in the C4 style (drop repeated spans corpus-wide, keep the
+first occurrence, reassemble documents), corpus heavy-hitter n-grams, and
+the hashing-trick term-frequency vectorizer.
+
+Scale notes (100 TB):
+
+- every operator is a narrow projection + higher-order array functions —
+  per-row work rides the parquet scan inside WholeStageCodegen, no Python;
+- ``chunk_documents`` explodes ~n_tokens/stride rows per doc, a bounded
+  blow-up chosen by the caller, and keeps only (id, chunk) columns;
+- ``span_dedup`` shuffles once on the block text (the dedup key) and once
+  on the doc id (reassembly) — both map-side combinable;
+- ``heavy_hitters_bigrams`` is one partial-agg shuffle; top-k is a
+  driver-sized result (k rows);
+- ``feature_hash_tf`` is explode→groupBy(id, bucket): the bucket space is
+  fixed (``num_buckets``), so state per doc is bounded regardless of
+  vocabulary size — the point of the hashing trick.
+
+All hashing is md5-derived (deterministic, portable), so DuckDB oracles
+replicate the exact algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .text import tokens
+
+
+def _toks(text_col: str) -> Column:
+    return tokens(text_col)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Overlapping token-window chunks: starts at 0, stride, 2·stride, …
+    while start < n_tokens; the last chunk may be shorter.
+
+    Returns (id, chunk_id, start, chunk_text, n_tokens). Documents with
+    zero tokens yield no chunks.
+    """
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    with_toks = df.select(
+        F.col(id_col), _toks(text_col).alias("toks")
+    ).withColumn("n", F.size("toks"))
+    starts = F.when(
+        F.col("n") > 0, F.sequence(F.lit(0), F.col("n") - 1, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    exploded = with_toks.select(
+        F.col(id_col), F.col("toks"), F.posexplode(starts).alias("chunk_id", "start")
+    )
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, chunk_size)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.col("start"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).alias("n_tokens"),
+    )
+
+
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_size: int = 8,
+) -> DataFrame:
+    """C4-style span dedup: split each document into non-overlapping
+    ``block_size``-token blocks, drop every block whose text already
+    occurred earlier in the corpus (first occurrence wins, ordered by
+    (id, block index)), and reassemble the surviving blocks per document.
+
+    Returns (id, text_clean, n_blocks_total, n_blocks_kept). A document
+    whose every block is a repeat disappears from the output (it is a
+    full duplicate at block granularity).
+
+    Two shuffles at scale: one keyed on block text (the dedup window),
+    one on the doc id (reassembly) — both partial-agg friendly.
+    """
+    blocks = chunk_documents(
+        df, text_col=text_col, id_col=id_col, chunk_size=block_size, stride=block_size
+    ).select(id_col, F.col("chunk_id").alias("block_idx"), F.col("chunk_text"))
+    w_first = Window.partitionBy("chunk_text").orderBy(id_col, "block_idx")
+    w_doc = Window.partitionBy(id_col)
+    marked = blocks.withColumn("rn", F.row_number().over(w_first)).withColumn(
+        "n_blocks_total", F.count(F.lit(1)).over(w_doc)
+    )
+    kept = marked.where(F.col("rn") == 1)
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("block_idx", "chunk_text"))
+                ),
+                lambda s: s["chunk_text"],
+            ),
+            " ",
+        ).alias("text_clean"),
+        F.max("n_blocks_total").alias("n_blocks_total"),
+        F.count(F.lit(1)).cast("long").alias("n_blocks_kept"),
+    )
+    return reassembled
+
+
+def heavy_hitters_bigrams(
+    df: DataFrame, text_col: str = "text", k: int = 20
+) -> DataFrame:
+    """Corpus-wide top-k adjacent-token bigrams with a total order
+    (count desc, bigram asc). One partial-agg shuffle; k-row result."""
+    toks = _toks(text_col)
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bigram"))
+        .limit(k)
+    )
+
+
+def feature_hash_tf(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Hashing-trick term frequencies: token → md5-derived bucket in
+    [0, num_buckets), counted per (id, bucket). Sparse long-format output
+    (id, bucket, tf) — bounded per-doc state regardless of vocabulary."""
+    tok = df.select(F.col(id_col), F.explode(_toks(text_col)).alias("t"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast("long")
+        % num_buckets
+    )
+    return (
+        tok.select(F.col(id_col), bucket.alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )

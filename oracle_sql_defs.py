@@ -1869,3 +1869,122 @@ SELECT CAST(e.vec_id AS BIGINT) AS vec_id, CAST(e.label AS INT) AS label
 FROM embeddings e LEFT JOIN losers l ON e.vec_id = l.id_b
 WHERE l.id_b IS NULL
 """
+
+ORACLES["chunk_documents"] = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS tk FROM documents),
+st0 AS (
+  SELECT doc_id, tk, unnest(range(0, len(tk), 12)) AS s
+  FROM toks WHERE len(tk) > 0),
+st AS (SELECT doc_id, tk, CAST(s AS INT) AS start FROM st0)
+SELECT doc_id,
+  CAST(start // 12 AS INT) AS chunk_id,
+  start,
+  array_to_string(tk[start + 1 : start + 16], ' ') AS chunk_text,
+  CAST(len(tk[start + 1 : start + 16]) AS INT) AS n_tokens
+FROM st
+"""
+
+ORACLES["span_dedup"] = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS tk FROM documents),
+blk0 AS (
+  SELECT doc_id, tk, unnest(range(0, len(tk), 4)) AS s
+  FROM toks WHERE len(tk) > 0),
+blk AS (
+  SELECT doc_id, CAST(s // 4 AS INT) AS block_idx,
+         array_to_string(tk[s + 1 : s + 4], ' ') AS chunk_text
+  FROM blk0),
+marked AS (
+  SELECT doc_id, block_idx, chunk_text,
+    row_number() OVER (PARTITION BY chunk_text ORDER BY doc_id, block_idx) AS rn,
+    COUNT(*) OVER (PARTITION BY doc_id) AS n_total
+  FROM blk)
+SELECT doc_id,
+  array_to_string(list(chunk_text ORDER BY block_idx), ' ') AS text_clean,
+  CAST(max(n_total) AS BIGINT) AS n_blocks_total,
+  CAST(count(*) AS BIGINT) AS n_blocks_kept
+FROM marked WHERE rn = 1 GROUP BY doc_id
+"""
+
+ORACLES["heavy_hitters"] = f"""
+WITH toks AS (SELECT {TOKS} AS tk FROM documents),
+bg0 AS (
+  SELECT tk, unnest(range(1, len(tk))) AS i
+  FROM toks WHERE len(tk) >= 2),
+bg AS (SELECT tk[i] || ' ' || tk[i + 1] AS bigram FROM bg0)
+SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+FROM bg GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20
+"""
+
+_FH_BUCKET = _hex_to_long("md5(t)", 8) + " % 64"
+ORACLES["feature_hash_tf"] = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS tk FROM documents),
+tok AS (SELECT doc_id, unnest(tk) AS t FROM toks)
+SELECT doc_id, CAST({_FH_BUCKET} AS BIGINT) AS bucket,
+  CAST(count(*) AS BIGINT) AS tf
+FROM tok GROUP BY doc_id, bucket
+"""
+
+ORACLES["group_quantiles"] = """
+SELECT lang,
+  quantile_cont(n_chars, 0.25) AS p25,
+  quantile_cont(n_chars, 0.50) AS p50,
+  quantile_cont(n_chars, 0.75) AS p75,
+  CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+ORACLES["scd2_merge"] = """
+WITH ords AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+    CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS price,
+    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * CAST(1.1 AS DECIMAL(2,1))
+         AS DOUBLE) AS bumped
+  FROM orders),
+dim AS (SELECT k, status, price FROM ords),
+snap AS (
+  SELECT k, status,
+    CASE WHEN k % 7 = 0 THEN bumped ELSE price END AS price
+  FROM ords WHERE k % 13 <> 0
+  UNION ALL
+  SELECT k + 100000000 AS k, 'N' AS status, price FROM ords WHERE k % 11 = 0),
+j AS (
+  SELECT coalesce(d.k, s.k) AS k,
+    d.k IS NOT NULL AS in_dim, s.k IS NOT NULL AS in_snap,
+    d.status AS dstat, d.price AS dprice, s.status AS sstat, s.price AS sprice
+  FROM dim d FULL OUTER JOIN snap s ON d.k = s.k)
+SELECT k, dstat AS status, dprice AS price,
+  DATE '1992-01-01' AS effective_from, DATE '9999-12-31' AS effective_to,
+  TRUE AS is_current
+FROM j WHERE in_dim AND in_snap AND dstat = sstat AND dprice = sprice
+UNION ALL
+SELECT k, dstat, dprice, DATE '1992-01-01', DATE '1998-08-01', FALSE
+FROM j WHERE in_dim AND in_snap AND NOT (dstat = sstat AND dprice = sprice)
+UNION ALL
+SELECT k, sstat, sprice, DATE '1998-08-01', DATE '9999-12-31', TRUE
+FROM j WHERE in_dim AND in_snap AND NOT (dstat = sstat AND dprice = sprice)
+UNION ALL
+SELECT k, sstat, sprice, DATE '1998-08-01', DATE '9999-12-31', TRUE
+FROM j WHERE in_snap AND NOT in_dim
+UNION ALL
+SELECT k, dstat, dprice, DATE '1992-01-01', DATE '1998-08-01', FALSE
+FROM j WHERE in_dim AND NOT in_snap
+"""
+
+ORACLES["incremental_agg"] = """
+SELECT o_custkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS avg_price
+FROM orders GROUP BY o_custkey
+"""
+
+ORACLES["data_skipping_plan"] = """
+SELECT CAST(l_orderkey // 2048 AS BIGINT) AS split_id,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  min(l_shipdate) AS min_l_shipdate,
+  max(l_shipdate) AS max_l_shipdate,
+  (max(l_shipdate) < TIMESTAMP '1995-01-01'
+   OR min(l_shipdate) > TIMESTAMP '1995-12-31') AS can_skip
+FROM lineitem GROUP BY split_id
+"""

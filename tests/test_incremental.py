@@ -1,0 +1,122 @@
+"""SCD2 merge, incremental aggregate maintenance, zone-map pruning."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from datapipelines_essentials_python_spark.operators import incremental
+from datapipelines_essentials_python_spark.operators.cdc import scd2_merge
+
+D = datetime.date
+
+
+def _dim(spark):
+    return spark.createDataFrame(
+        [
+            # closed history row for key 1 + its current row
+            (1, "a", 10.0, D(2020, 1, 1), D(2021, 1, 1), False),
+            (1, "a2", 11.0, D(2021, 1, 1), D(9999, 12, 31), True),
+            (2, "b", 20.0, D(2020, 1, 1), D(9999, 12, 31), True),
+            (3, "c", 30.0, D(2020, 1, 1), D(9999, 12, 31), True),
+        ],
+        "k long, attr string, price double, effective_from date, "
+        "effective_to date, is_current boolean",
+    )
+
+
+def test_scd2_merge_classifies_all_paths(spark):
+    dim = _dim(spark)
+    snap = spark.createDataFrame(
+        [
+            (1, "a2", 11.0),   # unchanged
+            (2, "b", 25.0),    # changed
+            (4, "d", 40.0),    # insert
+        ],                      # key 3 missing → soft delete
+        "k long, attr string, price double",
+    )
+    out = scd2_merge(
+        dim, snap, ["k"], ["attr", "price"], load_date="2022-06-01"
+    )
+    rows = {(r["k"], r["effective_from"]): r for r in out.collect()}
+    assert len(rows) == 6
+    # history row untouched
+    assert rows[(1, D(2020, 1, 1))]["is_current"] is False
+    # unchanged current row kept open
+    r1 = rows[(1, D(2021, 1, 1))]
+    assert r1["is_current"] is True and r1["effective_to"] == D(9999, 12, 31)
+    # changed: old row closed at load date, new row opened
+    old2 = rows[(2, D(2020, 1, 1))]
+    assert old2["is_current"] is False and old2["effective_to"] == D(2022, 6, 1)
+    new2 = rows[(2, D(2022, 6, 1))]
+    assert new2["is_current"] is True and new2["price"] == 25.0
+    # delete: closed
+    r3 = rows[(3, D(2020, 1, 1))]
+    assert r3["is_current"] is False and r3["effective_to"] == D(2022, 6, 1)
+    # insert: open row
+    r4 = rows[(4, D(2022, 6, 1))]
+    assert r4["is_current"] is True and r4["effective_to"] == D(9999, 12, 31)
+
+
+def test_scd2_merge_keep_deletes_open(spark):
+    dim = _dim(spark)
+    snap = spark.createDataFrame(
+        [(1, "a2", 11.0), (2, "b", 20.0)], "k long, attr string, price double"
+    )
+    out = scd2_merge(
+        dim, snap, ["k"], ["attr", "price"], "2022-06-01", close_deletes=False
+    )
+    r3 = [r for r in out.collect() if r["k"] == 3][0]
+    assert r3["is_current"] is True
+
+
+def test_merge_agg_state_equals_full_recompute(spark):
+    rows = [(i % 5, float(i), 1) for i in range(100)]
+    df = spark.createDataFrame(rows, "key long, v double, n long")
+    base_rows = df.where(F.col("v") < 60)
+    delta_rows = df.where(F.col("v") >= 60)
+
+    def agg(d):
+        return d.groupBy("key").agg(
+            F.sum(F.col("v").cast("decimal(18,4)")).alias("s"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+
+    merged = incremental.merge_agg_state(
+        agg(base_rows), agg(delta_rows), ["key"], ["s"]
+    )
+    full = agg(df)
+    m = {r["key"]: (float(r["s"]), r["n_rows"]) for r in merged.collect()}
+    f = {r["key"]: (float(r["s"]), r["n_rows"]) for r in full.collect()}
+    assert m == f
+
+
+def test_merge_agg_state_handles_one_sided_keys(spark):
+    base = spark.createDataFrame(
+        [(1, 10.0, 2)], "key long, s double, n_rows long"
+    )
+    delta = spark.createDataFrame(
+        [(2, 5.0, 1)], "key long, s double, n_rows long"
+    )
+    out = {
+        r["key"]: (r["s"], r["n_rows"])
+        for r in incremental.merge_agg_state(
+            base, delta, ["key"], ["s"]
+        ).collect()
+    }
+    assert out == {1: (10.0, 2), 2: (5.0, 1)}
+
+
+def test_zone_map_prune_plan(spark):
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(40)], "id long, v long"
+    )
+    zm = incremental.zone_map(
+        df, F.floor(F.col("id") / 10).cast("long"), ["v"]
+    )
+    plan = incremental.prune_plan(zm, "v", 150, 250)
+    got = {r["split_id"]: r for r in plan.collect()}
+    assert got[0]["can_skip"] is True      # v in [0, 90]
+    assert got[1]["can_skip"] is False     # v in [100,190] overlaps
+    assert got[2]["can_skip"] is False     # v in [200,290] overlaps
+    assert got[3]["can_skip"] is True      # v in [300,390]
+    assert all(r["n_rows"] == 10 for r in got.values())
