@@ -354,15 +354,18 @@ def bloom_contamination(
     :func:`contamination`.
 
     The exact check broadcasts the eval set's full distinct-shingle set,
-    which grows with the eval corpus. Here the broadcast side is the
-    DISTINCT set of bloom bit positions lit by the eval shingles (k=2
-    md5-derived positions per shingle over ``m_bits`` addressable bits):
-    at most ``min(2·|eval shingles|, m_bits)`` BIGINTs regardless of how
-    large the eval suite grows — always broadcastable. Error is one-sided:
-    a shingle whose two positions are both lit may be a false positive
-    (classic bloom rate ≈ (bits_set/m)²), but a true eval shingle is NEVER
-    missed, so a drop decision based on this gate is conservative — the
-    right direction for decontamination.
+    which grows with the eval corpus. Here the broadcast side is a REAL
+    bloom bitmap: the k=2 md5-derived bit positions per eval shingle are
+    OR-ed into 64-bit words (``map<word_index, word>``, ≤ ``m_bits``/64
+    entries ≈ 128 KiB at the default 2²⁰ bits) and the single-row map
+    broadcasts to every task. Each document then tests its shingles with
+    two O(1) word lookups — one pass over the corpus, zero shuffles, no
+    explode blow-up (the same per-row shape as :func:`contamination`'s
+    broadcast_array strategy, but with eval-size-independent memory).
+    Error is one-sided: a shingle whose two positions are both lit may be
+    a false positive (classic bloom rate ≈ (bits_set/m)²), but a true
+    eval shingle is NEVER missed, so a drop decision based on this gate
+    is conservative — the right direction for decontamination.
 
     All hashing is deterministic md5 (same family as the MinHash/LSH
     operators), so the whole pipeline — including the filter construction —
@@ -372,39 +375,45 @@ def bloom_contamination(
     """
     from datapipelines_essentials_python_spark.operators.dedup import shingles
 
-    def pos(s: Column, offset: int) -> Column:
-        return F.conv(F.substring(F.md5(s), offset, 8), 16, 10).cast("long") % m_bits
+    def pos(h: Column, offset: int) -> Column:
+        # one md5 per shingle, split into two 32-bit positions
+        return F.conv(F.substring(h, offset, 8), 16, 10).cast("long") % m_bits
 
-    bits = (
+    bit = F.col("bit")
+    bloom = (
         eval_docs.select(F.explode(shingles(text_col, n)).alias("g"))
-        .select(F.explode(F.array(pos(F.col("g"), 1), pos(F.col("g"), 9))).alias("bit"))
-        .distinct()
-    )
-    base = docs.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
-    probes = base.select("id", F.explode("sh").alias("g")).select(
-        "id", "g",
-        pos(F.col("g"), 1).alias("p1"),
-        pos(F.col("g"), 9).alias("p2"),
-    )
-    hits = (
-        probes.join(F.broadcast(bits.withColumnRenamed("bit", "p1")), "p1")
-        .join(F.broadcast(bits.withColumnRenamed("bit", "p2")), "p2")
-        .groupBy("id")
-        .agg(F.count_distinct("g").alias("n_bloom_hits"))
-    )
-    return (
-        base.select("id", F.size("sh").alias("n_shingles"))
-        .join(hits, "id", "left")
+        .select(F.md5("g").alias("h"))
+        .select(F.explode(F.array(pos(F.col("h"), 1), pos(F.col("h"), 9))).alias("bit"))
         .select(
-            "id",
-            F.col("n_shingles").cast("long").alias("n_shingles"),
-            F.coalesce("n_bloom_hits", F.lit(0)).cast("long").alias("n_bloom_hits"),
-            F.round(
-                F.coalesce("n_bloom_hits", F.lit(0)).cast("double")
-                / F.greatest(F.col("n_shingles"), F.lit(1)).cast("double"),
-                6,
-            ).alias("ratio"),
+            (bit / 64).cast("int").alias("w"),
+            F.expr("shiftleft(cast(1 as bigint), cast(bit % 64 as int))").alias("m"),
         )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("m"))
+        .agg(F.map_from_entries(F.collect_list(F.struct("w", "m"))).alias("bf"))
+    )
+    base = docs.select(
+        F.col(id_col).alias("id"), shingles(text_col, n).alias("sh")
+    )
+    # per-shingle membership: both bloom bits lit ⇔ word >> (p%64) & 1 for
+    # both positions; absent words coalesce to 0 (bit unset)
+    hit_count = F.expr(
+        "size(filter(sh, s -> forall("
+        "  transform(array(substring(md5(s), 1, 8), substring(md5(s), 9, 8)),"
+        f"   x -> cast(conv(x, 16, 10) as bigint) % {m_bits}),"
+        "  p -> (shiftright(coalesce(element_at(bf, cast(p div 64 as int)),"
+        "                            cast(0 as bigint)),"
+        "                   cast(p % 64 as int)) & 1) = 1)))"
+    )
+    return base.crossJoin(F.broadcast(bloom)).select(
+        "id",
+        F.size("sh").cast("long").alias("n_shingles"),
+        hit_count.cast("long").alias("n_bloom_hits"),
+        F.round(
+            hit_count.cast("double")
+            / F.greatest(F.size("sh"), F.lit(1)).cast("double"),
+            6,
+        ).alias("ratio"),
     )
 
 
