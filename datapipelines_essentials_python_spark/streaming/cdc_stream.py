@@ -63,6 +63,70 @@ def streaming_cdc_upsert(
     return writer.start()
 
 
+def streaming_scd2_maintain(
+    stream: DataFrame,
+    pk_cols: list[str],
+    tracked_cols: list[str],
+    ts_col: str,
+    load_dim: Callable[[], DataFrame],
+    sink: Callable[[DataFrame, int], None],
+    load_date_fn: Callable[[DataFrame, int], str] | None = None,
+    watermark: str = "10 minutes",
+    checkpoint_dir: str | None = None,
+    query_name: str = "scd2_maintain",
+) -> StreamingQuery:
+    """Keep a type-2 dimension fresh from a change stream: each micro-batch
+    is collapsed to latest-per-key, then applied to the served dimension via
+    the batch :func:`operators.cdc.scd2_merge` — one SCD2 implementation,
+    two execution modes (the contract the other wrappers here keep).
+
+    A micro-batch is a PARTIAL snapshot (only changed keys appear), so the
+    merge runs with ``close_deletes=False``: keys absent from the batch
+    keep their current row. Deletes must arrive as explicit tombstone
+    rows handled by the caller's ``sink``.
+
+    ``load_dim`` returns the current dimension (pk + tracked +
+    effective_from/effective_to/is_current); ``sink`` receives the merged
+    dimension per epoch and persists it. ``load_date_fn`` maps a batch to
+    its effective date — default: the max ``ts_col`` date in the batch
+    (one scalar aggregate per micro-batch).
+    """
+    from datapipelines_essentials_python_spark.operators.cdc import (
+        scd2_merge,
+        snapshot,
+    )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if load_date_fn is not None:
+            load_date = load_date_fn(batch_df, epoch_id)
+        else:
+            load_date = str(
+                batch_df.agg(F.max(F.col(ts_col).cast("date"))).collect()[0][0]
+            )
+        latest = snapshot(batch_df, pk_cols, [ts_col]).select(
+            *pk_cols, *tracked_cols
+        )
+        merged = scd2_merge(
+            load_dim(),
+            latest,
+            pk_cols,
+            tracked_cols,
+            load_date=load_date,
+            close_deletes=False,
+        )
+        sink(merged, epoch_id)
+
+    deduped = stream.withWatermark(ts_col, watermark).dropDuplicates(
+        pk_cols + [ts_col]
+    )
+    writer = deduped.writeStream.queryName(query_name).foreachBatch(_process)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def streaming_incremental_dedup(
     stream: DataFrame,
     corpus_fps: DataFrame,

@@ -127,3 +127,64 @@ def test_streaming_incremental_dedup_precomputed_fps(spark, tmp_path):
     finally:
         q.stop()
     assert admitted == [23]
+
+
+def test_streaming_scd2_maintain(spark, tmp_path):
+    from datetime import date
+    from datapipelines_essentials_python_spark.streaming.cdc_stream import (
+        streaming_scd2_maintain,
+    )
+
+    src = str(tmp_path / "scd2_src")
+    schema = "k long, attr string, ts timestamp"
+    batch = [
+        (1, "v1-old", datetime(2024, 3, 1, 9, 0, 0)),
+        (1, "v1-new", datetime(2024, 3, 1, 10, 0, 0)),  # latest per key wins
+        (4, "fresh", datetime(2024, 3, 1, 10, 0, 0)),
+    ]
+    spark.createDataFrame(batch, schema).write.mode("overwrite").parquet(src)
+
+    dim_schema = (
+        "k long, attr string, effective_from date, effective_to date, "
+        "is_current boolean"
+    )
+    dim = spark.createDataFrame(
+        [
+            (1, "v0", date(2020, 1, 1), date(9999, 12, 31), True),
+            (2, "keep", date(2020, 1, 1), date(9999, 12, 31), True),
+        ],
+        dim_schema,
+    )
+    result = {}
+
+    def sink(merged, epoch_id):
+        result["rows"] = {
+            (r["k"], r["attr"], r["is_current"]): r for r in merged.collect()
+        }
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = streaming_scd2_maintain(
+        stream,
+        pk_cols=["k"],
+        tracked_cols=["attr"],
+        ts_col="ts",
+        load_dim=lambda: dim,
+        sink=sink,
+        checkpoint_dir=str(tmp_path / "scd2_ckpt"),
+        query_name="t_scd2",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = result["rows"]
+    # key 1: old row closed at batch date, new row opened with LATEST value
+    assert rows[(1, "v0", False)]["effective_to"] == date(2024, 3, 1)
+    assert rows[(1, "v1-new", True)]["effective_from"] == date(2024, 3, 1)
+    assert (1, "v1-old", True) not in rows
+    # key 2 absent from batch: stays current (partial snapshot, no delete)
+    assert (2, "keep", True) in rows
+    # key 4: inserted
+    assert rows[(4, "fresh", True)]["effective_to"] == date(9999, 12, 31)
+    assert len(rows) == 4
