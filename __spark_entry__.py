@@ -32,6 +32,7 @@ from datapipelines_essentials_python_spark.operators import incremental as inc_o
 from datapipelines_essentials_python_spark.operators import multimodal as mm_ops
 from datapipelines_essentials_python_spark.operators import relational as rel_ops
 from datapipelines_essentials_python_spark.operators import similarity as sim_ops
+from datapipelines_essentials_python_spark.operators import sketches as sk_ops
 from datapipelines_essentials_python_spark.operators import text as text_ops
 from datapipelines_essentials_python_spark.operators.text import LANG_PROFILES
 from datapipelines_essentials_python_spark.functions.durations import (
@@ -2485,6 +2486,42 @@ def group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation: build a 4×64 md5-hashed CMS
+    over all document tokens, then estimate the exact top-20 tokens'
+    counts from the sketch. Sketch state is ≤256 counters regardless of
+    corpus size (partial agg does the work map-side); estimates are the
+    classic min-over-rows upper bound. Deterministic md5 hashing → the
+    oracle replays the identical sketch."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    tok = docs.select(F.explode(text_ops.tokens("text")).alias("token"))
+    top = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), F.col("token"))
+        .limit(20)
+    )
+    sketch = sk_ops.cms_build(tok, "token", depth=4, width=64)
+    est = sk_ops.cms_estimate(sketch, top, "token", depth=4, width=64)
+    return top.join(est, "token").select("token", "true_cnt", "cms_est")
+
+
+def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user counts per event type (p=8, 256
+    registers, md5-prefix hash, integer-exact harmonic sums, linear-
+    counting small-range branch) next to the exact distinct — register
+    state is 256 rows per group no matter how many events flow through.
+    Deterministic construction → the SQL oracle computes the IDENTICAL
+    estimate, making the approximate path exactly testable."""
+    ev = load_table(spark, sf_dir, "events")
+    regs = sk_ops.hll_registers(ev, "user_id", ["event_type"])
+    est = sk_ops.hll_estimate(regs, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("n_exact")
+    )
+    return exact.join(est, "event_type").select("event_type", "n_exact", "hll_est")
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -2625,6 +2662,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_merge": scd2_merge_q,
         "incremental_agg": incremental_agg,
         "data_skipping_plan": data_skipping_plan,
+        "cms_topk": cms_topk,
+        "hll_distinct": hll_distinct,
     }
 
 

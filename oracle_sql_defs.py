@@ -1988,3 +1988,59 @@ SELECT CAST(l_orderkey // 2048 AS BIGINT) AS split_id,
    OR min(l_shipdate) > TIMESTAMP '1995-12-31') AS can_skip
 FROM lineitem GROUP BY split_id
 """
+
+_CMS_H = _hex_to_long("md5(concat(cast(i AS VARCHAR), '|', x))", 8)
+_CMS_H_T = _hex_to_long("md5(concat(cast(u.i AS VARCHAR), '|', t.x))", 8)
+ORACLES["cms_topk"] = f"""
+WITH toks AS (SELECT unnest({TOKS}) AS x FROM documents),
+cnts AS (SELECT x, CAST(count(*) AS BIGINT) AS true_cnt FROM toks GROUP BY x),
+top AS (SELECT x, true_cnt FROM cnts ORDER BY true_cnt DESC, x LIMIT 20),
+rows_ AS (SELECT x, unnest([0, 1, 2, 3]) AS i FROM toks),
+sk AS (
+  SELECT i, {_CMS_H} % 64 AS b, CAST(count(*) AS BIGINT) AS cnt
+  FROM rows_ GROUP BY i, b),
+pr AS (
+  SELECT t.x, t.true_cnt, u.i, {_CMS_H_T} % 64 AS b
+  FROM top t, unnest([0, 1, 2, 3]) AS u(i))
+SELECT pr.x AS token, pr.true_cnt,
+  CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS cms_est
+FROM pr LEFT JOIN sk ON pr.i = sk.i AND pr.b = sk.b
+GROUP BY pr.x, pr.true_cnt
+"""
+
+_HLL_H = _hex_to_long("md5(cast(user_id AS VARCHAR))", 8)
+ORACLES["hll_distinct"] = f"""
+WITH h AS (
+  SELECT event_type, {_HLL_H} AS hv FROM events),
+rv AS (
+  SELECT event_type, CAST(hv % 256 AS INT) AS idx,
+    CAST(hv // 256 AS BIGINT) AS v
+  FROM h),
+regs AS (
+  SELECT event_type, idx,
+    CAST(max(CASE WHEN v = 0 THEN 25 ELSE 25 - length(bin(v)) END) AS INT) AS M
+  FROM rv GROUP BY event_type, idx),
+agged AS (
+  SELECT event_type,
+    CAST(SUM(CAST(2 AS BIGINT) ** (25 - M)) AS BIGINT) AS denom_obs,
+    CAST(count(*) AS BIGINT) AS n_obs
+  FROM regs GROUP BY event_type),
+est AS (
+  SELECT event_type,
+    denom_obs + (256 - n_obs) * CAST(2 AS BIGINT) ** 25 AS denom_scaled,
+    256 - n_obs AS zeros
+  FROM agged),
+fin AS (
+  SELECT event_type,
+    (0.7213 / (1.0 + 1.079 / 256)) * CAST(256 AS DOUBLE) * CAST(256 AS DOUBLE)
+      * CAST(2 AS DOUBLE) ** 25 / CAST(denom_scaled AS DOUBLE) AS raw,
+    zeros
+  FROM est)
+SELECT e.event_type,
+  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_exact,
+  round(CASE WHEN f.raw <= 2.5 * 256 AND f.zeros > 0
+             THEN CAST(256 AS DOUBLE) * ln(CAST(256 AS DOUBLE) / CAST(f.zeros AS DOUBLE))
+             ELSE f.raw END, 3) AS hll_est
+FROM events e JOIN fin f ON e.event_type = f.event_type
+GROUP BY e.event_type, f.raw, f.zeros
+"""

@@ -1,0 +1,59 @@
+"""Count-Min and HyperLogLog sketch operators."""
+
+from pyspark.sql import functions as F
+
+from datapipelines_essentials_python_spark.operators import sketches
+
+
+def test_cms_never_underestimates(spark):
+    rows = [(f"tok{i % 7}",) for i in range(700)] + [("rare",)]
+    df = spark.createDataFrame(rows, "x string")
+    sk = sketches.cms_build(df, "x", depth=4, width=32)
+    true = {r["x"]: r["c"] for r in df.groupBy("x").agg(F.count(F.lit(1)).alias("c")).collect()}
+    est = {
+        r["x"]: r["cms_est"]
+        for r in sketches.cms_estimate(sk, df, "x", depth=4, width=32).collect()
+    }
+    assert set(est) == set(true)
+    for k, t in true.items():
+        assert est[k] >= t  # CMS is an upper bound
+    # 8 distinct keys in 4x32 counters: collisions rare, est close to truth
+    assert est["rare"] <= true["rare"] + 700
+
+
+def test_cms_sketch_is_bounded(spark):
+    df = spark.createDataFrame([(str(i),) for i in range(5000)], "x string")
+    sk = sketches.cms_build(df, "x", depth=4, width=64)
+    assert sk.count() <= 4 * 64
+    # total mass per row equals input size
+    per_row = sk.groupBy("row_idx").agg(F.sum("cnt").alias("s")).collect()
+    assert all(r["s"] == 5000 for r in per_row)
+
+
+def test_hll_estimate_accuracy(spark):
+    # m=256 → typical rel. error ~1.04/sqrt(256) ≈ 6.5%
+    df = spark.createDataFrame(
+        [(i % 2000,) for i in range(10000)], "user_id long"
+    )
+    regs = sketches.hll_registers(df, "user_id")
+    est = sketches.hll_estimate(regs).collect()[0]["hll_est"]
+    assert 2000 * 0.8 <= est <= 2000 * 1.2
+
+
+def test_hll_small_range_linear_counting(spark):
+    df = spark.createDataFrame([(i,) for i in range(20)], "user_id long")
+    regs = sketches.hll_registers(df, "user_id")
+    est = sketches.hll_estimate(regs).collect()[0]["hll_est"]
+    assert 15 <= est <= 25
+
+
+def test_hll_grouped_and_deterministic(spark):
+    rows = [("a", i % 50) for i in range(500)] + [("b", i % 300) for i in range(600)]
+    df = spark.createDataFrame(rows, "g string, user_id long")
+    regs = sketches.hll_registers(df, "user_id", ["g"])
+    e1 = {r["g"]: r["hll_est"] for r in sketches.hll_estimate(regs, ["g"]).collect()}
+    e2 = {r["g"]: r["hll_est"] for r in sketches.hll_estimate(
+        sketches.hll_registers(df, "user_id", ["g"]), ["g"]).collect()}
+    assert e1 == e2  # fully deterministic
+    assert 50 * 0.75 <= e1["a"] <= 50 * 1.25
+    assert 300 * 0.75 <= e1["b"] <= 300 * 1.25
