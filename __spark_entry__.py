@@ -2522,6 +2522,32 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(est, "event_type").select("event_type", "n_exact", "hll_est")
 
 
+def grouped_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-proof train/val/test assignment: the split is a hash of the
+    SOURCE (not the row), so near-duplicates clustered within a source can
+    never straddle train and eval. Pure narrow projection; the per-source
+    integrity is visible in the output (one split per source)."""
+    from datapipelines_essentials_python_spark.operators.sampling import grouped_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = grouped_split(
+        docs, "source", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return assigned.groupBy("source", "split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+def winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorization of event values at p01/p99 (exact
+    percentiles, 6-dp-rounded bounds for engine portability): one quantile
+    pass → tiny bounds table broadcast back → clamp projection. The
+    robust-stats companion of ``iqr_outlier_events``."""
+    ev = load_table(spark, sf_dir, "events")
+    out = rel_ops.winsorize(ev, "event_type", "value", 0.01, 0.99)
+    return out.select("event_id", "event_type", "value", "value_wins")
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -2664,6 +2690,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_skipping_plan": data_skipping_plan,
         "cms_topk": cms_topk,
         "hll_distinct": hll_distinct,
+        "grouped_split_docs": grouped_split_docs,
+        "winsorize_events": winsorize_events,
     }
 
 

@@ -282,3 +282,33 @@ def iqr_outliers(
         F.first("lo").alias("lo"),
         F.first("hi").alias("hi"),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    lo_q: float = 0.01,
+    hi_q: float = 0.99,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Winsorize ``value_col`` per key: clamp values below the ``lo_q``
+    quantile / above the ``hi_q`` quantile to those bounds — the standard
+    robust-stats move before mean/σ-based features meet heavy tails.
+
+    Same shape as :func:`iqr_outliers`: one quantile pass producing a
+    per-key bounds table (tiny → broadcast back), one clamp projection.
+    Bounds are rounded to 6 dp so the clamped output is engine-portable.
+    At 100 TB swap the exact percentile for ``approx_percentile``.
+    """
+    out_col = out_col or f"{value_col}_wins"
+    bounds = df.groupBy(F.col(key_col).alias("__k")).agg(
+        F.round(F.expr(f"percentile({value_col}, {lo_q})"), 6).alias("__lo"),
+        F.round(F.expr(f"percentile({value_col}, {hi_q})"), 6).alias("__hi"),
+    )
+    clamped = F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi"))
+    return (
+        df.join(F.broadcast(bounds), F.col(key_col) == F.col("__k"), "inner")
+        .withColumn(out_col, clamped)
+        .drop("__k", "__lo", "__hi")
+    )

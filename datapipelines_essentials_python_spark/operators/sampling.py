@@ -175,3 +175,35 @@ def deterministic_shuffle(
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .drop("key")
     )
+
+
+def grouped_split(
+    df: DataFrame,
+    group_col: str,
+    fractions: dict[str, float],
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-proof split assignment: the split is decided by a hash of
+    the GROUP key, so every row sharing ``group_col`` (same source, same
+    site, same conversation) lands in the same split. Row-level splitting
+    leaks near-duplicates across train/eval; group-level splitting is the
+    standard fix.
+
+    ``fractions`` maps split name → fraction (must sum to ≤ 1; any
+    remainder joins the LAST split in sorted-name order). Pure narrow
+    projection — the assignment is one md5 per row, no shuffle.
+    """
+    frac = hash_fraction(group_col, salt)
+    names = sorted(fractions)
+    # CASE chain over cumulative bounds in sorted-name order — a fixed,
+    # oracle-mirrorable assignment
+    cum = 0.0
+    cases: list[tuple[float, str]] = []
+    for name in names[:-1]:
+        cum += float(fractions[name])
+        cases.append((cum, name))
+    label: Column = F.lit(names[-1])
+    for bound, name in reversed(cases):
+        label = F.when(frac < F.lit(bound), F.lit(name)).otherwise(label)
+    return df.withColumn(split_col, label)

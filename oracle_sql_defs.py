@@ -2044,3 +2044,31 @@ SELECT e.event_type,
 FROM events e JOIN fin f ON e.event_type = f.event_type
 GROUP BY e.event_type, f.raw, f.zeros
 """
+
+_SPLIT_FRAC = (
+    _hex_to_long("md5(concat('split', '|', source))", 8)
+    + " / 4294967296.0"
+)
+ORACLES["grouped_split_docs"] = f"""
+WITH g AS (
+  SELECT source, CAST({_SPLIT_FRAC} AS DOUBLE) AS frac,
+    CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source)
+SELECT source,
+  CASE WHEN frac < 0.1 THEN 'test'
+       WHEN frac < 0.9 THEN 'train'
+       ELSE 'val' END AS split,
+  n_docs
+FROM g
+"""
+
+ORACLES["winsorize_events"] = """
+WITH b AS (
+  SELECT event_type AS k,
+    round(quantile_cont(value, 0.01), 6) AS lo,
+    round(quantile_cont(value, 0.99), 6) AS hi
+  FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type, e.value,
+  least(greatest(e.value, b.lo), b.hi) AS value_wins
+FROM events e JOIN b ON e.event_type = b.k
+"""

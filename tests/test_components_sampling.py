@@ -511,3 +511,42 @@ def test_kmeans_train_loop_converges_and_truncates_lineage(spark):
     assert sorted(map(sorted, groups.values())) == [
         list(range(6)), [100 + i for i in range(6)]
     ]
+
+
+def test_grouped_split_integrity_and_coverage(spark):
+    from datapipelines_essentials_python_spark.operators.sampling import grouped_split
+
+    df = spark.createDataFrame(
+        [(i, f"src{i % 17}") for i in range(500)], "id long, grp string"
+    )
+    out = grouped_split(df, "grp", {"train": 0.8, "val": 0.1, "test": 0.1})
+    # every group lands in exactly one split
+    per_grp = out.groupBy("grp").agg(F.count_distinct("split").alias("n")).collect()
+    assert all(r["n"] == 1 for r in per_grp)
+    assert {r["split"] for r in out.select("split").distinct().collect()} <= {
+        "train", "val", "test"
+    }
+    # deterministic across invocations
+    a = {(r["id"], r["split"]) for r in out.collect()}
+    b = {
+        (r["id"], r["split"])
+        for r in grouped_split(
+            df, "grp", {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).collect()
+    }
+    assert a == b
+
+
+def test_winsorize_clamps_tails(spark):
+    from datapipelines_essentials_python_spark.operators.relational import winsorize
+
+    rows = [("a", float(v)) for v in range(1, 100)] + [("a", 10000.0), ("a", -10000.0)]
+    df = spark.createDataFrame(rows, "k string, value double")
+    out = winsorize(df, "k", "value", 0.05, 0.95)
+    vals = [r["value_wins"] for r in out.collect()]
+    lo, hi = min(vals), max(vals)
+    # extremes clamped into the p05/p95 band; interior values untouched
+    assert lo > -10000.0 and hi < 10000.0
+    mid = {r["value"]: r["value_wins"] for r in out.collect() if 10 <= r["value"] <= 90}
+    assert all(v == w for v, w in mid.items())
+    assert out.count() == df.count()
