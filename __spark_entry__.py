@@ -2548,6 +2548,32 @@ def winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "event_type", "value", "value_wins")
 
 
+def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profile (§2.11 companion): per-column null +
+    distinct counts for orders in a SINGLE aggregation over one scan,
+    pivoted long-format via stack — the first look a DQ engineer takes at
+    an unknown table before writing rules."""
+    from datapipelines_essentials_python_spark.dq.engine import profile_columns
+
+    ords = load_table(spark, sf_dir, "orders")
+    return profile_columns(
+        ords,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"],
+    )
+
+
+def compaction_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction planner: zone-map splits bin-packed into
+    ~50k-row output files by a running-sum window over the STATS table
+    (KBs) — planner cost independent of table size, consecutive splits
+    kept together so existing sort-correlation (and zone-map pruning)
+    survives compaction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    split = F.floor(F.col("l_orderkey") / F.lit(2048)).cast("long")
+    zm = inc_ops.zone_map(li, split, ["l_shipdate"]).select("split_id", "n_rows")
+    return inc_ops.compaction_plan(zm, target_rows=50_000)
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -2598,23 +2624,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_topk": quantized_topk,
         "ivf_ann": ivf_ann,
         "ivf_ann_nprobe2": ivf_ann_nprobe2,
-        "exact_dedup": exact_dedup,
         "cdc_merge": cdc_merge,
-        "snapshot_diff": snapshot_diff_orders,
-        "window_latest_order": window_latest_order,
-        "json_flatten": json_flatten,
         "flatten_deep": flatten_deep,
         "multimodal_features": multimodal_features,
-        "media_chunks": media_chunks,
-        "pack_sequences": pack_sequences,
-        "metadata_pipeline": metadata_pipeline,
         "filter_dsl_scan": filter_dsl_scan,
         "duration_buckets": duration_buckets,
         "salted_join_events": salted_join_events,
         "decontamination_bloom": decontamination_bloom,
         "semantic_dedup": semantic_dedup,
+        "scd2_merge": scd2_merge_q,
+        "data_skipping_plan": data_skipping_plan,
+        "hll_distinct": hll_distinct,
+        "cms_topk": cms_topk,
+        "group_quantiles": group_quantiles,
+        "span_dedup": span_dedup_q,
+        "winsorize_events": winsorize_events,
         # ---- entries below are covered by tools/check_parity.py
         # ---- (full-suite log committed per round as PARITY_r{N}.txt)
+        "exact_dedup": exact_dedup,
+        "json_flatten": json_flatten,
+        "media_chunks": media_chunks,
+        "pack_sequences": pack_sequences,
+        "metadata_pipeline": metadata_pipeline,
+        "snapshot_diff": snapshot_diff_orders,
+        "window_latest_order": window_latest_order,
         "projection_cast_nvl": projection_cast_nvl,
         "agg_dispatch": agg_dispatch,
         "top_k_per_group": top_k_per_group,
@@ -2681,17 +2714,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_join_orders": bloom_join_orders,
         "ols_fit": ols_fit,
         "chunk_documents": chunk_documents_q,
-        "span_dedup": span_dedup_q,
         "heavy_hitters": heavy_hitters,
         "feature_hash_tf": feature_hash_tf_q,
-        "group_quantiles": group_quantiles,
-        "scd2_merge": scd2_merge_q,
         "incremental_agg": incremental_agg,
-        "data_skipping_plan": data_skipping_plan,
-        "cms_topk": cms_topk,
-        "hll_distinct": hll_distinct,
         "grouped_split_docs": grouped_split_docs,
-        "winsorize_events": winsorize_events,
+        "dq_profile": dq_profile,
+        "compaction_plan": compaction_plan_q,
     }
 
 

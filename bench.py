@@ -125,6 +125,23 @@ HEADLINE = [
     # and embedding_neardup respectively
     "decontamination_bloom",
     "semantic_dedup",
+    # round 3: warehouse-freshness ops (SCD2 history, materialized-view
+    # delta merge, zone-map skipping), deterministic sketches (CMS/HLL),
+    # and the chunk/span/split/winsorize curation slate
+    "scd2_merge",
+    "incremental_agg",
+    "data_skipping_plan",
+    "cms_topk",
+    "hll_distinct",
+    "chunk_documents",
+    "span_dedup",
+    "heavy_hitters",
+    "feature_hash_tf",
+    "group_quantiles",
+    "grouped_split_docs",
+    "winsorize_events",
+    "dq_profile",
+    "compaction_plan",
 ]
 
 

@@ -146,3 +146,28 @@ def dq_summary_df(spark: SparkSession, results: list[RuleResult]) -> DataFrame:
         "rule_id string, name string, rule_type string, passed boolean, "
         "violation_count long, total_count long, detail string",
     )
+
+
+def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
+    """One-pass column profile: total rows + per-column null and distinct
+    counts, returned long-format ``(n_rows, col_name, n_nulls,
+    n_distinct)`` — one row per profiled column.
+
+    The whole profile is a SINGLE aggregation over one scan (2·N aggregate
+    expressions, partial map-side); the long-format pivot is a ``stack``
+    over the one-row result, so cost is one pass regardless of how many
+    columns are profiled. The standard first look at an unknown 100 TB
+    table before writing DQ rules against it.
+    """
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for c in columns:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).cast("long").alias(f"__nl_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).cast("long").alias(f"__nd_{c}"))
+    row = df.agg(*aggs)
+    pairs = ", ".join(f"'{c}', __nl_{c}, __nd_{c}" for c in columns)
+    return row.select(
+        F.col("__n").alias("n_rows"),
+        F.expr(
+            f"stack({len(columns)}, {pairs}) AS (col_name, n_nulls, n_distinct)"
+        ),
+    )

@@ -93,3 +93,34 @@ def prune_plan(
     cannot intersect [lo, hi]. Returns the zone map + ``can_skip``."""
     can_skip = (F.col(f"max_{col}") < F.lit(lo)) | (F.col(f"min_{col}") > F.lit(hi))
     return zmap.withColumn("can_skip", can_skip)
+
+
+def compaction_plan(
+    zmap: DataFrame,
+    target_rows: int,
+    split_col: str = "split_id",
+    rows_col: str = "n_rows",
+) -> DataFrame:
+    """Bin-pack splits into output files of ~``target_rows`` each — the
+    small-files compaction planner. Consecutive splits (in ``split_col``
+    order) are assigned to output group ``floor(rows_before / target)``
+    via a running-sum window.
+
+    The window is a global order over the ZONE MAP (split-count-sized,
+    KBs), never over data — planner cost is independent of table size.
+    Keeping consecutive splits together preserves any sort-correlation
+    the layout already has (so zone-map pruning still works after
+    compaction).
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.orderBy(split_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rows_before = F.coalesce(F.sum(rows_col).over(w), F.lit(0))
+    return zmap.select(
+        split_col,
+        rows_col,
+        F.floor(rows_before / F.lit(target_rows)).cast("long").alias("out_file"),
+    )

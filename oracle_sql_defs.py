@@ -2072,3 +2072,37 @@ SELECT e.event_id, e.event_type, e.value,
   least(greatest(e.value, b.lo), b.hi) AS value_wins
 FROM events e JOIN b ON e.event_type = b.k
 """
+
+ORACLES["dq_profile"] = """
+WITH base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nl1,
+    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS nd1,
+    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nl2,
+    CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd2,
+    CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nl3,
+    CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd3,
+    CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nl4,
+    CAST(count(DISTINCT o_totalprice) AS BIGINT) AS nd4,
+    CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nl5,
+    CAST(count(DISTINCT o_orderdate) AS BIGINT) AS nd5
+  FROM orders)
+SELECT n_rows, 'o_orderkey' AS col_name, nl1 AS n_nulls, nd1 AS n_distinct FROM base
+UNION ALL SELECT n_rows, 'o_custkey', nl2, nd2 FROM base
+UNION ALL SELECT n_rows, 'o_orderstatus', nl3, nd3 FROM base
+UNION ALL SELECT n_rows, 'o_totalprice', nl4, nd4 FROM base
+UNION ALL SELECT n_rows, 'o_orderdate', nl5, nd5 FROM base
+"""
+
+ORACLES["compaction_plan"] = """
+WITH zm AS (
+  SELECT CAST(l_orderkey // 2048 AS BIGINT) AS split_id,
+    CAST(count(*) AS BIGINT) AS n_rows
+  FROM lineitem GROUP BY split_id)
+SELECT split_id, n_rows,
+  CAST(floor(coalesce(
+    sum(n_rows) OVER (ORDER BY split_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+    / 50000) AS BIGINT) AS out_file
+FROM zm
+"""

@@ -120,3 +120,27 @@ def test_zone_map_prune_plan(spark):
     assert got[2]["can_skip"] is False     # v in [200,290] overlaps
     assert got[3]["can_skip"] is True      # v in [300,390]
     assert all(r["n_rows"] == 10 for r in got.values())
+
+
+def test_compaction_plan_bin_packs_consecutively(spark):
+    zm = spark.createDataFrame(
+        [(0, 30), (1, 30), (2, 30), (3, 30), (4, 30)],
+        "split_id long, n_rows long",
+    )
+    out = {r["split_id"]: r["out_file"] for r in
+           incremental.compaction_plan(zm, target_rows=50).collect()}
+    # rows_before: 0,30,60,90,120 → groups 0,0,1,1,2
+    assert out == {0: 0, 1: 0, 2: 1, 3: 1, 4: 2}
+
+
+def test_profile_columns_one_pass(spark):
+    from datapipelines_essentials_python_spark.dq.engine import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")],
+        "id long, s string",
+    )
+    rows = {r["col_name"]: r for r in profile_columns(df, ["id", "s"]).collect()}
+    assert rows["id"]["n_rows"] == 4
+    assert rows["id"]["n_nulls"] == 1 and rows["id"]["n_distinct"] == 3
+    assert rows["s"]["n_nulls"] == 1 and rows["s"]["n_distinct"] == 2

@@ -218,12 +218,17 @@ def test_iqr_broadcasts_bounds(spark):
 
 
 def test_bloom_decontamination_broadcasts_filter(spark):
-    """The bloom bit table must broadcast (it is bounded by m_bits rows at
-    any corpus scale) and the whole pipeline stays JVM-side."""
+    """The bloom filter is a single-row BITMAP (map of 64-bit words)
+    broadcast into a one-pass probe projection: one BroadcastExchange, no
+    shuffle join, no shingle explode on the corpus side, JVM-side only."""
     plan = plan_of(entry_mod.queries()["decontamination_bloom"](spark, SF_DIR))
-    assert "BroadcastHashJoin" in plan
+    assert "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
+    # the corpus side must NOT explode its shingles: the only Generate
+    # (explode) nodes belong to the tiny eval side feeding the bitmap —
+    # 2 nodes (shingles, bit pairs), each printed twice by formatted explain
+    assert plan.count("Generate") <= 4
 
 
 def test_semantic_dedup_no_python_no_cartesian(spark):
@@ -232,3 +237,71 @@ def test_semantic_dedup_no_python_no_cartesian(spark):
     plan = plan_of(entry_mod.queries()["semantic_dedup"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_scd2_merge_stays_jvm_no_cartesian(spark):
+    """SCD2: one full-outer pk join for the current slice; history rides a
+    union. Nothing may fall to Python or a cartesian."""
+    plan = plan_of(entry_mod.queries()["scd2_merge"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Union" in plan
+
+
+def test_incremental_agg_merges_not_recomputes(spark):
+    """The merge is agg(base) ⟗ agg(delta): two partial-agg chains and one
+    key join — no window, no Python."""
+    plan = plan_of(entry_mod.queries()["incremental_agg"](spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 4  # partial+final per side
+    assert "FullOuter" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_data_skipping_is_one_aggregation(spark):
+    """Zone-map stats are a single partial-agg shuffle over the scan."""
+    plan = plan_of(entry_mod.queries()["data_skipping_plan"](spark, SF_DIR))
+    assert plan.count("Exchange") <= 2
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_cms_sketch_broadcasts(spark):
+    """The CMS sketch (≤ d·w counters) must broadcast into the estimate
+    join; everything stays JVM-side."""
+    plan = plan_of(entry_mod.queries()["cms_topk"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_hll_fixed_register_state(spark):
+    """HLL reduces to groupBy over (group, idx ≤ 256): hash aggregates
+    only, no window, no Python."""
+    plan = plan_of(entry_mod.queries()["hll_distinct"](spark, SF_DIR))
+    assert "HashAggregate" in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_winsorize_broadcasts_bounds(spark):
+    """Per-key bounds table is tiny → broadcast back; clamp is narrow."""
+    plan = plan_of(entry_mod.queries()["winsorize_events"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_grouped_split_assignment_is_narrow(spark):
+    """Split assignment is one md5 per row: the only exchange belongs to
+    the reporting aggregate, none to the assignment itself."""
+    plan = plan_of(entry_mod.queries()["grouped_split_docs"](spark, SF_DIR))
+    assert plan.count("Exchange") <= 2
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_span_dedup_two_keyed_shuffles(spark):
+    """Span dedup: one shuffle keyed on block text (dedup window), one on
+    the doc id (reassembly) — and no Python anywhere."""
+    plan = plan_of(entry_mod.queries()["span_dedup"](spark, SF_DIR))
+    assert "Window" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
