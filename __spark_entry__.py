@@ -2574,6 +2574,18 @@ def compaction_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inc_ops.compaction_plan(zm, target_rows=50_000)
 
 
+def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fluency scoring under the corpus's own add-one-smoothed bigram LM
+    (penalizes unlikely token transitions, not just rare words). Decimal-
+    quantized per-bigram logprobs make the per-doc aggregate order-
+    independent — the float path is exactly oracle-checkable."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    out = text_ops.bigram_logprob_score(docs, "doc_id")
+    return out.select(
+        F.col("id").cast("long").alias("doc_id"), "n_bigrams", "avg_logprob"
+    )
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -2720,6 +2732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_split_docs": grouped_split_docs,
         "dq_profile": dq_profile,
         "compaction_plan": compaction_plan_q,
+        "bigram_lm_quality": bigram_lm_quality,
     }
 
 

@@ -142,6 +142,7 @@ HEADLINE = [
     "winsorize_events",
     "dq_profile",
     "compaction_plan",
+    "bigram_lm_quality",
 ]
 
 

@@ -163,6 +163,68 @@ def unigram_logprob_score(
     )
 
 
+def bigram_logprob_score(
+    df: DataFrame, id_col: str, text_col: str = "text", round_dp: int = 4
+) -> DataFrame:
+    """Per-document mean bigram log2-probability under the corpus's own
+    add-one-smoothed bigram LM — a sharper fluency signal than the unigram
+    score (it penalizes unlikely token TRANSITIONS, which is what
+    distinguishes shuffled/boilerplate text from prose with the same
+    vocabulary): ``p(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V)``.
+
+    → (id, n_bigrams, avg_logprob) over documents with ≥ 2 tokens.
+    Exactness: per-bigram log2 p is rounded and cast to DECIMAL before
+    the per-doc sum (the :func:`unigram_logprob_score` discipline), so
+    the aggregate is order-independent and the SQL oracle hash-matches.
+
+    Scale shape: bigram LM = one explode + count shuffle; unigram table
+    and vocab size ride the same pass; scoring joins the (broadcastable)
+    LM tables and aggregates once on the doc id.
+    """
+    toks = tokens(text_col)
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.concat(
+                    F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+                ).alias("bigram"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,bigram:string>>"))
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode(bigrams).alias("b")
+    ).select("id", F.col("b.w1").alias("w1"), F.col("b.bigram").alias("bigram"))
+
+    lm_bg = exploded.groupBy("bigram").agg(F.count(F.lit(1)).alias("cbg"))
+    lm_uni = unigram_counts(df, text_col).select(
+        F.col("token").alias("w1"), F.col("cnt").alias("cw")
+    )
+    vocab = lm_uni.agg(F.count(F.lit(1)).alias("V"))
+
+    logp = F.round(
+        F.log2(
+            (F.col("cbg") + F.lit(1)).cast("double")
+            / (F.col("cw") + F.col("V")).cast("double")
+        ),
+        round_dp,
+    ).cast("decimal(18,6)")
+    return (
+        exploded.join(F.broadcast(lm_bg), "bigram")
+        .join(F.broadcast(lm_uni), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(logp).cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # n-gram repetition detection (Gopher-style quality signal)
 # --------------------------------------------------------------------------

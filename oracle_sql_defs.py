@@ -2106,3 +2106,27 @@ SELECT split_id, n_rows,
     / 50000) AS BIGINT) AS out_file
 FROM zm
 """
+
+ORACLES["bigram_lm_quality"] = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS tk FROM documents),
+bg0 AS (
+  SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+  FROM toks WHERE len(tk) >= 2),
+bg AS (
+  SELECT doc_id, tk[i] AS w1, tk[i] || ' ' || tk[i + 1] AS bigram FROM bg0),
+lm_bg AS (SELECT bigram, count(*) AS cbg FROM bg GROUP BY bigram),
+uni AS (SELECT unnest(tk) AS w1 FROM toks),
+lm_uni AS (SELECT w1, count(*) AS cw FROM uni GROUP BY w1),
+vocab AS (SELECT count(*) AS V FROM lm_uni),
+scored AS (
+  SELECT b.doc_id,
+    CAST(round(log2(CAST(l.cbg + 1 AS DOUBLE) / CAST(u.cw + v.V AS DOUBLE)), 4)
+         AS DECIMAL(18,6)) AS logp
+  FROM bg b
+  JOIN lm_bg l ON b.bigram = l.bigram
+  JOIN lm_uni u ON b.w1 = u.w1
+  CROSS JOIN vocab v)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+  round(CAST(SUM(logp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_logprob
+FROM scored GROUP BY doc_id
+"""

@@ -244,3 +244,21 @@ def test_bloom_contamination_tiny_filter_over_flags_only(spark):
     out = {r["id"]: r["ratio"] for r in
            bloom_contamination(docs, ev, "doc_id", "text", m_bits=1).collect()}
     assert out[1] == 1.0 and out[2] == 1.0
+
+
+def test_bigram_logprob_score(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x")], "doc_id long, text string"
+    )
+    out = {r["id"]: r for r in text.bigram_logprob_score(df, "doc_id").collect()}
+    # corpus bigrams: doc1 → (a b),(b a),(a b); doc2 → (a b)
+    # counts: c("a b")=3, c("b a")=1; unigrams: a=3, b=3, x=1, V=3
+    lp_ab = round(math.log2((3 + 1) / (3 + 3)), 4)
+    lp_ba = round(math.log2((1 + 1) / (3 + 3)), 4)
+    assert out[1]["n_bigrams"] == 3
+    assert abs(out[1]["avg_logprob"] - round((2 * lp_ab + lp_ba) / 3, 6)) < 1e-9
+    assert out[2]["n_bigrams"] == 1
+    assert abs(out[2]["avg_logprob"] - round(lp_ab, 6)) < 1e-9
+    assert 3 not in out  # single-token docs have no bigrams
