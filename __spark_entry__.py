@@ -2586,6 +2586,18 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: 64-dim vectors compress to 4 codebook
+    codes (4 bytes); scoring is asymmetric distance (exact query subvector
+    vs reconstructed corpus subvector) in a narrow projection over the
+    corpus scan — the memory-bound ANN path alongside IVF
+    (compute-bound) and SRP-LSH (bucket-bound). Decimal-quantized partial
+    distances make the estimate exactly oracle-checkable."""
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
+    queries = emb.where(F.col("vec_id") % 97 == 0)
+    return sim_ops.pq_topk(emb, queries, k=5)
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -2733,6 +2745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_profile": dq_profile,
         "compaction_plan": compaction_plan_q,
         "bigram_lm_quality": bigram_lm_quality,
+        "pq_ann": pq_ann,
     }
 
 

@@ -143,6 +143,7 @@ HEADLINE = [
     "dq_profile",
     "compaction_plan",
     "bigram_lm_quality",
+    "pq_ann",
 ]
 
 

@@ -2130,3 +2130,45 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
   round(CAST(SUM(logp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_logprob
 FROM scored GROUP BY doc_id
 """
+
+_PQ_SQ = lambda q, c: (  # noqa: E731 — in-order squared-distance fold
+    f"list_sum([(CAST({q} AS DOUBLE) - {c}) * (CAST({q} AS DOUBLE) - {c}) "
+    "for i in range(1, 17)])"
+)
+ORACLES["pq_ann"] = f"""
+WITH seeds AS (
+  SELECT embedding AS sv, row_number() OVER (ORDER BY vec_id) - 1 AS code
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+cb AS (
+  SELECT s.sub, seeds.code,
+    [CAST(x AS DOUBLE) for x in sv[s.sub * 16 + 1 : s.sub * 16 + 16]] AS cvec
+  FROM seeds, unnest([0, 1, 2, 3]) AS s(sub)),
+dists AS (
+  SELECT e.vec_id, cb.sub, cb.code,
+    {_PQ_SQ('e.embedding[cb.sub * 16 + i]', 'cb.cvec[i]')} AS d
+  FROM embeddings e CROSS JOIN cb),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+    FROM dists) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id % 97 = 0),
+parts AS (
+  SELECT q.query_id, co.vec_id AS neighbor_id,
+    CAST(round({_PQ_SQ('q.qv[co.sub * 16 + i]', 'cb.cvec[i]')}, 6)
+         AS DECIMAL(18,6)) AS d
+  FROM codes co
+  JOIN cb ON cb.sub = co.sub AND cb.code = co.code
+  CROSS JOIN q
+  WHERE q.query_id <> co.vec_id),
+est AS (
+  SELECT query_id, neighbor_id, SUM(d) AS dist
+  FROM parts GROUP BY query_id, neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, CAST(dist AS DOUBLE) AS dist_est,
+    row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+  FROM est)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dist_est
+FROM ranked WHERE rank <= 5
+"""

@@ -159,3 +159,48 @@ def test_semantic_dedup_never_pairs_across_clusters(spark, vectors):
     assert all(a != b for a, b in got)
     # 1 and 3 are orthogonal and sit in different cells: never a pair
     assert (1, 3) not in got
+
+
+def test_pq_topk_approximates_brute_force(spark):
+    import random
+
+    from datapipelines_essentials_python_spark.operators.similarity import (
+        brute_force_topk,
+        pq_codebook,
+        pq_topk,
+    )
+
+    random.seed(7)
+    rows = [
+        (i, [random.uniform(-1, 1) for _ in range(64)]) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.where(F.col("vec_id") < 3)
+
+    cb = pq_codebook(df).collect()[0]["cb"]
+    assert len(cb) == 4 and len(cb[0]) == 16 and len(cb[0][0]) == 16
+
+    pq = pq_topk(df, queries, k=10)
+    got = {r["query_id"]: set() for r in pq.collect()}
+    for r in pq.collect():
+        got[r["query_id"]].add(r["neighbor_id"])
+    assert all(len(v) == 10 for v in got.values())
+    # ranks are 1..10 per query, distances non-negative and non-decreasing
+    per_q = {}
+    for r in pq.collect():
+        per_q.setdefault(r["query_id"], []).append((r["rank"], r["dist_est"]))
+    for q, rs in per_q.items():
+        rs.sort()
+        assert [x[0] for x in rs] == list(range(1, 11))
+        assert all(rs[i][1] <= rs[i + 1][1] for i in range(9))
+        assert rs[0][1] >= 0.0
+
+    # sanity recall: quantized top-10 overlaps exact cosine top-10
+    # (random uniform vectors — PQ with seeded codebooks is coarse, so
+    # just require non-trivial overlap)
+    bf = brute_force_topk(df, queries, k=10)
+    exact = {}
+    for r in bf.collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    overlap = sum(len(got[q] & exact[q]) for q in got) / (10 * len(got))
+    assert overlap > 0.0
