@@ -2598,6 +2598,28 @@ def pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.pq_topk(emb, queries, k=5)
 
 
+def hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch mergeability, correctness-gated: HLL registers built
+    separately over two event-time halves, merged (per-register max), and
+    estimated — the oracle computes the estimate over the FULL corpus
+    directly, so the gate proves ``estimate(merge(A, B)) ==
+    estimate(A ∪ B)`` exactly. This is the pattern that keeps 100 TB
+    distinct-count profiles fresh: sketch per day/batch, merge at query
+    time, never rescan history."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    regs_a = sk_ops.hll_registers(
+        ev.where(F.col("ts") < cutoff), "user_id", ["event_type"]
+    )
+    regs_b = sk_ops.hll_registers(
+        ev.where(F.col("ts") >= cutoff), "user_id", ["event_type"]
+    )
+    merged = sk_ops.hll_merge(regs_a, regs_b, ["event_type"])
+    return sk_ops.hll_estimate(merged, ["event_type"]).select(
+        "event_type", "hll_est"
+    )
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -2746,6 +2768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_plan": compaction_plan_q,
         "bigram_lm_quality": bigram_lm_quality,
         "pq_ann": pq_ann,
+        "hll_incremental": hll_incremental,
     }
 
 

@@ -144,6 +144,7 @@ HEADLINE = [
     "compaction_plan",
     "bigram_lm_quality",
     "pq_ann",
+    "hll_incremental",
 ]
 
 

@@ -161,3 +161,35 @@ def hll_estimate(
     linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
     est = F.when((raw <= 2.5 * m) & (zeros > 0), linear).otherwise(raw)
     return agged.select(*group_cols, F.round(est, 3).alias("hll_est"))
+
+
+# ---------------------------------------------------------------------------
+# Sketch merging — the property that makes sketches work at 100 TB: build
+# per partition / per batch / per day, merge cheaply, estimate once.
+# ---------------------------------------------------------------------------
+
+
+def hll_merge(
+    a: DataFrame, b: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Merge two HLL register tables: per-register MAX. Exactly lossless —
+    ``estimate(merge(regs(X), regs(Y))) == estimate(regs(X ∪ Y))`` by
+    construction, which is why HLL profiles can be kept incrementally
+    (per day / per batch) and only merged at query time."""
+    group_cols = group_cols or []
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "idx")
+        .agg(F.max("M").cast("int").alias("M"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two Count-Min sketches: counter-wise SUM (same depth/width
+    required). ``estimate(merge(s(X), s(Y))) == estimate(s(X ⊎ Y))`` —
+    CMS is a linear sketch, so per-partition sketches add."""
+    return (
+        a.unionByName(b)
+        .groupBy("row_idx", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )

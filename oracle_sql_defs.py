@@ -2172,3 +2172,39 @@ ranked AS (
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dist_est
 FROM ranked WHERE rank <= 5
 """
+
+# merged-halves HLL must equal the full-corpus estimate (lossless merge) —
+# the oracle computes directly over all events
+ORACLES["hll_incremental"] = f"""
+WITH h AS (
+  SELECT event_type, {_HLL_H} AS hv FROM events),
+rv AS (
+  SELECT event_type, CAST(hv % 256 AS INT) AS idx,
+    CAST(hv // 256 AS BIGINT) AS v
+  FROM h),
+regs AS (
+  SELECT event_type, idx,
+    CAST(max(CASE WHEN v = 0 THEN 25 ELSE 25 - length(bin(v)) END) AS INT) AS M
+  FROM rv GROUP BY event_type, idx),
+agged AS (
+  SELECT event_type,
+    CAST(SUM(CAST(2 AS BIGINT) ** (25 - M)) AS BIGINT) AS denom_obs,
+    CAST(count(*) AS BIGINT) AS n_obs
+  FROM regs GROUP BY event_type),
+est AS (
+  SELECT event_type,
+    denom_obs + (256 - n_obs) * CAST(2 AS BIGINT) ** 25 AS denom_scaled,
+    256 - n_obs AS zeros
+  FROM agged),
+fin AS (
+  SELECT event_type,
+    (0.7213 / (1.0 + 1.079 / 256)) * CAST(256 AS DOUBLE) * CAST(256 AS DOUBLE)
+      * CAST(2 AS DOUBLE) ** 25 / CAST(denom_scaled AS DOUBLE) AS raw,
+    zeros
+  FROM est)
+SELECT event_type,
+  round(CASE WHEN raw <= 2.5 * 256 AND zeros > 0
+             THEN CAST(256 AS DOUBLE) * ln(CAST(256 AS DOUBLE) / CAST(zeros AS DOUBLE))
+             ELSE raw END, 3) AS hll_est
+FROM fin
+"""

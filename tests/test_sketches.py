@@ -57,3 +57,32 @@ def test_hll_grouped_and_deterministic(spark):
     assert e1 == e2  # fully deterministic
     assert 50 * 0.75 <= e1["a"] <= 50 * 1.25
     assert 300 * 0.75 <= e1["b"] <= 300 * 1.25
+
+
+def test_hll_merge_is_lossless(spark):
+    df = spark.createDataFrame([(i,) for i in range(3000)], "user_id long")
+    a = df.where(F.col("user_id") < 1500)
+    b = df.where(F.col("user_id") >= 1500)
+    merged = sketches.hll_merge(
+        sketches.hll_registers(a, "user_id"),
+        sketches.hll_registers(b, "user_id"),
+    )
+    full = sketches.hll_registers(df, "user_id")
+    est_m = sketches.hll_estimate(merged).collect()[0]["hll_est"]
+    est_f = sketches.hll_estimate(full).collect()[0]["hll_est"]
+    assert est_m == est_f  # merge is exactly lossless
+
+
+def test_cms_merge_is_linear(spark):
+    df = spark.createDataFrame(
+        [(f"k{i % 9}",) for i in range(900)], "x string"
+    )
+    a = spark.createDataFrame([(f"k{i % 9}",) for i in range(400)], "x string")
+    b = spark.createDataFrame([(f"k{i % 9}",) for i in range(400, 900)], "x string")
+    merged = sketches.cms_merge(
+        sketches.cms_build(a, "x"), sketches.cms_build(b, "x")
+    )
+    full = sketches.cms_build(df, "x")
+    m = {(r["row_idx"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    f = {(r["row_idx"], r["bucket"]): r["cnt"] for r in full.collect()}
+    assert m == f
