@@ -181,22 +181,23 @@ def bigram_logprob_score(
     and vocab size ride the same pass; scoring joins the (broadcastable)
     LM tables and aggregates once on the doc id.
     """
-    toks = tokens(text_col)
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("w1"),
-                F.concat(
-                    F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
-                ).alias("bigram"),
-            ),
+    # adjacent pairs via zip_with over a shifted slice (the chunking
+    # module's trick): the shorter side pads with null → null bigram →
+    # filtered after explode. Avoids the element_at-over-sequence lambda,
+    # which re-evaluates the token split per element (~15× slower).
+    pre = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("tk"))
+    bigrams = F.zip_with(
+        F.col("tk"),
+        F.expr("slice(tk, 2, size(tk))"),
+        lambda a, b: F.struct(
+            a.alias("w1"), F.concat(a, F.lit(" "), b).alias("bigram")
         ),
-    ).otherwise(F.array().cast("array<struct<w1:string,bigram:string>>"))
-    exploded = df.select(
-        F.col(id_col).alias("id"), F.explode(bigrams).alias("b")
-    ).select("id", F.col("b.w1").alias("w1"), F.col("b.bigram").alias("bigram"))
+    )
+    exploded = (
+        pre.select("id", F.explode(bigrams).alias("b"))
+        .select("id", F.col("b.w1").alias("w1"), F.col("b.bigram").alias("bigram"))
+        .where(F.col("bigram").isNotNull())
+    )
 
     lm_bg = exploded.groupBy("bigram").agg(F.count(F.lit(1)).alias("cbg"))
     lm_uni = unigram_counts(df, text_col).select(
