@@ -190,3 +190,47 @@ def streaming_incremental_dedup(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def streaming_hll_profile(
+    stream: DataFrame,
+    item_col: str,
+    group_cols: list[str],
+    load_registers: Callable[[], DataFrame | None],
+    sink: Callable[[DataFrame, int], None],
+    checkpoint_dir: str | None = None,
+    query_name: str = "hll_profile",
+) -> StreamingQuery:
+    """Keep a distinct-count profile fresh from a stream: each micro-batch
+    is sketched (``sketches.hll_registers``) and merged into the served
+    register table with the LOSSLESS per-register max
+    (``sketches.hll_merge``) — per-epoch cost is O(batch + m registers),
+    never O(history), and the merged profile equals the one a full rescan
+    would produce (the property the ``hll_incremental`` query
+    correctness-gates).
+
+    ``load_registers`` returns the current register table (or None on
+    first batch); ``sink`` receives the merged registers per epoch and
+    persists them. Estimate on read with ``sketches.hll_estimate``.
+    """
+    from datapipelines_essentials_python_spark.operators.sketches import (
+        hll_merge,
+        hll_registers,
+    )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_regs = hll_registers(batch_df, item_col, group_cols)
+        served = load_registers()
+        merged = (
+            batch_regs
+            if served is None
+            else hll_merge(served, batch_regs, group_cols)
+        )
+        sink(merged, epoch_id)
+
+    writer = stream.writeStream.queryName(query_name).foreachBatch(_process)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -188,3 +188,57 @@ def test_streaming_scd2_maintain(spark, tmp_path):
     # key 4: inserted
     assert rows[(4, "fresh", True)]["effective_to"] == date(9999, 12, 31)
     assert len(rows) == 4
+
+
+def test_streaming_hll_profile_matches_full_rescan(spark, tmp_path):
+    from datapipelines_essentials_python_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+    from datapipelines_essentials_python_spark.streaming.cdc_stream import (
+        streaming_hll_profile,
+    )
+
+    src = str(tmp_path / "hll_src")
+    schema = "g string, user_id long"
+    batch_rows = [("a", i) for i in range(200, 400)] + [("b", i) for i in range(50)]
+    spark.createDataFrame(batch_rows, schema).write.mode("overwrite").parquet(src)
+
+    history = spark.createDataFrame(
+        [("a", i) for i in range(300)], schema  # overlaps batch on 200-299
+    )
+    served = {"regs": hll_registers(history, "user_id", ["g"])}
+    out = {}
+
+    def sink(merged, epoch_id):
+        out["est"] = {
+            r["g"]: r["hll_est"]
+            for r in hll_estimate(merged, ["g"]).collect()
+        }
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = streaming_hll_profile(
+        stream,
+        item_col="user_id",
+        group_cols=["g"],
+        load_registers=lambda: served["regs"],
+        sink=sink,
+        checkpoint_dir=str(tmp_path / "hll_ckpt"),
+        query_name="t_hll",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # merged streaming profile must equal a full rescan of history ∪ batch
+    full = spark.createDataFrame(
+        [("a", i) for i in range(400)] + [("b", i) for i in range(50)], schema
+    )
+    expect = {
+        r["g"]: r["hll_est"]
+        for r in hll_estimate(
+            hll_registers(full, "user_id", ["g"]), ["g"]
+        ).collect()
+    }
+    assert out["est"] == expect
