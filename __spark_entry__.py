@@ -2620,6 +2620,65 @@ def hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG indexing/retrieval over the round-3 ops: documents →
+    overlapping token-window chunks → hashing-trick TF vectors (64
+    buckets) → cosine top-10 chunks for a query document (doc 0, its own
+    chunks excluded). Dot products and norms are INTEGER sums (md5
+    bucketing, tf counts), so the only float is the final normalized
+    division — the whole retrieval stack replays exactly in SQL.
+
+    Scale shape: chunking and hashing ride the scan; the query vector is a
+    broadcast row-set; scoring is one keyed aggregation per chunk."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    chunks = chunk_ops.chunk_documents(docs, chunk_size=16, stride=12).where(
+        F.col("doc_id") != 0
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast("long") % 64
+    )
+    ctf = (
+        chunks.select(
+            "doc_id", "chunk_id", F.explode(text_ops.tokens("chunk_text")).alias("t")
+        )
+        .select("doc_id", "chunk_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "chunk_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    cnorm = ctf.groupBy("doc_id", "chunk_id").agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf")).cast("double")).alias("norm_c")
+    )
+    qtf = (
+        docs.where(F.col("doc_id") == 0)
+        .select(F.explode(text_ops.tokens("text")).alias("t"))
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("qtf"))
+    )
+    qnorm = qtf.agg(
+        F.sqrt(F.sum(F.col("qtf") * F.col("qtf")).cast("double")).alias("norm_q")
+    )
+    dot = (
+        ctf.join(F.broadcast(qtf), "bucket")
+        .groupBy("doc_id", "chunk_id")
+        .agg(F.sum(F.col("tf") * F.col("qtf")).cast("long").alias("dot"))
+    )
+    scored = (
+        dot.join(cnorm, ["doc_id", "chunk_id"])
+        .crossJoin(F.broadcast(qnorm))
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.round(
+                F.col("dot").cast("double") / (F.col("norm_c") * F.col("norm_q")), 6
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(
+        F.col("cosine").desc(), "doc_id", "chunk_id"
+    ).limit(10)
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -2769,6 +2828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm_quality": bigram_lm_quality,
         "pq_ann": pq_ann,
         "hll_incremental": hll_incremental,
+        "rag_retrieval": rag_retrieval,
     }
 
 

@@ -145,6 +145,7 @@ HEADLINE = [
     "bigram_lm_quality",
     "pq_ann",
     "hll_incremental",
+    "rag_retrieval",
 ]
 
 

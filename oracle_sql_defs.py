@@ -2208,3 +2208,39 @@ SELECT event_type,
              ELSE raw END, 3) AS hll_est
 FROM fin
 """
+
+_RAG_BUCKET = _hex_to_long("md5(t)", 8) + " % 64"
+ORACLES["rag_retrieval"] = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS tk FROM documents),
+st0 AS (
+  SELECT doc_id, tk, unnest(range(0, len(tk), 12)) AS s
+  FROM toks WHERE len(tk) > 0 AND doc_id <> 0),
+ct AS (
+  SELECT doc_id, CAST(s // 12 AS INT) AS chunk_id,
+    unnest(tk[s + 1 : s + 16]) AS t
+  FROM st0),
+ctf AS (
+  SELECT doc_id, chunk_id, CAST({_RAG_BUCKET} AS BIGINT) AS bucket,
+    CAST(count(*) AS BIGINT) AS tf
+  FROM ct GROUP BY doc_id, chunk_id, bucket),
+cnorm AS (
+  SELECT doc_id, chunk_id, sqrt(CAST(SUM(tf * tf) AS DOUBLE)) AS norm_c
+  FROM ctf GROUP BY doc_id, chunk_id),
+qt AS (SELECT unnest(tk) AS t FROM toks WHERE doc_id = 0),
+qtf AS (
+  SELECT CAST({_RAG_BUCKET} AS BIGINT) AS bucket,
+    CAST(count(*) AS BIGINT) AS qtf
+  FROM qt GROUP BY bucket),
+qnorm AS (SELECT sqrt(CAST(SUM(qtf * qtf) AS DOUBLE)) AS norm_q FROM qtf),
+dot AS (
+  SELECT c.doc_id, c.chunk_id, CAST(SUM(c.tf * q.qtf) AS BIGINT) AS dot
+  FROM ctf c JOIN qtf q ON c.bucket = q.bucket
+  GROUP BY c.doc_id, c.chunk_id)
+SELECT d.doc_id, d.chunk_id,
+  round(CAST(d.dot AS DOUBLE) / (n.norm_c * q.norm_q), 6) AS cosine
+FROM dot d
+JOIN cnorm n ON d.doc_id = n.doc_id AND d.chunk_id = n.chunk_id
+CROSS JOIN qnorm q
+ORDER BY cosine DESC, d.doc_id, d.chunk_id
+LIMIT 10
+"""
