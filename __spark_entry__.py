@@ -2679,6 +2679,30 @@ def rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(10)
 
 
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how many
+    distinct 3-token shingles they share — the provenance diagnostic run
+    before mixing corpora (a high-overlap pair means one source scraped
+    the other). One shingle-keyed shuffle; per-shingle fanout is bounded
+    by the source count (tiny), so no quadratic blow-up."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    sh = docs.select(
+        "source", F.explode(dedup_ops.shingles("text", 3)).alias("g")
+    ).distinct()
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -2829,6 +2853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_ann": pq_ann,
         "hll_incremental": hll_incremental,
         "rag_retrieval": rag_retrieval,
+        "source_overlap_matrix": source_overlap_matrix,
     }
 
 

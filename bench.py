@@ -146,6 +146,7 @@ HEADLINE = [
     "pq_ann",
     "hll_incremental",
     "rag_retrieval",
+    "source_overlap_matrix",
 ]
 
 

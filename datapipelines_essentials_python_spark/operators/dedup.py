@@ -83,11 +83,29 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     """
     toks = text_ops.tokens(col)
     k = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(k - n + 1, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    # n-grams by left-folding zip_with over shifted slices. ``toks`` is
+    # referenced only OUTSIDE lambda bodies: lambda bodies re-evaluate
+    # captured outer expressions per element (no CSE), so the old
+    # transform(sequence, i -> slice(toks, i, n)) recomputed the token
+    # split per shingle — the hottest narrow stage in every LSH pipeline.
+    # zip_with pads the shorter (shifted) side with null and concat
+    # null-propagates, so the trailing n-1 entries filter away.
+    grams = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, F.lit(j + 1), k)
+        grams = F.zip_with(
+            grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    grams = F.filter(grams, lambda g: g.isNotNull())
+    # documents shorter than n tokens keep their whole token string as the
+    # one shingle (the previous contract)
+    whole = F.array(F.concat_ws(" ", toks))
+    out = (
+        F.when(F.size(grams) > 0, grams)
+        .when(k > 0, whole)
+        .otherwise(F.array().cast("array<string>"))
     )
-    return F.array_distinct(F.when(k > 0, grams).otherwise(F.array()))
+    return F.array_distinct(out)
 
 
 def jaccard(a: Column, b: Column) -> Column:

@@ -2244,3 +2244,13 @@ CROSS JOIN qnorm q
 ORDER BY cosine DESC, d.doc_id, d.chunk_id
 LIMIT 10
 """
+
+ORACLES["source_overlap_matrix"] = f"""
+WITH t AS (SELECT source, {TOKS} AS toks FROM documents),
+s0 AS (SELECT source, {SHINGLES} AS sh FROM t),
+s AS (SELECT DISTINCT source, unnest(sh) AS g FROM s0)
+SELECT a.source AS src_a, b.source AS src_b,
+  CAST(count(*) AS BIGINT) AS n_shared
+FROM s a JOIN s b ON a.g = b.g AND a.source < b.source
+GROUP BY src_a, src_b
+"""
