@@ -2703,6 +2703,102 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LOGIT_WEIGHTS = {
+    "avg_token_len": -0.1,
+    "n_tokens": 0.01,
+    "stopword_ratio": 2.0,
+    "uniq_token_ratio": 1.5,
+}
+
+
+def logistic_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-weight quality-classifier inference (the deploy path of a
+    fastText/logreg quality filter): per-doc linear score over the text
+    features, squashed rationally so the score is engine-portable.
+    Narrow projection — no shuffle, no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    score = F.round(
+        text_ops.logit_quality_score("text", _LOGIT_WEIGHTS, bias=-1.0), 6
+    )
+    return docs.select(
+        "doc_id",
+        score.alias("quality_score"),
+        (score >= 0.5).alias("keep"),
+    )
+
+
+def strip_markup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate removal: the corpus is clean text, so every 5th doc
+    is first wrapped in deterministic scraped-page markup (tags, a script
+    block, entities); the stripper must recover exactly the text (modulo
+    collapsed whitespace). Narrow regexp passes — no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit('<html><body><p class="c">'),
+                F.col("text"),
+                F.lit("</p><script>var a=1;</script>&amp; &lt;tail&gt;</body></html>"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("raw"),
+    )
+    stripped = text_ops.strip_markup(F.col("raw"))
+    return seeded.select(
+        "doc_id",
+        stripped.alias("clean_text"),
+        F.length(stripped).cast("long").alias("clean_len"),
+    )
+
+
+_MIXTURE_TARGETS = {"src0": 0.3, "src1": 0.2, "src2": 0.2, "src3": 0.3}
+
+
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture planner: waterfilling sampling rates that reshape the
+    corpus toward target domain proportions without up-sampling (DoReMi-
+    style mixing weights from actual counts)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from datapipelines_essentials_python_spark.operators import sampling as samp_ops
+
+    return samp_ops.mixture_rates(docs, "source", _MIXTURE_TARGETS)
+
+
+_DRIFT_EDGES = [150.0, 200.0, 250.0, 300.0, 350.0]
+
+
+def drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detection: chi-square divergence of the doc-length
+    distribution between the even-id (reference) and odd-id (current)
+    corpus halves, localized per bucket. One conditional-count agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    return rel_ops.chi2_drift(
+        docs, "n_chars", F.col("doc_id") % 2 == 0, _DRIFT_EDGES
+    ).orderBy("bucket")
+
+
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining: for each sampled query vector, the 5 most
+    cosine-similar vectors with a DIFFERENT label — the hard negatives a
+    contrastive loss learns most from. Broadcast query side, narrow
+    map-side cosine, one top-k window."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    return sim_ops.labeled_topk(emb, queries, k=5, same_label=False)
+
+
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality gauge: 5-NN majority-vote label agreement per true
+    label over a deterministic query sample — the label-noise/cluster-
+    entanglement triage signal for labeled embedding datasets."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    return sim_ops.knn_label_agreement(emb, queries, k=5)
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -2854,6 +2950,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_incremental": hll_incremental,
         "rag_retrieval": rag_retrieval,
         "source_overlap_matrix": source_overlap_matrix,
+        "logistic_quality": logistic_quality,
+        "strip_markup": strip_markup_q,
+        "mixture_weights": mixture_weights,
+        "drift_chi2": drift_chi2,
+        "hard_negatives": hard_negatives,
+        "knn_label_accuracy": knn_label_accuracy,
     }
 
 

@@ -147,6 +147,14 @@ HEADLINE = [
     "hll_incremental",
     "rag_retrieval",
     "source_overlap_matrix",
+    # round 3: quality-classifier inference, boilerplate strip, mixture
+    # planner, drift detection, contrastive mining + kNN label gauge
+    "logistic_quality",
+    "strip_markup",
+    "mixture_weights",
+    "drift_chi2",
+    "hard_negatives",
+    "knn_label_accuracy",
 ]
 
 

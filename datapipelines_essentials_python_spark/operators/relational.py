@@ -312,3 +312,51 @@ def winsorize(
         .withColumn(out_col, clamped)
         .drop("__k", "__lo", "__hi")
     )
+
+
+def chi2_drift(
+    df: DataFrame,
+    value_col: str,
+    split_col: Column,
+    edges: list[float],
+) -> DataFrame:
+    """Distribution-drift detector between two corpus slices (schema- and
+    engine-portable alternative to PSI — the chi-square statistic uses
+    only +,*,/ so no libm log enters the hash-checked output).
+
+    ``split_col`` must be a boolean Column marking the *reference* slice;
+    rows are bucketed by ``edges`` (right-open; underflow → bucket 0,
+    overflow → last bucket). Per bucket: reference share ``p``, current
+    share ``q``, and contribution ``(q - p)^2 / p``. Σ contribution is
+    the chi-square drift statistic; per-bucket rows localize *where* the
+    distributions diverge (the actionable part for corpus monitoring).
+
+    Single pass: one bucket-keyed agg with conditional counts (map-side
+    combined), totals via a 1-row broadcast — no second scan, no window.
+    """
+    v = F.col(value_col).cast("double")
+    bucket: Column = F.lit(0)
+    for i, e in enumerate(edges):
+        bucket = F.when(v >= F.lit(float(e)), F.lit(i + 1)).otherwise(bucket)
+    is_ref = split_col
+    per_bucket = df.select(
+        bucket.alias("bucket"), is_ref.alias("is_ref")
+    ).groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).cast("long").alias("n_ref"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).cast("long").alias("n_cur"),
+    )
+    totals = per_bucket.agg(
+        F.sum("n_ref").cast("double").alias("tot_ref"),
+        F.sum("n_cur").cast("double").alias("tot_cur"),
+    )
+    p = F.col("n_ref").cast("double") / F.col("tot_ref")
+    q = F.col("n_cur").cast("double") / F.col("tot_cur")
+    contrib = F.when(p > 0, (q - p) * (q - p) / p).otherwise(F.lit(0.0))
+    return per_bucket.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.round(p, 6).alias("p_ref"),
+        F.round(q, 6).alias("q_cur"),
+        F.round(contrib, 6).alias("chi2_contrib"),
+    )

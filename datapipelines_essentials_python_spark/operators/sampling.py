@@ -207,3 +207,73 @@ def grouped_split(
     for bound, name in reversed(cases):
         label = F.when(frac < F.lit(bound), F.lit(name)).otherwise(label)
     return df.withColumn(split_col, label)
+
+
+def mixture_rates(
+    df: DataFrame,
+    domain_col: str,
+    targets: dict[str, float],
+    default_share: float = 0.0,
+) -> DataFrame:
+    """Data-mixture planner: per-domain sampling rates that reshape the
+    corpus toward target proportions (the DoReMi/Pile-style "mixing
+    weights" step, computed from actual corpus counts).
+
+    For each domain d: ``rate(d) = min(1, target_share(d) * budget /
+    count(d))`` where ``budget`` is the largest total size achievable
+    without up-sampling any domain (``min over d of count(d) /
+    target_share(d)``) — i.e. the classic waterfilling solution that
+    only ever down-samples. → (domain, n_rows, target_share, rate,
+    n_keep) with ``n_keep = floor(rate * n_rows)``.
+
+    One domain-keyed count agg (map-side combined) + a 1-row broadcast
+    scalar; rates come back as a tiny driver-free projection, ready to
+    feed :func:`hash_fraction`-based deterministic sampling.
+    """
+    shares = F.create_map(
+        *[
+            x
+            for dom, s in sorted(targets.items())
+            for x in (F.lit(dom), F.lit(float(s)))
+        ]
+    )
+    counts = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    with_share = counts.select(
+        "domain",
+        "n_rows",
+        F.coalesce(
+            F.element_at(shares, F.col("domain")), F.lit(float(default_share))
+        ).alias("target_share"),
+    )
+    # budget = min over targeted domains of n_rows / share (decimal-exact
+    # compare via cross-engine-stable double division on integer inputs)
+    budget = with_share.where(F.col("target_share") > 0).agg(
+        F.min(
+            F.col("n_rows").cast("double") / F.col("target_share")
+        ).alias("budget")
+    )
+    rate = F.when(
+        F.col("target_share") > 0,
+        F.least(
+            F.lit(1.0),
+            F.round(
+                F.col("target_share") * F.col("budget") / F.col("n_rows").cast("double"),
+                6,
+            ),
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        with_share.crossJoin(F.broadcast(budget))
+        .select(
+            "domain",
+            "n_rows",
+            "target_share",
+            rate.alias("rate"),
+        )
+        .withColumn(
+            "n_keep",
+            F.floor(F.col("rate") * F.col("n_rows").cast("double")).cast("long"),
+        )
+    )

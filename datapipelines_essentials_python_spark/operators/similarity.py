@@ -38,6 +38,18 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
+def cosine_from_norms(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine with the two norms supplied from precomputed columns.
+
+    Bit-identical to :func:`cosine_similarity` (same fold, same guard,
+    same op order) but lets the caller hoist each side's norm out of a
+    pairwise join — one fold per PAIR instead of three, and each row's
+    norm is computed once per ROW. At N queries × M corpus rows that's
+    3NM folds → NM + N + M."""
+    denom = norm_a * norm_b
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -57,17 +69,29 @@ def brute_force_topk(
     the hint for a shuffle join — the plan is otherwise identical.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+            F.round(
+                cosine_from_norms(
+                    F.col("q_vec"),
+                    F.col("c_vec"),
+                    F.col("q_norm"),
+                    F.col("c_norm"),
+                ),
+                6,
+            ).alias("cosine"),
         )
     )
     win = Window.partitionBy("query_id").orderBy(
@@ -480,5 +504,150 @@ def pq_topk(
             "neighbor_id",
             "rank",
             F.col("dist").cast("double").alias("dist_est"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# contrastive-pair mining + embedding-space label diagnostics
+# --------------------------------------------------------------------------
+def labeled_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    same_label: bool = False,
+) -> DataFrame:
+    """Contrastive-pair mining for embedding training data.
+
+    ``same_label=False`` → hard-NEGATIVE mining: for each query, the k
+    most-similar corpus vectors with a DIFFERENT label (the negatives a
+    contrastive loss learns most from). ``same_label=True`` → positive
+    mining: k most-similar with the SAME label. → (query_id, query_label,
+    neighbor_id, neighbor_label, rank, cosine).
+
+    Scale shape: identical to :func:`brute_force_topk` — broadcast query
+    side, narrow map-side cosine, one per-query top-k window. The label
+    predicate rides the join condition, so mismatched pairs are dropped
+    before scoring.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(label_col).alias("query_label"),
+        norm(F.col(vec_col)).alias("q_norm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(label_col).alias("neighbor_label"),
+        norm(F.col(vec_col)).alias("c_norm"),
+    )
+    label_pred = (
+        (F.col("query_label") == F.col("neighbor_label"))
+        if same_label
+        else (F.col("query_label") != F.col("neighbor_label"))
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("query_id") != F.col("neighbor_id")) & label_pred,
+    ).select(
+        "query_id",
+        "query_label",
+        "neighbor_id",
+        "neighbor_label",
+        F.round(
+            cosine_from_norms(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    win = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "query_label", "neighbor_id", "neighbor_label", "rank", "cosine"
+        )
+    )
+
+
+def knn_label_agreement(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Embedding-quality gauge: k-NN majority-vote label vs own label.
+
+    For each query vector, take its k exact nearest neighbors (cosine,
+    self excluded), majority-vote their labels (ties → smallest label),
+    and aggregate per true label: → (label, n_queries, n_agree,
+    agreement). High agreement ⇒ the embedding space separates that
+    class; low ⇒ label noise or entangled clusters — exactly the triage
+    signal used when curating labeled embedding datasets.
+
+    One broadcast join + two keyed shuffles (per-query top-k window, then
+    the vote/agg); the corpus side streams narrow.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(label_col).alias("true_label"),
+        norm(F.col(vec_col)).alias("q_norm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(label_col).alias("neighbor_label"),
+        norm(F.col(vec_col)).alias("c_norm"),
+    )
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "true_label",
+        "neighbor_id",
+        "neighbor_label",
+        F.round(
+            cosine_from_norms(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    win = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    knn = scored.withColumn("rank", F.row_number().over(win)).where(F.col("rank") <= k)
+    votes = knn.groupBy("query_id", "true_label", "neighbor_label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    vote_win = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc("neighbor_label")
+    )
+    picked = (
+        votes.withColumn("vr", F.row_number().over(vote_win))
+        .where(F.col("vr") == 1)
+        .select("query_id", "true_label", F.col("neighbor_label").alias("voted_label"))
+    )
+    return (
+        picked.groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.sum(
+                F.when(F.col("voted_label") == F.col("true_label"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_agree"),
+        )
+        .select(
+            "label",
+            "n_queries",
+            "n_agree",
+            F.round(
+                F.col("n_agree").cast("double") / F.col("n_queries").cast("double"), 6
+            ).alias("agreement"),
         )
     )

@@ -576,3 +576,93 @@ def tfidf_top_terms(
         .select("id", "term", "tf", "df", F.row_number().over(w).alias("rank"))
         .where(F.col("rank") <= k)
     )
+
+
+# --------------------------------------------------------------------------
+# logistic quality classifier (portable inference)
+# --------------------------------------------------------------------------
+def rational_squash(z: Column) -> Column:
+    """Rational sigmoid ``0.5 + 0.5 * z / (1 + |z|)`` — same monotone
+    S-shape as the logistic function but pure +,*,/ arithmetic, so Spark
+    and any ANSI-SQL engine produce bit-identical doubles (no libm
+    ``exp`` whose last ulp differs across runtimes)."""
+    return F.lit(0.5) + F.lit(0.5) * z / (F.lit(1.0) + F.abs(z))
+
+
+def logit_quality_score(
+    text_col: Column | str,
+    weights: dict[str, float],
+    bias: float = 0.0,
+) -> Column:
+    """Linear-model quality-classifier inference over the standard text
+    features (the deploy path of a fastText/logreg quality filter: frozen
+    weights applied corpus-wide).
+
+    ``weights`` maps feature name → coefficient; supported features:
+    ``n_tokens``, ``avg_token_len``, ``stopword_ratio``,
+    ``uniq_token_ratio``. Each feature is rounded to 6 decimals before the
+    dot product (same quantization as the feature queries) so the score is
+    engine-portable; the squash is rational (see :func:`rational_squash`).
+
+    Narrow per-row projection — no shuffle, no Python; streams at scan
+    speed over 100 TB.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = tokens(c)
+    n_tokens = F.size(toks)
+    denom = F.greatest(n_tokens, F.lit(1)).cast("double")
+    stop_arr = F.array(*[F.lit(w) for w in LANG_PROFILES["en"]])
+    feats: dict[str, Column] = {
+        "n_tokens": n_tokens.cast("double"),
+        "avg_token_len": F.round(
+            F.length(F.regexp_replace(F.lower(c), " ", "")).cast("double") / denom, 6
+        ),
+        "stopword_ratio": F.round(
+            F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast(
+                "double"
+            )
+            / denom,
+            6,
+        ),
+        "uniq_token_ratio": F.round(
+            F.size(F.array_distinct(toks)).cast("double") / denom, 6
+        ),
+    }
+    z: Column = F.lit(float(bias))
+    for name in sorted(weights):  # fixed accumulation order = portable
+        if name not in feats:
+            raise ValueError(f"unknown feature {name!r}; have {sorted(feats)}")
+        z = z + F.lit(float(weights[name])) * feats[name]
+    return rational_squash(z)
+
+
+# --------------------------------------------------------------------------
+# markup stripping (HTML-ish boilerplate removal)
+# --------------------------------------------------------------------------
+_MARKUP_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&amp;", "&"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&nbsp;", " "),
+)
+
+
+def strip_markup(col: Column | str) -> Column:
+    """Boilerplate removal for scraped corpora: drop ``<script>``/``<style>``
+    blocks wholesale, strip remaining tags, decode the five common HTML
+    entities, collapse whitespace runs to single spaces, trim.
+
+    Sequential ``regexp_replace`` passes — narrow, codegen'd, no Python.
+    The tag patterns are RE2-safe (no backtracking constructs) so the same
+    regexes run in the SQL oracle.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    # non-greedy block removal; (?s) so blocks may span lines
+    c = F.regexp_replace(c, r"(?si)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?si)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"<[^>]+>", " ")
+    for entity, repl in _MARKUP_ENTITIES:
+        c = F.replace(c, F.lit(entity), F.lit(repl))
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)

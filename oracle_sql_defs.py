@@ -2254,3 +2254,178 @@ SELECT a.source AS src_a, b.source AS src_b,
 FROM s a JOIN s b ON a.g = b.g AND a.source < b.source
 GROUP BY src_a, src_b
 """
+
+
+# --------------------------------------------------------------------------
+# round 3 (cont.): quality classifier, markup strip, mixture planner,
+# drift detection, contrastive mining, kNN label gauge
+# --------------------------------------------------------------------------
+
+_STOP_EN = "['the','and','of','to','a','in','is','that','for','with']"
+
+ORACLES["logistic_quality"] = f"""
+WITH feats AS (
+  SELECT doc_id,
+    CAST(len(toks) AS DOUBLE) AS nt,
+    round(CAST(length(replace(lower(text), ' ', '')) AS DOUBLE)
+      / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS atl,
+    round(CAST(len(list_filter(toks, x -> list_contains({_STOP_EN}, x))) AS DOUBLE)
+      / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS sr,
+    round(CAST(len(list_distinct(toks)) AS DOUBLE)
+      / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS utr
+  FROM (SELECT doc_id, text, {TOKS} AS toks FROM documents)),
+z AS (
+  SELECT doc_id,
+    CAST(-1.0 AS DOUBLE)
+      + CAST(-0.1 AS DOUBLE) * atl
+      + CAST(0.01 AS DOUBLE) * nt
+      + CAST(2.0 AS DOUBLE) * sr
+      + CAST(1.5 AS DOUBLE) * utr AS z
+  FROM feats),
+s AS (
+  SELECT doc_id,
+    round(CAST(0.5 AS DOUBLE)
+      + CAST(0.5 AS DOUBLE) * z / (CAST(1.0 AS DOUBLE) + abs(z)), 6) AS quality_score
+  FROM z)
+SELECT doc_id, quality_score, quality_score >= CAST(0.5 AS DOUBLE) AS keep FROM s
+"""
+
+ORACLES["strip_markup"] = r"""
+WITH seeded AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 0
+         THEN '<html><body><p class="c">' || text
+              || '</p><script>var a=1;</script>&amp; &lt;tail&gt;</body></html>'
+         ELSE text END AS raw
+  FROM documents),
+stripped AS (
+  SELECT doc_id,
+    trim(regexp_replace(
+      replace(replace(replace(replace(replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(raw, '(?si)<script[^>]*>.*?</script>', ' ', 'g'),
+            '(?si)<style[^>]*>.*?</style>', ' ', 'g'),
+          '<[^>]+>', ' ', 'g'),
+        '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&nbsp;', ' '),
+      '\s+', ' ', 'g')) AS clean_text
+  FROM seeded)
+SELECT doc_id, clean_text,
+  CAST(length(clean_text) AS BIGINT) AS clean_len
+FROM stripped
+"""
+
+ORACLES["mixture_weights"] = """
+WITH counts AS (
+  SELECT source AS domain, CAST(count(*) AS BIGINT) AS n_rows
+  FROM documents GROUP BY source),
+ws AS (
+  SELECT domain, n_rows,
+    CASE domain
+      WHEN 'src0' THEN CAST(0.3 AS DOUBLE)
+      WHEN 'src1' THEN CAST(0.2 AS DOUBLE)
+      WHEN 'src2' THEN CAST(0.2 AS DOUBLE)
+      WHEN 'src3' THEN CAST(0.3 AS DOUBLE)
+      ELSE CAST(0.0 AS DOUBLE) END AS target_share
+  FROM counts),
+b AS (
+  SELECT min(CAST(n_rows AS DOUBLE) / target_share) AS budget
+  FROM ws WHERE target_share > 0),
+rated AS (
+  SELECT domain, n_rows, target_share,
+    CASE WHEN target_share > 0
+         THEN least(CAST(1.0 AS DOUBLE),
+                    round(target_share * budget / CAST(n_rows AS DOUBLE), 6))
+         ELSE CAST(0.0 AS DOUBLE) END AS rate
+  FROM ws CROSS JOIN b)
+SELECT domain, n_rows, target_share, rate,
+  CAST(floor(rate * CAST(n_rows AS DOUBLE)) AS BIGINT) AS n_keep
+FROM rated
+"""
+
+ORACLES["drift_chi2"] = """
+WITH bucketed AS (
+  SELECT CASE WHEN CAST(n_chars AS DOUBLE) >= 350 THEN 5
+              WHEN CAST(n_chars AS DOUBLE) >= 300 THEN 4
+              WHEN CAST(n_chars AS DOUBLE) >= 250 THEN 3
+              WHEN CAST(n_chars AS DOUBLE) >= 200 THEN 2
+              WHEN CAST(n_chars AS DOUBLE) >= 150 THEN 1
+              ELSE 0 END AS bucket,
+         doc_id % 2 = 0 AS is_ref
+  FROM documents),
+per_bucket AS (
+  SELECT bucket,
+    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+    CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+  FROM bucketed GROUP BY bucket),
+totals AS (
+  SELECT CAST(sum(n_ref) AS DOUBLE) AS tot_ref,
+         CAST(sum(n_cur) AS DOUBLE) AS tot_cur
+  FROM per_bucket)
+SELECT bucket, n_ref, n_cur,
+  round(CAST(n_ref AS DOUBLE) / tot_ref, 6) AS p_ref,
+  round(CAST(n_cur AS DOUBLE) / tot_cur, 6) AS q_cur,
+  round(CASE WHEN CAST(n_ref AS DOUBLE) / tot_ref > 0
+        THEN (CAST(n_cur AS DOUBLE) / tot_cur - CAST(n_ref AS DOUBLE) / tot_ref)
+             * (CAST(n_cur AS DOUBLE) / tot_cur - CAST(n_ref AS DOUBLE) / tot_ref)
+             / (CAST(n_ref AS DOUBLE) / tot_ref)
+        ELSE CAST(0.0 AS DOUBLE) END, 6) AS chi2_contrib
+FROM per_bucket CROSS JOIN totals
+ORDER BY bucket
+"""
+
+_LBL_COS = (
+    "round(CASE WHEN sqrt(" + _dot("qv", "qv") + ") * sqrt(" + _dot("cv", "cv") + ") > 0 "
+    "THEN " + _dot("qv", "cv") + " / (sqrt(" + _dot("qv", "qv") + ") * sqrt(" + _dot("cv", "cv") + ")) "
+    "ELSE 0.0 END, 6)"
+)
+
+ORACLES["hard_negatives"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS query_label
+           FROM embeddings WHERE vec_id % 25 = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS neighbor_label
+      FROM embeddings),
+scored AS (
+  SELECT query_id, query_label, neighbor_id, neighbor_label,
+    {_LBL_COS} AS cosine
+  FROM c, q
+  WHERE query_id <> neighbor_id AND query_label <> neighbor_label)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(query_label AS INT) AS query_label,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(neighbor_label AS INT) AS neighbor_label,
+       CAST(rn AS INT) AS rank, cosine
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+      FROM scored)
+WHERE rn <= 5
+"""
+
+ORACLES["knn_label_accuracy"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS true_label
+           FROM embeddings WHERE vec_id % 25 = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS neighbor_label
+      FROM embeddings),
+scored AS (
+  SELECT query_id, true_label, neighbor_id, neighbor_label,
+    {_LBL_COS} AS cosine
+  FROM c, q WHERE query_id <> neighbor_id),
+knn AS (
+  SELECT * FROM (SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+    FROM scored) WHERE rn <= 5),
+votes AS (
+  SELECT query_id, true_label, neighbor_label, count(*) AS votes
+  FROM knn GROUP BY query_id, true_label, neighbor_label),
+picked AS (
+  SELECT query_id, true_label, neighbor_label AS voted_label
+  FROM (SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY votes DESC, neighbor_label ASC) AS vr
+    FROM votes) WHERE vr = 1)
+SELECT CAST(true_label AS INT) AS label,
+  CAST(count(*) AS BIGINT) AS n_queries,
+  CAST(sum(CASE WHEN voted_label = true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+  round(CAST(sum(CASE WHEN voted_label = true_label THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(count(*) AS DOUBLE), 6) AS agreement
+FROM picked GROUP BY true_label
+"""

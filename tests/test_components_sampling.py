@@ -550,3 +550,49 @@ def test_winsorize_clamps_tails(spark):
     mid = {r["value"]: r["value_wins"] for r in out.collect() if 10 <= r["value"] <= 90}
     assert all(v == w for v, w in mid.items())
     assert out.count() == df.count()
+
+
+def test_mixture_rates_waterfilling(spark):
+    from datapipelines_essentials_python_spark.operators.sampling import mixture_rates
+
+    rows = [("a", i) for i in range(100)] + [("b", i) for i in range(50)] + [
+        ("c", i) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "domain string, x int")
+    out = {
+        r["domain"]: r
+        for r in mixture_rates(df, "domain", {"a": 0.5, "b": 0.5}).collect()
+    }
+    # budget = min(100/0.5, 50/0.5) = 100 → a: rate 0.5 (keep 50), b: rate 1.0
+    assert out["a"]["rate"] == 0.5 and out["a"]["n_keep"] == 50
+    assert out["b"]["rate"] == 1.0 and out["b"]["n_keep"] == 50
+    # untargeted domain fully dropped; nothing ever up-sampled
+    assert out["c"]["rate"] == 0.0 and out["c"]["n_keep"] == 0
+    assert all(r["rate"] <= 1.0 for r in out.values())
+
+
+def test_chi2_drift_zero_when_identical(spark):
+    from datapipelines_essentials_python_spark.operators.relational import chi2_drift
+    from pyspark.sql import functions as F
+
+    # mirrored halves: value v appears once in each slice → p == q per bucket
+    rows = [(v, s) for v in (10.0, 20.0, 30.0, 40.0) for s in (True, False)]
+    df = spark.createDataFrame(rows, "v double, ref boolean")
+    out = chi2_drift(df, "v", F.col("ref"), [15.0, 25.0, 35.0]).collect()
+    assert len(out) == 4
+    assert all(r["chi2_contrib"] == 0.0 for r in out)
+    assert all(r["p_ref"] == r["q_cur"] for r in out)
+
+
+def test_chi2_drift_localizes_divergence(spark):
+    from datapipelines_essentials_python_spark.operators.relational import chi2_drift
+    from pyspark.sql import functions as F
+
+    # reference all-low, current all-high → both buckets diverge
+    rows = [(10.0, True)] * 5 + [(90.0, False)] * 5
+    df = spark.createDataFrame(rows, "v double, ref boolean")
+    out = {r["bucket"]: r for r in chi2_drift(df, "v", F.col("ref"), [50.0]).collect()}
+    assert out[0]["p_ref"] == 1.0 and out[0]["q_cur"] == 0.0
+    assert out[0]["chi2_contrib"] == 1.0  # (0-1)^2/1
+    # bucket 1 has p=0 → contribution defined as 0 (no reference mass)
+    assert out[1]["chi2_contrib"] == 0.0

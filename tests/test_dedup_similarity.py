@@ -204,3 +204,37 @@ def test_pq_topk_approximates_brute_force(spark):
         exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     overlap = sum(len(got[q] & exact[q]) for q in got) / (10 * len(got))
     assert overlap > 0.0
+
+
+def test_labeled_topk_hard_negatives(spark):
+    from datapipelines_essentials_python_spark.operators.similarity import labeled_topk
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.99, 0.1], 0),   # same label — must be excluded
+        (3, [0.9, 0.2], 1),    # different label, closest
+        (4, [0.0, 1.0], 1),    # different label, far
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    q = df.where("vec_id = 1")
+    out = labeled_topk(df, q, k=2).collect()
+    assert [r["neighbor_id"] for r in out] == [3, 4]
+    assert all(r["neighbor_label"] != r["query_label"] for r in out)
+    # positive mode flips the predicate
+    pos = labeled_topk(df, q, k=2, same_label=True).collect()
+    assert [r["neighbor_id"] for r in pos] == [2]
+
+
+def test_knn_label_agreement(spark):
+    from datapipelines_essentials_python_spark.operators.similarity import (
+        knn_label_agreement,
+    )
+
+    # two tight clusters with consistent labels → perfect agreement
+    rows = [
+        (i, [1.0 + 0.01 * i, 0.0], 0) for i in range(4)
+    ] + [(10 + i, [0.0, 1.0 + 0.01 * i], 1) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["label"]: r for r in knn_label_agreement(df, df, k=3).collect()}
+    assert out[0]["agreement"] == 1.0 and out[1]["agreement"] == 1.0
+    assert out[0]["n_queries"] == 4 and out[0]["n_agree"] == 4

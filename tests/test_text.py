@@ -262,3 +262,44 @@ def test_bigram_logprob_score(spark):
     assert out[2]["n_bigrams"] == 1
     assert abs(out[2]["avg_logprob"] - round(lp_ab, 6)) < 1e-9
     assert 3 not in out  # single-token docs have no bigrams
+
+
+def test_strip_markup_recovers_text(spark):
+    df = spark.createDataFrame(
+        [
+            ('<html><p class="x">hello <b>world</b></p>'
+             "<script>var a = '<p>';</script>&amp; done</html>",),
+            ("plain   text  unchanged",),
+            ("<style>p { color: red }</style>tail",),
+        ],
+        "raw string",
+    )
+    out = [r[0] for r in df.select(text.strip_markup("raw")).collect()]
+    assert out[0] == "hello world & done"
+    assert out[1] == "plain text unchanged"
+    assert out[2] == "tail"
+
+
+def test_logit_quality_score_bounded_and_monotone(spark):
+    df = spark.createDataFrame(
+        [("the the the the of and to a in is",), ("zzz qqq xxx yyy www vvv",)],
+        "text string",
+    )
+    w = {"stopword_ratio": 2.0}
+    scores = [
+        r[0]
+        for r in df.select(text.logit_quality_score("text", w, bias=-1.0)).collect()
+    ]
+    assert all(0.0 <= s <= 1.0 for s in scores)
+    # all-stopword doc must outscore the no-stopword doc under a positive
+    # stopword weight
+    assert scores[0] > scores[1]
+
+
+def test_logit_quality_rejects_unknown_feature(spark):
+    df = spark.createDataFrame([("x",)], "text string")
+    try:
+        df.select(text.logit_quality_score("text", {"nope": 1.0}))
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
