@@ -247,33 +247,34 @@ def mixture_rates(
             F.element_at(shares, F.col("domain")), F.lit(float(default_share))
         ).alias("target_share"),
     )
-    # budget = min over targeted domains of n_rows / share (decimal-exact
-    # compare via cross-engine-stable double division on integer inputs)
-    budget = with_share.where(F.col("target_share") > 0).agg(
-        F.min(
-            F.col("n_rows").cast("double") / F.col("target_share")
-        ).alias("budget")
-    )
+    # budget = min over targeted domains of n_rows / share, computed as a
+    # window-min over the POST-AGG domain table (domain-cardinality rows, so
+    # the single-partition window is trivially small at any corpus scale) —
+    # a second aggregate branch would rescan the corpus for the same counts.
+    from pyspark.sql import Window
+
+    budget = F.min(
+        F.when(
+            F.col("target_share") > 0,
+            F.col("n_rows").cast("double") / F.col("target_share"),
+        )
+    ).over(Window.partitionBy())
     rate = F.when(
         F.col("target_share") > 0,
         F.least(
             F.lit(1.0),
             F.round(
-                F.col("target_share") * F.col("budget") / F.col("n_rows").cast("double"),
+                F.col("target_share") * budget / F.col("n_rows").cast("double"),
                 6,
             ),
         ),
     ).otherwise(F.lit(0.0))
-    return (
-        with_share.crossJoin(F.broadcast(budget))
-        .select(
-            "domain",
-            "n_rows",
-            "target_share",
-            rate.alias("rate"),
-        )
-        .withColumn(
-            "n_keep",
-            F.floor(F.col("rate") * F.col("n_rows").cast("double")).cast("long"),
-        )
+    return with_share.select(
+        "domain",
+        "n_rows",
+        "target_share",
+        rate.alias("rate"),
+    ).withColumn(
+        "n_keep",
+        F.floor(F.col("rate") * F.col("n_rows").cast("double")).cast("long"),
     )

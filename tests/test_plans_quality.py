@@ -305,3 +305,50 @@ def test_span_dedup_two_keyed_shuffles(spark):
     assert "Window" in plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_round3b_queries_stay_jvm_side(spark):
+    qs = entry_mod.queries()
+    for name in (
+        "logistic_quality",
+        "strip_markup",
+        "mixture_weights",
+        "drift_chi2",
+        "hard_negatives",
+        "knn_label_accuracy",
+    ):
+        plan = plan_of(qs[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, f"{name} fell back to Python UDFs"
+        assert "ArrowEvalPython" not in plan, f"{name} uses Python unexpectedly"
+
+
+def test_logistic_quality_is_pure_narrow(spark):
+    # classifier inference must be a scan→project pipeline: no exchange
+    plan = plan_of(entry_mod.queries()["logistic_quality"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    # column pruning: only doc_id+text read
+    assert "ReadSchema" in plan and "source" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_drift_chi2_single_agg_pass(spark):
+    # one bucket-keyed aggregation + a 1-row broadcast of the totals —
+    # the detector must NOT rescan the corpus per slice
+    plan = plan_of(entry_mod.queries()["drift_chi2"](spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_mixture_weights_single_scan(spark):
+    plan = plan_of(entry_mod.queries()["mixture_weights"](spark, SF_DIR))
+    # the waterfilling budget must reuse the counts agg (window over the
+    # tiny domain table), not re-aggregate the corpus in a second branch
+    assert plan.count("(1) Scan parquet") == 1 and "(2) Scan parquet" not in plan
+    assert "Window" in plan
+
+
+def test_hard_negatives_broadcasts_queries_and_hoists_norms(spark):
+    plan = plan_of(entry_mod.queries()["hard_negatives"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    # norms hoisted: the corpus-side projection computes c_norm BELOW the
+    # join (aggregate fold appears in a Project, not only above the join)
+    assert "BatchEvalPython" not in plan
