@@ -1733,7 +1733,9 @@ def salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "event_type string, weight double",
     )
-    joined = rel_ops.salted_join(events, dim, ["event_type"], salt_factor=8)
+    joined = rel_ops.salted_join(
+        events, dim, ["event_type"], salt_factor=8, salt_cols=["event_id"]
+    )
     return joined.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(_dec("value") * _dec("weight")).cast("double").alias("weighted_value"),

@@ -62,6 +62,7 @@ def salted_join(
     on: list[str],
     how: str = "inner",
     salt_factor: int = 8,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Skew-mitigated equi-join: identical semantics to ``big.join(small,
     on, how)``, but hot keys no longer funnel into one reducer.
@@ -78,10 +79,17 @@ def salted_join(
     inflated ``salt_factor``×, so keep the small side small. ``how``
     supports inner/left — semantics preserved because every big-side row
     carries exactly one salt and meets the full small side for its key.
+
+    ``salt_cols`` picks which big-side columns feed the salt hash — any
+    per-row-varying subset works (the result is identical for EVERY salt
+    assignment, since the small side carries all salts per key). Pass one
+    cheap high-cardinality column (an id) to avoid hashing wide payload
+    columns per row; default hashes all columns.
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left joins")
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_factor))
+    cols = salt_cols if salt_cols is not None else big.columns
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(salt_factor))
     big_s = big.withColumn("_salt", salt)
     small_s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1)))
