@@ -234,3 +234,80 @@ def streaming_hll_profile(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def streaming_drift_monitor(
+    stream: DataFrame,
+    value_col: str,
+    edges: list[float],
+    load_counts: Callable[[], DataFrame | None],
+    sink: Callable[[DataFrame, int], None],
+    reference_counts: DataFrame | None = None,
+    checkpoint_dir: str | None = None,
+    query_name: str = "drift_monitor",
+) -> StreamingQuery:
+    """Keep a distribution-drift profile fresh from a stream: per micro-
+    batch, histogram the batch into the fixed ``edges`` buckets and ADD
+    the counts into the served bucket table (counts are a linear sketch,
+    so per-epoch cost is O(batch + buckets), never O(history), and the
+    maintained counts equal a full rescan's — same lossless-merge
+    property the ``hll_incremental`` query gates).
+
+    When ``reference_counts`` (bucket, n_ref) is given, each epoch's sink
+    payload also carries the chi-square divergence columns of
+    ``relational.chi2_drift`` against that frozen reference — the
+    streaming version of the batch drift detector: alert when
+    Σ chi2_contrib crosses a threshold.
+
+    ``load_counts`` returns the current (bucket, n_cur) table or None on
+    first batch; ``sink`` persists the merged table per epoch.
+    """
+
+    def _bucketize(df: DataFrame) -> DataFrame:
+        v = F.col(value_col).cast("double")
+        bucket = F.lit(0)
+        for i, e in enumerate(edges):
+            bucket = F.when(v >= F.lit(float(e)), F.lit(i + 1)).otherwise(bucket)
+        return df.select(bucket.alias("bucket")).groupBy("bucket").agg(
+            F.count(F.lit(1)).cast("long").alias("n_cur")
+        )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_counts = _bucketize(batch_df)
+        served = load_counts()
+        if served is not None:
+            merged = (
+                served.unionByName(batch_counts)
+                .groupBy("bucket")
+                .agg(F.sum("n_cur").cast("long").alias("n_cur"))
+            )
+        else:
+            merged = batch_counts
+        if reference_counts is not None:
+            ref_tot = reference_counts.agg(
+                F.sum("n_ref").cast("double").alias("tot_ref")
+            )
+            cur_tot = merged.agg(F.sum("n_cur").cast("double").alias("tot_cur"))
+            p = F.col("n_ref").cast("double") / F.col("tot_ref")
+            q = F.coalesce(F.col("n_cur"), F.lit(0)).cast("double") / F.col("tot_cur")
+            merged = (
+                reference_counts.join(merged, "bucket", "full_outer")
+                .crossJoin(F.broadcast(ref_tot))
+                .crossJoin(F.broadcast(cur_tot))
+                .select(
+                    "bucket",
+                    F.coalesce(F.col("n_ref"), F.lit(0)).cast("long").alias("n_ref"),
+                    F.coalesce(F.col("n_cur"), F.lit(0)).cast("long").alias("n_cur"),
+                    F.round(
+                        F.when(p > 0, (q - p) * (q - p) / p).otherwise(F.lit(0.0)), 6
+                    ).alias("chi2_contrib"),
+                )
+            )
+        sink(merged, epoch_id)
+
+    writer = stream.writeStream.queryName(query_name).foreachBatch(_process)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

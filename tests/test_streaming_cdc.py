@@ -242,3 +242,59 @@ def test_streaming_hll_profile_matches_full_rescan(spark, tmp_path):
         ).collect()
     }
     assert out["est"] == expect
+
+
+def test_streaming_drift_monitor_matches_full_rescan(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from datapipelines_essentials_python_spark.streaming.cdc_stream import (
+        streaming_drift_monitor,
+    )
+
+    src = str(tmp_path / "drift_src")
+    schema = "v double"
+    # two files → two micro-batches (maxFilesPerTrigger=1)
+    spark.createDataFrame([(float(x),) for x in (5, 15, 25)], schema).write.mode(
+        "overwrite"
+    ).parquet(src)
+    spark.createDataFrame([(float(x),) for x in (35, 45, 5)], schema).write.mode(
+        "append"
+    ).parquet(src)
+
+    reference = spark.createDataFrame(
+        [(0, 10), (1, 10), (2, 10), (3, 10)], "bucket int, n_ref long"
+    )
+    state = {"counts": None}
+
+    def sink(merged, epoch_id):
+        state["counts"] = spark.createDataFrame(
+            merged.select("bucket", "n_cur").collect(), "bucket int, n_cur long"
+        )
+        state["last"] = {r["bucket"]: r.asDict() for r in merged.collect()}
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_drift_monitor(
+        stream,
+        value_col="v",
+        edges=[10.0, 20.0, 30.0],
+        load_counts=lambda: state["counts"],
+        sink=sink,
+        reference_counts=reference,
+        checkpoint_dir=str(tmp_path / "drift_ckpt"),
+        query_name="t_drift",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # maintained counts must equal one full histogram over all rows
+    # values: 5,5 → b0; 15 → b1; 25 → b2; 35,45 → b3
+    final = state["last"]
+    assert {b: r["n_cur"] for b, r in final.items()} == {0: 2, 1: 1, 2: 1, 3: 2}
+    # chi2 columns present and reference mass carried through
+    assert all(r["n_ref"] == 10 for r in final.values())
+    assert all(r["chi2_contrib"] >= 0.0 for r in final.values())
