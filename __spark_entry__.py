@@ -2792,6 +2792,42 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.labeled_topk(emb, queries, k=5, same_label=False)
 
 
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup resolution: LSH-verified pairs → exact
+    connected components → each cluster keeps its HIGHEST-quality member
+    (unique-token ratio, ties to smallest doc id) instead of an arbitrary
+    one — the curation-grade version of near_dedup_keep. The keeper pick
+    is a single struct-max aggregation, no per-cluster window."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    pairs = dedup_ops.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=16, bands=8,
+        threshold=0.5, max_bucket=LSH_MAX_BUCKET,
+    )
+    comp = dedup_ops.connected_components(
+        pairs, "id_a", "id_b", nodes=docs, node_col="doc_id"
+    )
+    toks = text_ops.tokens(F.col("text"))
+    score = F.round(
+        F.size(F.array_distinct(toks)).cast("double")
+        / F.greatest(F.size(toks), F.lit(1)).cast("double"),
+        6,
+    )
+    scored = docs.select(F.col("doc_id").alias("sid"), score.alias("score"))
+    labeled = comp.join(scored, comp.id == F.col("sid")).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+        "score",
+    )
+    return dedup_ops.keep_best_per_cluster(
+        labeled, "component", "doc_id", "score"
+    ).select(
+        F.col("cluster").alias("component"),
+        F.col("keeper_id").alias("keeper_doc_id"),
+        F.col("keeper_score"),
+        F.col("n_members"),
+    )
+
+
 def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-quality gauge: 5-NN majority-vote label agreement per true
     label over a deterministic query sample — the label-noise/cluster-
@@ -2958,6 +2994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_chi2": drift_chi2,
         "hard_negatives": hard_negatives,
         "knn_label_accuracy": knn_label_accuracy,
+        "dedup_keep_best": dedup_keep_best,
     }
 
 

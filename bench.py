@@ -155,6 +155,7 @@ HEADLINE = [
     "drift_chi2",
     "hard_negatives",
     "knn_label_accuracy",
+    "dedup_keep_best",
 ]
 
 

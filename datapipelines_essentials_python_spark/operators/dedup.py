@@ -766,3 +766,40 @@ def incremental_dedup(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def keep_best_per_cluster(
+    labeled: DataFrame,
+    cluster_col: str = "component",
+    id_col: str = "id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware duplicate-cluster resolution: one keeper per cluster —
+    the member with the highest ``score_col``, ties broken by smallest id.
+
+    → (cluster, keeper_id, keeper_score, n_members). Single map-side-
+    combinable aggregation: the keeper is ``max(struct(score, -id))``, so
+    no per-cluster window/sort and no second shuffle — at 100 TB this is
+    ONE keyed exchange over (cluster, 24-byte struct) partial maxes.
+
+    Compose after :func:`connected_components`: near-dup clusters resolve
+    to their best-quality member instead of the arbitrary lowest id.
+    """
+    m = F.max(
+        F.struct(
+            F.col(score_col).alias("s"), (-F.col(id_col)).alias("nid")
+        )
+    )
+    return (
+        labeled.groupBy(F.col(cluster_col).alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            m.alias("_m"),
+        )
+        .select(
+            "cluster",
+            (-F.col("_m.nid")).cast("long").alias("keeper_id"),
+            F.col("_m.s").alias("keeper_score"),
+            "n_members",
+        )
+    )

@@ -2429,3 +2429,55 @@ SELECT CAST(true_label AS INT) AS label,
     / CAST(count(*) AS DOUBLE), 6) AS agreement
 FROM picked GROUP BY true_label
 """
+
+
+ORACLES["dedup_keep_best"] = f"""
+WITH RECURSIVE t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {SHINGLES} AS sh FROM t),
+v AS (SELECT doc_id, sh, {_minhash_vals()} AS vals FROM s),
+sigs AS (SELECT doc_id, sh, {_minhash_sig(16)} AS sig FROM v),
+bands AS (
+  SELECT doc_id,
+    unnest(range(0, 8)) AS band,
+    unnest({_bands(8, 2)}) AS bucket
+  FROM sigs),
+{_CAPPED_BANDS}
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM capped a JOIN capped b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id),
+verified AS (
+  SELECT c.id_a, c.id_b
+  FROM cands c
+  JOIN s a ON a.doc_id = c.id_a
+  JOIN s b ON b.doc_id = c.id_b
+  WHERE {_JACCARD} >= 0.5),
+und AS (
+  SELECT id_a AS src, id_b AS dst FROM verified
+  UNION SELECT id_b, id_a FROM verified),
+reach(src, dst) AS (
+  SELECT src, dst FROM und
+  UNION
+  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
+comp AS (
+  SELECT src AS id, least(src, MIN(dst)) AS c FROM reach GROUP BY src),
+lab AS (
+  SELECT d.doc_id, CAST(COALESCE(c.c, d.doc_id) AS BIGINT) AS component,
+    round(CAST(len(list_distinct(tk.toks)) AS DOUBLE)
+      / CAST(greatest(len(tk.toks), 1) AS DOUBLE), 6) AS score
+  FROM documents d
+  LEFT JOIN comp c ON d.doc_id = c.id
+  JOIN t tk ON tk.doc_id = d.doc_id),
+best AS (SELECT component, max(score) AS best_score FROM lab GROUP BY component),
+keeper AS (
+  SELECT l.component, min(l.doc_id) AS keeper_doc_id
+  FROM lab l JOIN best b ON l.component = b.component AND l.score = b.best_score
+  GROUP BY l.component),
+members AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS n_members FROM lab GROUP BY component)
+SELECT m.component, CAST(k.keeper_doc_id AS BIGINT) AS keeper_doc_id,
+  b.best_score AS keeper_score, m.n_members
+FROM members m
+JOIN keeper k ON m.component = k.component
+JOIN best b ON m.component = b.component
+"""

@@ -238,3 +238,24 @@ def test_knn_label_agreement(spark):
     out = {r["label"]: r for r in knn_label_agreement(df, df, k=3).collect()}
     assert out[0]["agreement"] == 1.0 and out[1]["agreement"] == 1.0
     assert out[0]["n_queries"] == 4 and out[0]["n_agree"] == 4
+
+
+def test_keep_best_per_cluster(spark):
+    from datapipelines_essentials_python_spark.operators.dedup import (
+        keep_best_per_cluster,
+    )
+
+    rows = [
+        (1, 100, 0.5),
+        (2, 100, 0.9),   # highest score in cluster 100 → keeper
+        (3, 100, 0.9),   # tie on score → smaller id 2 wins
+        (7, 200, 0.1),   # singleton cluster keeps itself
+    ]
+    df = spark.createDataFrame(rows, "id long, component long, score double")
+    out = {
+        r["cluster"]: r
+        for r in keep_best_per_cluster(df, "component", "id", "score").collect()
+    }
+    assert out[100]["keeper_id"] == 2 and out[100]["keeper_score"] == 0.9
+    assert out[100]["n_members"] == 3
+    assert out[200]["keeper_id"] == 7 and out[200]["n_members"] == 1
