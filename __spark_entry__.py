@@ -2792,6 +2792,16 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.labeled_topk(emb, queries, k=5, same_label=False)
 
 
+def skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic over the event stream: per-key load vs a
+    uniform 32-partition spread, hot-key flags, and the salt factor
+    salted_join would need — the profile you run BEFORE a 100 TB join."""
+    events = load_table(spark, sf_dir, "events")
+    return rel_ops.skew_profile(
+        events, ["event_type"], partitions=32, hot_threshold=2.0
+    )
+
+
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware near-dup resolution: LSH-verified pairs → exact
     connected components → each cluster keeps its HIGHEST-quality member
@@ -2995,6 +3005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": hard_negatives,
         "knn_label_accuracy": knn_label_accuracy,
         "dedup_keep_best": dedup_keep_best,
+        "skew_profile_events": skew_profile_events,
     }
 
 

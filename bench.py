@@ -156,6 +156,7 @@ HEADLINE = [
     "hard_negatives",
     "knn_label_accuracy",
     "dedup_keep_best",
+    "skew_profile_events",
 ]
 
 

@@ -368,3 +368,49 @@ def chi2_drift(
         F.round(q, 6).alias("q_cur"),
         F.round(contrib, 6).alias("chi2_contrib"),
     )
+
+
+def skew_profile(
+    df: DataFrame,
+    key_cols: list[str],
+    partitions: int = 200,
+    hot_threshold: float = 2.0,
+) -> DataFrame:
+    """Join/agg-key skew diagnostic: per-key row counts, share of total,
+    the ratio to a perfectly-uniform partition load, and the salt factor
+    that would spread the key back to ~uniform.
+
+    For each key: ``skew_ratio = n_rows * partitions / total`` (1.0 ⇒ the
+    key fills exactly one average partition); keys with ``skew_ratio >=
+    hot_threshold`` are flagged hot and get ``salt_factor =
+    ceil(skew_ratio)`` — the ``salt_factor`` to hand
+    :func:`salted_join` / repartition salting. Everything is integer/
+    rational arithmetic (engine-portable, hash-checkable).
+
+    One keyed count agg (map-side combined) + a 1-row totals broadcast —
+    the profile itself never shuffles more than key-cardinality rows, so
+    it's safe to run on a 100 TB fact table before every big join.
+    """
+    counts = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    total = counts.agg(F.sum("n_rows").cast("double").alias("total"))
+    ratio = (
+        F.col("n_rows").cast("double")
+        * F.lit(float(partitions))
+        / F.col("total")
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            *key_cols,
+            "n_rows",
+            F.round(F.col("n_rows").cast("double") / F.col("total"), 6).alias("share"),
+            F.round(ratio, 6).alias("skew_ratio"),
+            (ratio >= F.lit(float(hot_threshold))).alias("is_hot"),
+            F.when(ratio >= F.lit(float(hot_threshold)), F.ceil(ratio))
+            .otherwise(F.lit(1))
+            .cast("long")
+            .alias("salt_factor"),
+        )
+    )

@@ -2481,3 +2481,19 @@ FROM members m
 JOIN keeper k ON m.component = k.component
 JOIN best b ON m.component = b.component
 """
+
+
+ORACLES["skew_profile_events"] = """
+WITH counts AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY event_type),
+tot AS (SELECT CAST(sum(n_rows) AS DOUBLE) AS total FROM counts)
+SELECT event_type, n_rows,
+  round(CAST(n_rows AS DOUBLE) / total, 6) AS share,
+  round(CAST(n_rows AS DOUBLE) * CAST(32.0 AS DOUBLE) / total, 6) AS skew_ratio,
+  CAST(n_rows AS DOUBLE) * CAST(32.0 AS DOUBLE) / total >= CAST(2.0 AS DOUBLE) AS is_hot,
+  CASE WHEN CAST(n_rows AS DOUBLE) * CAST(32.0 AS DOUBLE) / total >= CAST(2.0 AS DOUBLE)
+       THEN CAST(ceil(CAST(n_rows AS DOUBLE) * CAST(32.0 AS DOUBLE) / total) AS BIGINT)
+       ELSE 1 END AS salt_factor
+FROM counts CROSS JOIN tot
+"""

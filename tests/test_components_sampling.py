@@ -596,3 +596,15 @@ def test_chi2_drift_localizes_divergence(spark):
     assert out[0]["chi2_contrib"] == 1.0  # (0-1)^2/1
     # bucket 1 has p=0 → contribution defined as 0 (no reference mass)
     assert out[1]["chi2_contrib"] == 0.0
+
+
+def test_skew_profile_flags_hot_keys(spark):
+    from datapipelines_essentials_python_spark.operators.relational import skew_profile
+
+    # key 'a' has 90/100 rows → on 10 partitions skew_ratio 9, salt 9
+    rows = [("a",)] * 90 + [("b",)] * 10
+    df = spark.createDataFrame(rows, "k string")
+    out = {r["k"]: r for r in skew_profile(df, ["k"], partitions=10).collect()}
+    assert out["a"]["is_hot"] and out["a"]["salt_factor"] == 9
+    assert out["a"]["skew_ratio"] == 9.0 and out["a"]["share"] == 0.9
+    assert not out["b"]["is_hot"] and out["b"]["salt_factor"] == 1
