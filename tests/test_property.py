@@ -146,3 +146,55 @@ def test_pii_redact_idempotent(spark, texts):
     for o, t in zip(*joined):
         assert (t["e"], t["p"], t["i"]) == (0, 0, 0)
         assert t["text2"] == o["text"]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=500), min_size=2, max_size=6),
+    shares=st.lists(
+        st.integers(min_value=1, max_value=10), min_size=2, max_size=6
+    ),
+)
+def test_mixture_rates_never_upsamples_and_hits_shares(spark, counts, shares):
+    """Waterfilling invariants: every rate ≤ 1; at least one targeted
+    domain keeps all its rows (the binding constraint); kept counts are
+    proportional to target shares up to flooring."""
+    from datapipelines_essentials_python_spark.operators.sampling import mixture_rates
+
+    k = min(len(counts), len(shares))
+    counts, shares = counts[:k], shares[:k]
+    tot_share = sum(shares)
+    targets = {f"d{i}": shares[i] / tot_share for i in range(k)}
+    rows = [(f"d{i}",) for i in range(k) for _ in range(counts[i])]
+    df = spark.createDataFrame(rows, "domain string")
+    out = {r["domain"]: r for r in mixture_rates(df, "domain", targets).collect()}
+    assert all(r["rate"] <= 1.0 for r in out.values())
+    assert all(r["n_keep"] <= r["n_rows"] for r in out.values())
+    # the binding domain (min count/share) keeps everything (rate 1 up to
+    # the round(…,6) applied to the rate)
+    binding = min(range(k), key=lambda i: counts[i] / targets[f"d{i}"])
+    assert out[f"d{binding}"]["rate"] >= 0.999999
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(min_value=0, max_value=100, allow_nan=False), min_size=2, max_size=60
+    )
+)
+def test_chi2_drift_nonnegative_and_mass_conserving(spark, vals):
+    """Chi-square drift invariants on arbitrary data: contributions are
+    never negative, per-slice bucket counts sum to the slice sizes, and
+    shares sum to 1 per slice."""
+    from datapipelines_essentials_python_spark.operators.relational import chi2_drift
+
+    rows = [(float(v), i % 2 == 0) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "v double, ref boolean")
+    out = chi2_drift(df, "v", F.col("ref"), [25.0, 50.0, 75.0]).collect()
+    n_ref = sum(r["n_ref"] for r in out)
+    n_cur = sum(r["n_cur"] for r in out)
+    assert n_ref == sum(1 for _, is_ref in rows if is_ref)
+    assert n_cur == sum(1 for _, is_ref in rows if not is_ref)
+    assert all(r["chi2_contrib"] >= 0.0 for r in out)
+    if n_ref:
+        assert abs(sum(r["p_ref"] for r in out) - 1.0) < 1e-4
