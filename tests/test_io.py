@@ -228,3 +228,33 @@ def test_assert_cobucketed_rejects_mismatch(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_n4")
         spark.sql("DROP TABLE IF EXISTS b_n8")
+
+
+def test_partitioned_layout_prunes_at_scan(spark, tmp_path):
+    """Hive-partitioned parquet + a partition-key filter must prune at
+    planning time: the scan's PartitionFilters carries the predicate and
+    only the matching directory is read — the property that turns a
+    100 TB table into a 1-day read."""
+    import io as _io
+    import contextlib
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, f"2024-01-0{1 + i % 3}", i * 1.0) for i in range(30)],
+        "id long, day string, v double",
+    )
+    dest = str(tmp_path / "events_by_day")
+    write_data(df, "parquet", dest, partition_by=["day"])
+
+    back = spark.read.parquet(dest).where(F.col("day") == "2024-01-02")
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "2024-01-02" in plan.split("PartitionFilters", 1)[1][:200]
+    # pruned read returns exactly the partition's rows
+    assert back.count() == 10
+    # and the filter does NOT appear as a data filter (no post-scan work)
+    assert back.select("id").distinct().count() == 10
