@@ -2847,6 +2847,126 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.knn_label_agreement(emb, queries, k=5)
 
 
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload extraction: pull a typed field out of the
+    events JSON props column at scan time (no UDF — `get_json_object` is
+    codegen'd) and aggregate it per event type with decimal-exact sums."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+    )
+
+
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS surface (beyond rollup/cube): per-returnflag totals,
+    per-linestatus totals, and the grand total in one pass, with
+    grouping_id disambiguating the stratum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(count(1) AS BIGINT) AS cnt
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+def window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window navigation surface: first/last/nth order per customer with
+    an explicit unbounded frame (last_value needs it to see the whole
+    partition) — one shuffle, no self-joins."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first_value("o_orderkey").over(full).alias("first_orderkey"),
+        F.last_value("o_orderkey").over(full).alias("last_orderkey"),
+        F.nth_value("o_orderkey", 2).over(full).alias("second_orderkey"),
+        F.count(F.lit(1)).over(full).cast("long").alias("n_orders"),
+    )
+
+
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>`): every 7th customer's nation key is
+    nulled (simulating unknown provenance) and the join must still pair
+    those rows with the dim's NULL bucket — the semantics regular `=`
+    silently drops. Broadcast dim, one shuffle for the count agg."""
+    cust = load_table(spark, sf_dir, "customer")
+    nk = F.when(F.col("c_custkey") % 7 == 0, F.lit(None)).otherwise(
+        F.col("c_nationkey")
+    )
+    left = cust.select("c_custkey", nk.alias("nk"))
+    nation = load_table(spark, sf_dir, "nation")
+    dim = nation.select(F.col("n_nationkey").alias("dk"), "n_name").unionByName(
+        spark.sql("SELECT CAST(NULL AS BIGINT) AS dk, 'UNKNOWN' AS n_name")
+    )
+    return (
+        left.join(F.broadcast(dim), left.nk.eqNullSafe(F.col("dk")))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
+
+
+def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching: deterministic typo'd probe names (char
+    dropped at position 4) resolved back to suppliers by edit distance ≤ 2
+    — the classic record-linkage shape. Probes broadcast; per-row
+    levenshtein is codegen'd JVM, no Python."""
+    sup = load_table(spark, sf_dir, "supplier")
+    probes = (
+        sup.where(F.col("s_suppkey") % 200 == 3)
+        .select(
+            F.col("s_suppkey").alias("probe_id"),
+            F.concat(
+                F.substring(F.col("s_name"), 1, 3), F.substring(F.col("s_name"), 5, 100)
+            ).alias("probe_name"),
+        )
+    )
+    pairs = sup.crossJoin(F.broadcast(probes)).select(
+        "probe_id",
+        "probe_name",
+        "s_suppkey",
+        "s_name",
+        F.levenshtein(F.col("s_name"), F.col("probe_name")).cast("long").alias("dist"),
+    )
+    return pairs.where(F.col("dist") <= 2)
+
+
+def vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row embedding diagnostics: norm, mean, extrema, positive-
+    component count — narrow array folds at scan speed, the sanity panel
+    run before any ANN indexing."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    total = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    )
+    return emb.select(
+        "vec_id",
+        F.round(sim_ops.norm(v), 6).alias("l2_norm"),
+        F.round(total / F.size(v).cast("double"), 6).alias("mean_val"),
+        F.round(F.array_min(v).cast("double"), 6).alias("min_val"),
+        F.round(F.array_max(v).cast("double"), 6).alias("max_val"),
+        F.size(F.filter(v, lambda x: x > 0)).cast("long").alias("n_positive"),
+    )
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -3006,6 +3126,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_label_accuracy": knn_label_accuracy,
         "dedup_keep_best": dedup_keep_best,
         "skew_profile_events": skew_profile_events,
+        "json_props_extract": json_props_extract,
+        "grouping_sets_agg": grouping_sets_agg,
+        "window_navigation": window_navigation,
+        "null_safe_join": null_safe_join,
+        "fuzzy_match_names": fuzzy_match_names,
+        "vector_stats": vector_stats,
     }
 
 

@@ -157,6 +157,15 @@ HEADLINE = [
     "knn_label_accuracy",
     "dedup_keep_best",
     "skew_profile_events",
+    # round 3: engine-surface slate — semi-structured JSON extraction,
+    # grouping sets, window navigation, null-safe join, fuzzy matching,
+    # per-row vector diagnostics
+    "json_props_extract",
+    "grouping_sets_agg",
+    "window_navigation",
+    "null_safe_join",
+    "fuzzy_match_names",
+    "vector_stats",
 ]
 
 

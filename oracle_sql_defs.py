@@ -2497,3 +2497,69 @@ SELECT event_type, n_rows,
        ELSE 1 END AS salt_factor
 FROM counts CROSS JOIN tot
 """
+
+
+ORACLES["json_props_extract"] = """
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(k) AS BIGINT) AS sum_k,
+  CAST(min(k) AS BIGINT) AS min_k,
+  CAST(max(k) AS BIGINT) AS max_k
+FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+GROUP BY event_type
+"""
+
+ORACLES["grouping_sets_agg"] = """
+SELECT l_returnflag, l_linestatus,
+  CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+  CAST(count(*) AS BIGINT) AS cnt
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+ORACLES["window_navigation"] = """
+SELECT o_custkey, o_orderkey,
+  first_value(o_orderkey) OVER w AS first_orderkey,
+  last_value(o_orderkey) OVER w AS last_orderkey,
+  nth_value(o_orderkey, 2) OVER w AS second_orderkey,
+  CAST(count(*) OVER w AS BIGINT) AS n_orders
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+ORACLES["null_safe_join"] = """
+WITH left_side AS (
+  SELECT c_custkey,
+    CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_nationkey END AS nk
+  FROM customer),
+dim AS (
+  SELECT n_nationkey AS dk, n_name FROM nation
+  UNION ALL SELECT CAST(NULL AS BIGINT), 'UNKNOWN')
+SELECT d.n_name, CAST(count(*) AS BIGINT) AS n_customers
+FROM left_side l JOIN dim d ON l.nk IS NOT DISTINCT FROM d.dk
+GROUP BY d.n_name
+"""
+
+ORACLES["fuzzy_match_names"] = """
+WITH probes AS (
+  SELECT s_suppkey AS probe_id,
+    substr(s_name, 1, 3) || substr(s_name, 5, 100) AS probe_name
+  FROM supplier WHERE s_suppkey % 200 = 3)
+SELECT p.probe_id, p.probe_name, s.s_suppkey, s.s_name,
+  CAST(levenshtein(s.s_name, p.probe_name) AS BIGINT) AS dist
+FROM supplier s CROSS JOIN probes p
+WHERE levenshtein(s.s_name, p.probe_name) <= 2
+"""
+
+ORACLES["vector_stats"] = f"""
+SELECT vec_id,
+  round(sqrt({_dot('embedding', 'embedding')}), 6) AS l2_norm,
+  round(list_sum([CAST(embedding[i] AS DOUBLE) for i in range(1, 65)])
+    / CAST(len(embedding) AS DOUBLE), 6) AS mean_val,
+  round(CAST(list_min(embedding) AS DOUBLE), 6) AS min_val,
+  round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_val,
+  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive
+FROM embeddings
+"""
