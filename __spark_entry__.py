@@ -2847,6 +2847,67 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.knn_label_agreement(emb, queries, k=5)
 
 
+def training_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third-generation curation pipeline composing the round-3 operators:
+    scraped-page markup stripping → frozen-weight logistic quality gate →
+    waterfilling mixture rebalance applied via deterministic hash
+    sampling. Per-source audit: raw counts, gate survivors, planned rate,
+    final kept rows.
+
+    Scale shape: strip+score+gate ride ONE narrow scan projection
+    (persisted once because both the mixture-planning agg and the final
+    sampled pass consume it); the rate table is domain-cardinality and
+    broadcast; the hash-sample filter is narrow. Two tiny aggs + one
+    broadcast join — no corpus-sized shuffle anywhere."""
+    from datapipelines_essentials_python_spark.operators import sampling as samp_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.lit('<html><body><p class="c">'),
+            F.col("text"),
+            F.lit("</p><script>var a=1;</script>&amp; &lt;tail&gt;</body></html>"),
+        ),
+    ).otherwise(F.col("text"))
+    clean = text_ops.strip_markup(raw)
+    score = F.round(
+        text_ops.logit_quality_score(clean, _LOGIT_WEIGHTS, bias=-1.0), 6
+    )
+    scored = docs.select("doc_id", "source", score.alias("quality_score"))
+    kept = scored.where(F.col("quality_score") >= 0.45).persist()
+
+    rates = samp_ops.mixture_rates(kept, "source", _MIXTURE_TARGETS)
+    final = kept.join(
+        F.broadcast(rates.select(F.col("domain"), F.col("rate"))),
+        kept.source == F.col("domain"),
+    ).where(samp_ops.hash_fraction("doc_id", salt="mix") < F.col("rate"))
+
+    raw_counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_raw")
+    )
+    kept_counts = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept")
+    )
+    final_counts = final.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_final")
+    )
+    out = (
+        raw_counts.join(kept_counts, "source", "left")
+        .join(F.broadcast(rates.select(F.col("domain").alias("source"), "rate")), "source", "left")
+        .join(final_counts, "source", "left")
+        .select(
+            "source",
+            "n_raw",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("rate"), F.lit(0.0)).alias("rate"),
+            F.coalesce(F.col("n_final"), F.lit(0)).cast("long").alias("n_final"),
+        )
+    )
+    out._sg_persisted = [kept]  # noqa: SLF001 — released by bench/caller
+    return out
+
+
 def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured payload extraction: pull a typed field out of the
     events JSON props column at scan time (no UDF — `get_json_object` is
@@ -3126,6 +3187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_label_accuracy": knn_label_accuracy,
         "dedup_keep_best": dedup_keep_best,
         "skew_profile_events": skew_profile_events,
+        "training_pipeline_v3": training_pipeline_v3,
         "json_props_extract": json_props_extract,
         "grouping_sets_agg": grouping_sets_agg,
         "window_navigation": window_navigation,

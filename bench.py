@@ -166,6 +166,7 @@ HEADLINE = [
     "null_safe_join",
     "fuzzy_match_names",
     "vector_stats",
+    "training_pipeline_v3",
 ]
 
 

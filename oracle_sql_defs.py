@@ -2563,3 +2563,91 @@ SELECT vec_id,
   CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive
 FROM embeddings
 """
+
+
+_V3_TOKS = "list_filter(string_split(lower(clean_text), ' '), x -> x <> '')"
+
+ORACLES["training_pipeline_v3"] = f"""
+WITH seeded AS (
+  SELECT doc_id, source,
+    CASE WHEN doc_id % 5 = 0
+         THEN '<html><body><p class="c">' || text
+              || '</p><script>var a=1;</script>&amp; &lt;tail&gt;</body></html>'
+         ELSE text END AS raw
+  FROM documents),
+cleaned AS (
+  SELECT doc_id, source,
+    trim(regexp_replace(
+      replace(replace(replace(replace(replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(raw, '(?si)<script[^>]*>.*?</script>', ' ', 'g'),
+            '(?si)<style[^>]*>.*?</style>', ' ', 'g'),
+          '<[^>]+>', ' ', 'g'),
+        '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&nbsp;', ' '),
+      '\\s+', ' ', 'g')) AS clean_text
+  FROM seeded),
+feats AS (
+  SELECT doc_id, source,
+    CAST(len(toks) AS DOUBLE) AS nt,
+    round(CAST(length(replace(lower(clean_text), ' ', '')) AS DOUBLE)
+      / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS atl,
+    round(CAST(len(list_filter(toks, x -> list_contains({_STOP_EN}, x))) AS DOUBLE)
+      / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS sr,
+    round(CAST(len(list_distinct(toks)) AS DOUBLE)
+      / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS utr
+  FROM (SELECT doc_id, source, clean_text, {_V3_TOKS} AS toks FROM cleaned)),
+z AS (
+  SELECT doc_id, source,
+    CAST(-1.0 AS DOUBLE)
+      + CAST(-0.1 AS DOUBLE) * atl
+      + CAST(0.01 AS DOUBLE) * nt
+      + CAST(2.0 AS DOUBLE) * sr
+      + CAST(1.5 AS DOUBLE) * utr AS z
+  FROM feats),
+kept AS (
+  SELECT doc_id, source,
+    round(CAST(0.5 AS DOUBLE)
+      + CAST(0.5 AS DOUBLE) * z / (CAST(1.0 AS DOUBLE) + abs(z)), 6) AS quality_score
+  FROM z
+  WHERE round(CAST(0.5 AS DOUBLE)
+      + CAST(0.5 AS DOUBLE) * z / (CAST(1.0 AS DOUBLE) + abs(z)), 6)
+      >= CAST(0.45 AS DOUBLE)),
+kcounts AS (
+  SELECT source AS domain, CAST(count(*) AS BIGINT) AS n_rows
+  FROM kept GROUP BY source),
+ws AS (
+  SELECT domain, n_rows,
+    CASE domain
+      WHEN 'src0' THEN CAST(0.3 AS DOUBLE)
+      WHEN 'src1' THEN CAST(0.2 AS DOUBLE)
+      WHEN 'src2' THEN CAST(0.2 AS DOUBLE)
+      WHEN 'src3' THEN CAST(0.3 AS DOUBLE)
+      ELSE CAST(0.0 AS DOUBLE) END AS target_share
+  FROM kcounts),
+b AS (
+  SELECT min(CAST(n_rows AS DOUBLE) / target_share) AS budget
+  FROM ws WHERE target_share > 0),
+rated AS (
+  SELECT domain, n_rows AS n_kept, target_share,
+    CASE WHEN target_share > 0
+         THEN least(CAST(1.0 AS DOUBLE),
+                    round(target_share * budget / CAST(n_rows AS DOUBLE), 6))
+         ELSE CAST(0.0 AS DOUBLE) END AS rate
+  FROM ws CROSS JOIN b),
+final AS (
+  SELECT k.doc_id, k.source
+  FROM kept k JOIN rated r ON k.source = r.domain
+  WHERE {_HASH_FRAC('mix')} < r.rate),
+fcounts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_final FROM final GROUP BY source),
+rawc AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_raw FROM documents GROUP BY source)
+SELECT rawc.source, rawc.n_raw,
+  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+  coalesce(r.rate, CAST(0.0 AS DOUBLE)) AS rate,
+  CAST(coalesce(f.n_final, 0) AS BIGINT) AS n_final
+FROM rawc
+LEFT JOIN rated r ON rawc.source = r.domain
+LEFT JOIN fcounts f ON rawc.source = f.source
+"""

@@ -352,3 +352,14 @@ def test_hard_negatives_broadcasts_queries_and_hoists_norms(spark):
     # norms hoisted: the corpus-side projection computes c_norm BELOW the
     # join (aggregate fold appears in a Project, not only above the join)
     assert "BatchEvalPython" not in plan
+
+
+def test_training_pipeline_v3_stays_jvm_side_and_scans_once_per_pass(spark):
+    df = entry_mod.queries()["training_pipeline_v3"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the gate projection is persisted: the raw-docs scan appears for the
+    # raw counts; kept-side branches must read the InMemoryRelation
+    assert "InMemoryTableScan" in plan
+    for dep in getattr(df, "_sg_persisted", ()):
+        dep.unpersist()
