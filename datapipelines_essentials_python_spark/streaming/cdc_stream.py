@@ -311,3 +311,42 @@ def streaming_drift_monitor(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def streaming_cms_topk(
+    stream: DataFrame,
+    item_col: str,
+    load_sketch: Callable[[], DataFrame | None],
+    sink: Callable[[DataFrame, int], None],
+    depth: int = 4,
+    width: int = 64,
+    checkpoint_dir: str | None = None,
+    query_name: str = "cms_topk",
+) -> StreamingQuery:
+    """Keep a frequency sketch fresh from a stream: each micro-batch is
+    sketched (``sketches.cms_build``) and ADDED into the served sketch
+    (``sketches.cms_merge`` — CMS is linear, so per-batch sketches sum to
+    the full-history sketch exactly). Per-epoch cost is O(batch +
+    depth·width), never O(history); estimate heavy hitters on read with
+    ``sketches.cms_estimate`` over candidate items.
+
+    ``load_sketch`` returns the current sketch rows (or None on first
+    batch); ``sink`` persists the merged sketch per epoch.
+    """
+    from datapipelines_essentials_python_spark.operators.sketches import (
+        cms_build,
+        cms_merge,
+    )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_sketch = cms_build(batch_df, item_col, depth=depth, width=width)
+        served = load_sketch()
+        merged = batch_sketch if served is None else cms_merge(served, batch_sketch)
+        sink(merged, epoch_id)
+
+    writer = stream.writeStream.queryName(query_name).foreachBatch(_process)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

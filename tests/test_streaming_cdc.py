@@ -298,3 +298,61 @@ def test_streaming_drift_monitor_matches_full_rescan(spark, tmp_path):
     # chi2 columns present and reference mass carried through
     assert all(r["n_ref"] == 10 for r in final.values())
     assert all(r["chi2_contrib"] >= 0.0 for r in final.values())
+
+
+def test_streaming_cms_topk_matches_full_rescan(spark, tmp_path):
+    from datapipelines_essentials_python_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+    from datapipelines_essentials_python_spark.streaming.cdc_stream import (
+        streaming_cms_topk,
+    )
+
+    src = str(tmp_path / "cms_src")
+    schema = "item string"
+    spark.createDataFrame(
+        [("a",)] * 10 + [("b",)] * 3, schema
+    ).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(
+        [("a",)] * 5 + [("c",)] * 7, schema
+    ).write.mode("append").parquet(src)
+
+    state = {"sketch": None}
+
+    def sink(merged, epoch_id):
+        state["sketch"] = spark.createDataFrame(
+            merged.collect(), "row_idx int, bucket long, cnt long"
+        )
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = streaming_cms_topk(
+        stream,
+        item_col="item",
+        load_sketch=lambda: state["sketch"],
+        sink=sink,
+        checkpoint_dir=str(tmp_path / "cms_ckpt"),
+        query_name="t_cms",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # streaming-maintained sketch must estimate EXACTLY like one built
+    # from a full rescan (linearity), for every observed item
+    items = spark.createDataFrame([("a",), ("b",), ("c",)], schema)
+    full = spark.createDataFrame([("a",)] * 15 + [("b",)] * 3 + [("c",)] * 7, schema)
+    got = {
+        r["item"]: r["cms_est"]
+        for r in cms_estimate(state["sketch"], items, "item").collect()
+    }
+    want = {
+        r["item"]: r["cms_est"]
+        for r in cms_estimate(cms_build(full, "item"), items, "item").collect()
+    }
+    assert got == want
+    # CMS never under-counts
+    assert got["a"] >= 15 and got["b"] >= 3 and got["c"] >= 7
