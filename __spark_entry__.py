@@ -3028,6 +3028,63 @@ def vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def interval_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join without a cartesian product: each
+    user's first-arrival window (30 min from first event) bucket-exploded
+    and equi-joined to find co-arriving user pairs, exact overlap filter +
+    first-shared-bucket dedup. The theta-join shape Spark has no native
+    operator for, kept at O(rows × windows/bucket) shuffle volume."""
+    from datapipelines_essentials_python_spark.operators.asof import (
+        interval_overlap_join,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    first = events.groupBy("user_id").agg(
+        F.min(F.unix_timestamp("ts")).cast("long").alias("lo")
+    )
+    win = first.withColumn("hi", F.col("lo") + F.lit(1800))
+    a = win.select(
+        F.col("user_id").alias("user_a"),
+        F.col("lo").cast("double").alias("lo_a"),
+        F.col("hi").cast("double").alias("hi_a"),
+    )
+    b = win.select(
+        F.col("user_id").alias("user_b"),
+        F.col("lo").cast("double").alias("lo_b"),
+        F.col("hi").cast("double").alias("hi_b"),
+    )
+    joined = interval_overlap_join(
+        a, b, "lo_a", "hi_a", "lo_b", "hi_b", bucket_size=1800.0
+    ).where(F.col("user_a") < F.col("user_b"))
+    return joined.select(
+        "user_a",
+        "user_b",
+        (
+            F.least(F.col("hi_a"), F.col("hi_b"))
+            - F.greatest(F.col("lo_a"), F.col("lo_b"))
+        )
+        .cast("long")
+        .alias("overlap_secs"),
+    )
+
+
+def percent_rank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-normalization surface: percent_rank + cume_dist of document
+    length within each language — the distribution-free score calibration
+    used before mixing quality signals across corpora."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.round(F.percent_rank().over(w), 6).alias("len_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("len_cume_dist"),
+    )
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -3194,6 +3251,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_safe_join": null_safe_join,
         "fuzzy_match_names": fuzzy_match_names,
         "vector_stats": vector_stats,
+        "interval_join_sessions": interval_join_sessions,
+        "percent_rank_quality": percent_rank_quality,
     }
 
 

@@ -167,6 +167,8 @@ HEADLINE = [
     "fuzzy_match_names",
     "vector_stats",
     "training_pipeline_v3",
+    "interval_join_sessions",
+    "percent_rank_quality",
 ]
 
 

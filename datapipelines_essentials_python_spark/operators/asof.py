@@ -118,3 +118,58 @@ def range_join(
         (F.col(left_value) >= F.col("__lo")) & cond_hi
     )
     return joined.drop("__bucket", "__lo", "__hi")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_size: float,
+) -> DataFrame:
+    """Interval×interval overlap join: every (l, r) pair with
+    ``l.lo < r.hi AND r.lo < l.hi`` (half-open overlap) — sessions ×
+    campaigns, outages × jobs, etc.
+
+    A naive theta-join is a cartesian product; here BOTH sides explode
+    their intervals into fixed-width bucket ids, the join is an equi hash
+    join on bucket, duplicate (l, r) hits (an overlap can span many
+    buckets) are dropped by keeping only the FIRST shared bucket —
+    ``greatest(floor(l.lo/bs), floor(r.lo/bs))`` — a stateless dedup that
+    avoids a distinct shuffle. The exact overlap predicate then filters
+    false bucket neighbors.
+
+    At 100 TB the shuffle volume is O(rows × interval_len/bucket_size):
+    pick ``bucket_size`` near the median interval length so each row
+    lands in O(1) buckets.
+    """
+    bs = float(bucket_size)
+
+    def buckets(lo: str, hi: str) -> Column:
+        return F.sequence(
+            F.floor(F.col(lo) / bs).cast("long"),
+            F.floor((F.col(hi) - F.lit(1e-12)) / bs).cast("long"),
+        )
+
+    l = left.select(
+        *[F.col(c) for c in left.columns],
+        F.explode(buckets(left_lo, left_hi)).alias("__bucket"),
+    )
+    r = right.select(
+        *[F.col(c) for c in right.columns],
+        F.explode(buckets(right_lo, right_hi)).alias("__bucket"),
+    )
+    first_shared = F.greatest(
+        F.floor(F.col(left_lo) / bs).cast("long"),
+        F.floor(F.col(right_lo) / bs).cast("long"),
+    )
+    overlap = (F.col(left_lo) < F.col(right_hi)) & (
+        F.col(right_lo) < F.col(left_hi)
+    )
+    return (
+        l.join(r, "__bucket")
+        .where(overlap & (F.col("__bucket") == first_shared))
+        .drop("__bucket")
+    )

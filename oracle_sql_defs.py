@@ -2651,3 +2651,23 @@ FROM rawc
 LEFT JOIN rated r ON rawc.source = r.domain
 LEFT JOIN fcounts f ON rawc.source = f.source
 """
+
+
+ORACLES["interval_join_sessions"] = """
+WITH f AS (
+  SELECT user_id, CAST(min(epoch_us(ts) // 1000000) AS DOUBLE) AS lo
+  FROM events GROUP BY user_id),
+w AS (SELECT user_id, lo, lo + 1800 AS hi FROM f)
+SELECT a.user_id AS user_a, b.user_id AS user_b,
+  CAST(least(a.hi, b.hi) - greatest(a.lo, b.lo) AS BIGINT) AS overlap_secs
+FROM w a JOIN w b
+  ON a.lo < b.hi AND b.lo < a.hi AND a.user_id < b.user_id
+"""
+
+ORACLES["percent_rank_quality"] = """
+SELECT doc_id, lang, n_chars,
+  round(percent_rank() OVER w, 6) AS len_pct_rank,
+  round(cume_dist() OVER w, 6) AS len_cume_dist
+FROM documents
+WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+"""

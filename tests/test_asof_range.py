@@ -75,3 +75,34 @@ def test_range_join_overlapping_ranges(spark):
     )
     out = {r["tier"] for r in range_join(rows, tiers, "v", "lo", "hi", 10.0).collect()}
     assert out == {"a", "b"}  # overlapping ranges both match
+
+
+def test_interval_overlap_join_exact(spark):
+    from datapipelines_essentials_python_spark.operators.asof import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("b", 20.0, 30.0), ("c", 5.0, 25.0)],
+        "lid string, lo_a double, hi_a double",
+    )
+    right = spark.createDataFrame(
+        [("x", 8.0, 12.0), ("y", 40.0, 50.0), ("z", 0.0, 100.0)],
+        "rid string, lo_b double, hi_b double",
+    )
+    out = interval_overlap_join(
+        left, right, "lo_a", "hi_a", "lo_b", "hi_b", bucket_size=10.0
+    )
+    pairs = sorted((r["lid"], r["rid"]) for r in out.collect())
+    # brute-force truth: overlap iff lo_a < hi_b and lo_b < hi_a
+    lrows = [("a", 0.0, 10.0), ("b", 20.0, 30.0), ("c", 5.0, 25.0)]
+    rrows = [("x", 8.0, 12.0), ("y", 40.0, 50.0), ("z", 0.0, 100.0)]
+    want = sorted(
+        (l[0], r[0])
+        for l in lrows
+        for r in rrows
+        if l[1] < r[2] and r[1] < l[2]
+    )
+    assert pairs == want
+    # spanning interval z pairs once with everything (no bucket duplicates)
+    assert pairs.count(("a", "z")) == 1
