@@ -3028,6 +3028,39 @@ def vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_changed_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level CDC audit: which tracked order columns changed between
+    two deterministic snapshots (price bump on %3, status flip on %4,
+    priority rewrite on %5) — the drill-down that answers 'what kind of
+    update was this' after cdc_merge flags the row."""
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    new = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 4 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            F.col("o_totalprice").cast("decimal(18,2)")
+            + F.lit(10).cast("decimal(18,2)"),
+        )
+        .otherwise(F.col("o_totalprice").cast("decimal(18,2)"))
+        .alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("0-URGENT"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+    )
+    return cdc_ops.changed_columns(
+        old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice", "o_orderpriority"]
+    )
+
+
 def interval_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval×interval overlap join without a cartesian product: each
     user's first-arrival window (30 min from first event) bucket-exploded
@@ -3253,6 +3286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_stats": vector_stats,
         "interval_join_sessions": interval_join_sessions,
         "percent_rank_quality": percent_rank_quality,
+        "cdc_changed_columns": cdc_changed_columns,
     }
 
 

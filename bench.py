@@ -169,6 +169,7 @@ HEADLINE = [
     "training_pipeline_v3",
     "interval_join_sessions",
     "percent_rank_quality",
+    "cdc_changed_columns",
 ]
 
 

@@ -2671,3 +2671,32 @@ SELECT doc_id, lang, n_chars,
 FROM documents
 WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
 """
+
+
+ORACLES["cdc_changed_columns"] = """
+WITH oldv AS (
+  SELECT o_orderkey, o_orderstatus,
+    CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice, o_orderpriority
+  FROM orders),
+newv AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 4 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+    CASE WHEN o_orderkey % 3 = 0
+         THEN CAST(o_totalprice AS DECIMAL(18,2)) + CAST(10 AS DECIMAL(18,2))
+         ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS o_totalprice,
+    CASE WHEN o_orderkey % 5 = 0 THEN '0-URGENT' ELSE o_orderpriority END AS o_orderpriority
+  FROM orders),
+flagged AS (
+  SELECT o.o_orderkey,
+    list_filter([
+      CASE WHEN NOT (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus) THEN 'o_orderstatus' END,
+      CASE WHEN NOT (o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice) THEN 'o_totalprice' END,
+      CASE WHEN NOT (o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority) THEN 'o_orderpriority' END
+    ], x -> x IS NOT NULL) AS changed
+  FROM oldv o JOIN newv n ON o.o_orderkey = n.o_orderkey)
+SELECT o_orderkey,
+  array_to_string(changed, ',') AS changed_cols,
+  CAST(len(changed) AS BIGINT) AS n_changed
+FROM flagged
+WHERE len(changed) > 0
+"""

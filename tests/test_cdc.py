@@ -98,3 +98,20 @@ def test_snapshot_diff_composite_keys(spark):
     got = {(r["k1"], r["k2"]): r["status"]
            for r in snapshot_diff(old, new, ["k1", "k2"]).collect()}
     assert got == {(1, "a"): "unchanged", (1, "b"): "added"}
+
+
+def test_changed_columns_null_safe(spark):
+    from datapipelines_essentials_python_spark.operators.cdc import changed_columns
+
+    old = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5.0), (3, "c", 1.0)],
+        "pk long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", None), (2, "B", None), (3, "c", 1.0)],
+        "pk long, s string, v double",
+    )
+    out = {r["pk"]: r for r in changed_columns(old, new, ["pk"], ["s", "v"]).collect()}
+    # pk 1: NULL == NULL → unchanged → absent; pk 3 identical → absent
+    assert set(out) == {2}
+    assert out[2]["changed_cols"] == "s,v" and out[2]["n_changed"] == 2

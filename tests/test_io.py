@@ -258,3 +258,22 @@ def test_partitioned_layout_prunes_at_scan(spark, tmp_path):
     assert back.count() == 10
     # and the filter does NOT appear as a data filter (no post-scan work)
     assert back.select("id").distinct().count() == 10
+
+
+def test_merge_schema_evolution_read(spark, tmp_path):
+    """Schema evolution across parquet files: a later writer adds a
+    column; mergeSchema reads union the schemas and old rows surface
+    NULL for the new column — the lake-format reality load_table's
+    normalization is built for."""
+    dest = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, a string").write.mode(
+        "overwrite"
+    ).parquet(dest)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, a string, score double"
+    ).write.mode("append").parquet(dest)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(dest)
+    assert set(merged.columns) == {"id", "a", "score"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
