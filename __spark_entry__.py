@@ -3118,6 +3118,118 @@ def percent_rank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fuzzy_join_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path fuzzy join: the same typo'd probes as fuzzy_match_names
+    resolved through trigram BLOCKING (equi-join on shared 3-grams +
+    first-shared-gram dedup + levenshtein verify) instead of a cross
+    join — result-identical (names are long enough that distance-2 pairs
+    always share a trigram), shuffle O(rows × name_len) not O(N×M).
+    The oracle is the cross-join definition, proving losslessness."""
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    probes = (
+        sup.where(F.col("s_suppkey") % 200 == 3)
+        .select(
+            F.col("s_suppkey").alias("probe_id"),
+            F.concat(
+                F.substring(F.col("s_name"), 1, 3), F.substring(F.col("s_name"), 5, 100)
+            ).alias("probe_name"),
+        )
+    )
+    return rel_ops.fuzzy_join_blocked(
+        probes, sup, "probe_name", "s_name", max_distance=2
+    ).select("probe_id", "probe_name", "s_suppkey", "s_name", "dist")
+
+
+def dense_rank_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-preserving top-k: dense_rank keeps ALL orders sharing the two
+    highest prices per priority class (row_number would arbitrarily cut
+    ties) — the §2.5 gap-note ranking surface exercised with an oracle."""
+    orders = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    ranked = rel_ops.top_k_per_group(
+        orders.select("o_orderkey", "o_orderpriority", price.alias("price")),
+        ["o_orderpriority"],
+        [F.desc("price")],
+        k=2,
+        method="dense_rank",
+        keep_rank=True,
+    )
+    return ranked.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.col("price").cast("double").alias("price"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-hierarchy rollup: event value totals at day, month, year,
+    and grand-total grain in ONE pass (ROLLUP grouping sets over derived
+    calendar columns) — the warehouse time-dimension pattern."""
+    events = load_table(spark, sf_dir, "events")
+    cal = events.select(
+        F.year("ts").cast("long").alias("yy"),
+        F.month("ts").cast("long").alias("mm"),
+        F.dayofmonth("ts").cast("long").alias("dd"),
+        "value",
+    )
+    return cal.rollup("yy", "mm", "dd").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(_dec("value")).cast("double").alias("total_value"),
+    )
+
+
+def sliding_count_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-hour activity: for every event, how many events
+    the same user fired in the preceding 3600 s (inclusive) — a RANGE
+    window over epoch seconds, the rate-limiter / burst-detection shape.
+    One user-keyed shuffle; the frame is resolved inside the sort."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("epoch"))
+        .rangeBetween(-3599, 0)
+    )
+    return events.select(
+        "event_id", "user_id", epoch.alias("epoch")
+    ).select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_last_hour"),
+    )
+
+
+def funnel_within_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained funnel: per user, earliest 'view' and whether a
+    'purchase' followed within one hour; conversion delay in seconds.
+    Two user-keyed aggs (first-view, then conditional-min over the join
+    back) — no per-user explode, no cross join."""
+    events = load_table(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts").cast("long")
+    typed = events.select("user_id", "event_type", epoch.alias("ep"))
+    first_view = typed.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ep").alias("view_ep")
+    )
+    joined = typed.where(F.col("event_type") == "purchase").join(
+        first_view, "user_id"
+    )
+    conv = joined.where(
+        (F.col("ep") >= F.col("view_ep")) & (F.col("ep") < F.col("view_ep") + 3600)
+    ).groupBy("user_id", "view_ep").agg(F.min("ep").alias("purchase_ep"))
+    return (
+        first_view.join(conv.select("user_id", "purchase_ep"), "user_id", "left")
+        .select(
+            "user_id",
+            "view_ep",
+            (F.col("purchase_ep").isNotNull()).alias("converted"),
+            (F.col("purchase_ep") - F.col("view_ep")).cast("long").alias("delay_secs"),
+        )
+    )
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -3143,6 +3255,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hopping_window_agg": hopping_window_agg,
         "funnel_conversion": funnel_conversion,
         "cohort_retention": cohort_retention,
+        "time_rollup": time_rollup,
+        "sliding_count_1h": sliding_count_1h,
+        "funnel_within_1h": funnel_within_1h,
+        "interval_join_sessions": interval_join_sessions,
         "events_by_day": events_by_day,
         "tz_convert": tz_convert,
         "date_sequence_backfill": date_sequence_backfill,
@@ -3156,12 +3272,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": incremental_dedup_q,
         "training_pipeline_e2e": training_pipeline_e2e,
         "training_pipeline_v2": training_pipeline_v2,
+        "training_pipeline_v3": training_pipeline_v3,
+        "dedup_keep_best": dedup_keep_best,
         "minhash_lsh": minhash_lsh,
         "near_dedup_keep": near_dedup_keep,
         "ngram_jaccard": ngram_jaccard,
-        "simhash_fp": simhash_fp,
         "simhash_neardup": simhash_neardup,
-        "embedding_topk": embedding_topk,
         "embedding_neardup": embedding_neardup,
         "embedding_lsh_topk": embedding_lsh_topk,
         "ann_recall_lsh": ann_recall_lsh,
@@ -3169,10 +3285,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann": ivf_ann,
         "ivf_ann_nprobe2": ivf_ann_nprobe2,
         "cdc_merge": cdc_merge,
-        "flatten_deep": flatten_deep,
-        "multimodal_features": multimodal_features,
-        "filter_dsl_scan": filter_dsl_scan,
-        "duration_buckets": duration_buckets,
         "salted_join_events": salted_join_events,
         "decontamination_bloom": decontamination_bloom,
         "semantic_dedup": semantic_dedup,
@@ -3185,6 +3297,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_events": winsorize_events,
         # ---- entries below are covered by tools/check_parity.py
         # ---- (full-suite log committed per round as PARITY_r{N}.txt)
+        "filter_dsl_scan": filter_dsl_scan,
+        "duration_buckets": duration_buckets,
+        "multimodal_features": multimodal_features,
+        "flatten_deep": flatten_deep,
+        "simhash_fp": simhash_fp,
+        "embedding_topk": embedding_topk,
         "exact_dedup": exact_dedup,
         "json_flatten": json_flatten,
         "media_chunks": media_chunks,
@@ -3275,18 +3393,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_chi2": drift_chi2,
         "hard_negatives": hard_negatives,
         "knn_label_accuracy": knn_label_accuracy,
-        "dedup_keep_best": dedup_keep_best,
         "skew_profile_events": skew_profile_events,
-        "training_pipeline_v3": training_pipeline_v3,
         "json_props_extract": json_props_extract,
         "grouping_sets_agg": grouping_sets_agg,
         "window_navigation": window_navigation,
         "null_safe_join": null_safe_join,
         "fuzzy_match_names": fuzzy_match_names,
         "vector_stats": vector_stats,
-        "interval_join_sessions": interval_join_sessions,
         "percent_rank_quality": percent_rank_quality,
         "cdc_changed_columns": cdc_changed_columns,
+        "fuzzy_join_suppliers": fuzzy_join_suppliers,
+        "dense_rank_ties": dense_rank_ties,
     }
 
 

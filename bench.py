@@ -170,6 +170,11 @@ HEADLINE = [
     "interval_join_sessions",
     "percent_rank_quality",
     "cdc_changed_columns",
+    "fuzzy_join_suppliers",
+    "dense_rank_ties",
+    "time_rollup",
+    "sliding_count_1h",
+    "funnel_within_1h",
 ]
 
 

@@ -353,14 +353,16 @@ def chi2_drift(
         F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).cast("long").alias("n_ref"),
         F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).cast("long").alias("n_cur"),
     )
-    totals = per_bucket.agg(
-        F.sum("n_ref").cast("double").alias("tot_ref"),
-        F.sum("n_cur").cast("double").alias("tot_cur"),
-    )
-    p = F.col("n_ref").cast("double") / F.col("tot_ref")
-    q = F.col("n_cur").cast("double") / F.col("tot_cur")
+    # totals as a window over the POST-AGG bucket table (bucket-cardinality
+    # rows) — a second aggregate branch would rescan the corpus for the
+    # same counts (the mixture_rates lesson; plan-asserted)
+    full = Window.partitionBy()
+    tot_ref = F.sum("n_ref").over(full).cast("double")
+    tot_cur = F.sum("n_cur").over(full).cast("double")
+    p = F.col("n_ref").cast("double") / tot_ref
+    q = F.col("n_cur").cast("double") / tot_cur
     contrib = F.when(p > 0, (q - p) * (q - p) / p).otherwise(F.lit(0.0))
-    return per_bucket.crossJoin(F.broadcast(totals)).select(
+    return per_bucket.select(
         "bucket",
         "n_ref",
         "n_cur",
@@ -413,4 +415,54 @@ def skew_profile(
             .cast("long")
             .alias("salt_factor"),
         )
+    )
+
+
+def fuzzy_join_blocked(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    max_distance: int = 2,
+    gram: int = 3,
+) -> DataFrame:
+    """Scalable fuzzy (edit-distance) join via q-gram blocking: instead of
+    the O(N×M) cross join, each side explodes its key into character
+    ``gram``-grams, candidates meet on an EQUI join over shared grams
+    (strings within edit distance d share at least one q-gram when
+    ``len >= q·(d+1)``), duplicate pairs are killed by the stateless
+    first-shared-gram rule (the lexicographically smallest common gram —
+    no DISTINCT shuffle), and the exact levenshtein verify runs only on
+    candidates.
+
+    → left row + right row + ``dist``. At 100 TB the shuffle carries
+    (gram, row) pairs — O(rows × key_len) — versus the cross join's
+    O(N×M) comparisons; frequency-skewed grams behave like any hot join
+    key (salt or AQE-skew them).
+    """
+    # substring with a per-element start position needs the SQL lambda form
+    def gram_array(col: str) -> Column:
+        return F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, greatest(length({col}) - {gram - 1}, 1)), "
+                f"i -> substring({col}, i, {gram}))"
+            )
+        )
+
+    l = left.select(
+        *[F.col(c) for c in left.columns], F.explode(gram_array(left_key)).alias("__g")
+    )
+    r = right.select(
+        *[F.col(c) for c in right.columns],
+        F.explode(gram_array(right_key)).alias("__g"),
+    )
+    first_shared = F.array_min(
+        F.array_intersect(gram_array(left_key), gram_array(right_key))
+    )
+    dist = F.levenshtein(F.col(left_key), F.col(right_key))
+    return (
+        l.join(r, "__g")
+        .where((F.col("__g") == first_shared) & (dist <= max_distance))
+        .drop("__g")
+        .withColumn("dist", dist.cast("long"))
     )

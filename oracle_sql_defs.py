@@ -2700,3 +2700,65 @@ SELECT o_orderkey,
 FROM flagged
 WHERE len(changed) > 0
 """
+
+
+ORACLES["dense_rank_ties"] = """
+SELECT o_orderpriority, o_orderkey,
+  CAST(price AS DOUBLE) AS price,
+  CAST(rnk AS BIGINT) AS rank
+FROM (
+  SELECT o_orderpriority, o_orderkey,
+    CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+    dense_rank() OVER (PARTITION BY o_orderpriority
+                       ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC) AS rnk
+  FROM orders)
+WHERE rnk <= 2
+"""
+
+ORACLES["time_rollup"] = """
+SELECT CAST(date_part('year', ts) AS BIGINT) AS yy,
+  CAST(date_part('month', ts) AS BIGINT) AS mm,
+  CAST(date_part('day', ts) AS BIGINT) AS dd,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY ROLLUP (yy, mm, dd)
+"""
+
+ORACLES["sliding_count_1h"] = """
+SELECT event_id, user_id,
+  CAST(count(*) OVER (PARTITION BY user_id ORDER BY ep
+        RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_last_hour
+FROM (SELECT event_id, user_id, epoch_us(ts) // 1000000 AS ep FROM events)
+"""
+
+ORACLES["funnel_within_1h"] = """
+WITH typed AS (
+  SELECT user_id, event_type, epoch_us(ts) // 1000000 AS ep FROM events),
+first_view AS (
+  SELECT user_id, min(ep) AS view_ep FROM typed
+  WHERE event_type = 'view' GROUP BY user_id),
+conv AS (
+  SELECT t.user_id, min(t.ep) AS purchase_ep
+  FROM typed t JOIN first_view f ON t.user_id = f.user_id
+  WHERE t.event_type = 'purchase'
+    AND t.ep >= f.view_ep AND t.ep < f.view_ep + 3600
+  GROUP BY t.user_id)
+SELECT f.user_id, CAST(f.view_ep AS BIGINT) AS view_ep,
+  c.purchase_ep IS NOT NULL AS converted,
+  CAST(c.purchase_ep - f.view_ep AS BIGINT) AS delay_secs
+FROM first_view f LEFT JOIN conv c ON f.user_id = c.user_id
+"""
+
+
+# oracle = the CROSS-JOIN definition: proves trigram blocking is lossless
+ORACLES["fuzzy_join_suppliers"] = """
+WITH probes AS (
+  SELECT s_suppkey AS probe_id,
+    substr(s_name, 1, 3) || substr(s_name, 5, 100) AS probe_name
+  FROM supplier WHERE s_suppkey % 200 = 3)
+SELECT p.probe_id, p.probe_name, s.s_suppkey, s.s_name,
+  CAST(levenshtein(p.probe_name, s.s_name) AS BIGINT) AS dist
+FROM probes p CROSS JOIN supplier s
+WHERE levenshtein(p.probe_name, s.s_name) <= 2
+"""

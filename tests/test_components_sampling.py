@@ -608,3 +608,40 @@ def test_skew_profile_flags_hot_keys(spark):
     assert out["a"]["is_hot"] and out["a"]["salt_factor"] == 9
     assert out["a"]["skew_ratio"] == 9.0 and out["a"]["share"] == 0.9
     assert not out["b"]["is_hot"] and out["b"]["salt_factor"] == 1
+
+
+def test_fuzzy_join_blocked_equals_cross_join(spark):
+    from datapipelines_essentials_python_spark.operators.relational import (
+        fuzzy_join_blocked,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "kitten town"), (2, "zzzzzzzzzz")], "lid long, lname string"
+    )
+    right = spark.createDataFrame(
+        [(10, "kitten town"), (11, "kitten towns"), (12, "mitten town"),
+         (13, "unrelated xx")],
+        "rid long, rname string",
+    )
+    out = fuzzy_join_blocked(left, right, "lname", "rname", max_distance=2)
+    got = sorted((r["lid"], r["rid"], r["dist"]) for r in out.collect())
+    # brute-force truth
+    import itertools
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+    lrows = [(1, "kitten town"), (2, "zzzzzzzzzz")]
+    rrows = [(10, "kitten town"), (11, "kitten towns"), (12, "mitten town"),
+             (13, "unrelated xx")]
+    want = sorted(
+        (l[0], r[0], lev(l[1], r[1]))
+        for l, r in itertools.product(lrows, rrows)
+        if lev(l[1], r[1]) <= 2
+    )
+    assert got == want
+    # exactly one row per matched pair (first-shared-gram dedup works)
+    assert len(got) == len({(a, b) for a, b, _ in got})

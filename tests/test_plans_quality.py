@@ -331,11 +331,11 @@ def test_logistic_quality_is_pure_narrow(spark):
 
 
 def test_drift_chi2_single_agg_pass(spark):
-    # one bucket-keyed aggregation + a 1-row broadcast of the totals —
-    # the detector must NOT rescan the corpus per slice
+    # one bucket-keyed aggregation; totals via a window over the tiny
+    # post-agg bucket table — the detector must NOT rescan the corpus
     plan = plan_of(entry_mod.queries()["drift_chi2"](spark, SF_DIR))
-    assert plan.count("Scan parquet") == 1
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert plan.count("(1) Scan parquet") == 1 and "(2) Scan parquet" not in plan
+    assert "Window" in plan
 
 
 def test_mixture_weights_single_scan(spark):
