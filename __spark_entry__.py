@@ -3118,6 +3118,90 @@ def percent_rank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus URL hygiene: synthetic crawl URLs (deterministic per
+    doc: scheme/host-case noise, tracking params, fragments) are
+    canonicalized — lowercase scheme+host, strip utm_*/fragment/trailing
+    slash — then deduped per host. The canonical key is what crawl dedup
+    actually joins on. Pure regexp projection + one host-keyed agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS://")).otherwise(
+            F.lit("http://")
+        ),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("WWW.")).otherwise(F.lit("www.")),
+        F.lit("Site"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".Example.COM/page/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("/?utm_source=feed&utm_b=2")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    canon = F.regexp_replace(url, r"#.*$", "")
+    canon = F.regexp_replace(canon, r"\?utm_[^#]*$", "")
+    canon = F.regexp_replace(canon, r"/$", "")
+    scheme = F.lower(F.regexp_extract(canon, r"^([A-Za-z]+)://", 1))
+    rest = F.regexp_replace(canon, r"^[A-Za-z]+://", "")
+    host = F.lower(F.regexp_extract(rest, r"^([^/]+)", 1))
+    path = F.regexp_replace(rest, r"^[^/]+", "")
+    canonical = F.concat(scheme, F.lit("://"), host, path)
+    per_url = (
+        docs.select("doc_id", canonical.alias("canonical_url"), host.alias("host"))
+        .groupBy("host", "canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("keeper_doc_id"),
+        )
+    )
+    return per_url
+
+
+def dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup report: distribution of near-dup cluster sizes (how much of
+    the corpus is duplicated, and how deep the clusters go) — the summary
+    stat quoted in every dataset card. Reuses the LSH→components labels;
+    two tiny keyed aggs on top."""
+    labeled = dedup_components(spark, sf_dir)
+    sizes = labeled.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        (F.count(F.lit(1)) * F.col("cluster_size")).cast("long").alias("n_docs"),
+    )
+
+
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/holdout leakage audit: 3-token shingles appearing on BOTH
+    sides of the hash-based doc split — the check that catches near-dup
+    leakage a grouped split would have prevented. One shingle-keyed
+    distinct + conditional-count agg."""
+    from datapipelines_essentials_python_spark.operators.sampling import hash_fraction
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    split = F.when(hash_fraction("doc_id", salt="split") >= 0.2, "train").otherwise(
+        "holdout"
+    )
+    sh = docs.select(
+        split.alias("split"), F.explode(dedup_ops.shingles("text", 3)).alias("g")
+    ).distinct()
+    per_gram = sh.groupBy("g").agg(
+        F.max(F.when(F.col("split") == "train", 1).otherwise(0)).alias("in_train"),
+        F.max(F.when(F.col("split") == "holdout", 1).otherwise(0)).alias("in_holdout"),
+    )
+    return per_gram.agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum(F.col("in_train") * F.col("in_holdout")).cast("long").alias("n_leaked"),
+        F.round(
+            F.sum(F.col("in_train") * F.col("in_holdout")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("leak_ratio"),
+    )
+
+
 def fuzzy_join_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path fuzzy join: the same typo'd probes as fuzzy_match_names
     resolved through trigram BLOCKING (equi-join on shared 3-grams +
@@ -3402,6 +3486,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_stats": vector_stats,
         "percent_rank_quality": percent_rank_quality,
         "cdc_changed_columns": cdc_changed_columns,
+        "url_canonicalize": url_canonicalize,
+        "dup_cluster_histogram": dup_cluster_histogram,
+        "split_leakage_audit": split_leakage_audit,
         "fuzzy_join_suppliers": fuzzy_join_suppliers,
         "dense_rank_ties": dense_rank_ties,
     }

@@ -171,6 +171,9 @@ HEADLINE = [
     "percent_rank_quality",
     "cdc_changed_columns",
     "fuzzy_join_suppliers",
+    "url_canonicalize",
+    "dup_cluster_histogram",
+    "split_leakage_audit",
     "dense_rank_ties",
     "time_rollup",
     "sliding_count_1h",

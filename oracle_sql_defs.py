@@ -2762,3 +2762,96 @@ SELECT p.probe_id, p.probe_name, s.s_suppkey, s.s_name,
 FROM probes p CROSS JOIN supplier s
 WHERE levenshtein(p.probe_name, s.s_name) <= 2
 """
+
+
+ORACLES["url_canonicalize"] = """
+WITH u AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'http://' END)
+    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE 'www.' END)
+    || 'Site' || CAST(doc_id % 7 AS VARCHAR) || '.Example.COM/page/'
+    || CAST(doc_id % 50 AS VARCHAR)
+    || (CASE WHEN doc_id % 4 = 0 THEN '/?utm_source=feed&utm_b=2' ELSE '' END)
+    || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
+  FROM documents),
+c1 AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(
+      url, '#.*$', ''), '\\?utm_[^#]*$', ''), '/$', '') AS canon
+  FROM u),
+parts AS (
+  SELECT doc_id,
+    lower(regexp_extract(canon, '^([A-Za-z]+)://', 1)) AS scheme,
+    regexp_replace(canon, '^[A-Za-z]+://', '') AS rest
+  FROM c1),
+p2 AS (
+  SELECT doc_id, scheme,
+    lower(regexp_extract(rest, '^([^/]+)', 1)) AS host,
+    regexp_replace(rest, '^[^/]+', '') AS path
+  FROM parts)
+SELECT host, scheme || '://' || host || path AS canonical_url,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(min(doc_id) AS BIGINT) AS keeper_doc_id
+FROM p2 GROUP BY host, canonical_url
+"""
+
+ORACLES["dup_cluster_histogram"] = f"""
+WITH RECURSIVE t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {SHINGLES} AS sh FROM t),
+v AS (SELECT doc_id, sh, {_minhash_vals()} AS vals FROM s),
+sigs AS (SELECT doc_id, sh, {_minhash_sig(16)} AS sig FROM v),
+bands AS (
+  SELECT doc_id,
+    unnest(range(0, 8)) AS band,
+    unnest({_bands(8, 2)}) AS bucket
+  FROM sigs),
+{_CAPPED_BANDS}
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM capped a JOIN capped b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id),
+verified AS (
+  SELECT c.id_a, c.id_b
+  FROM cands c
+  JOIN s a ON a.doc_id = c.id_a
+  JOIN s b ON b.doc_id = c.id_b
+  WHERE {_JACCARD} >= 0.5),
+und AS (
+  SELECT id_a AS src, id_b AS dst FROM verified
+  UNION SELECT id_b, id_a FROM verified),
+reach(src, dst) AS (
+  SELECT src, dst FROM und
+  UNION
+  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
+comp AS (
+  SELECT src AS id, least(src, MIN(dst)) AS c FROM reach GROUP BY src),
+labeled AS (
+  SELECT d.doc_id, CAST(COALESCE(c.c, d.doc_id) AS BIGINT) AS component
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+sizes AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM labeled GROUP BY component)
+SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+  CAST(count(*) * cluster_size AS BIGINT) AS n_docs
+FROM sizes GROUP BY cluster_size
+"""
+
+ORACLES["split_leakage_audit"] = f"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN {_HASH_FRAC('split')} >= 0.2 THEN 'train' ELSE 'holdout' END AS split,
+    {TOKS} AS toks
+  FROM documents),
+s0 AS (SELECT doc_id, split, {SHINGLES} AS sh FROM t),
+s AS (SELECT DISTINCT split, unnest(sh) AS g FROM s0),
+pg AS (
+  SELECT g,
+    max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_train,
+    max(CASE WHEN split = 'holdout' THEN 1 ELSE 0 END) AS in_holdout
+  FROM s GROUP BY g)
+SELECT CAST(count(*) AS BIGINT) AS n_grams,
+  CAST(sum(in_train * in_holdout) AS BIGINT) AS n_leaked,
+  round(CAST(sum(in_train * in_holdout) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+    AS leak_ratio
+FROM pg
+"""
