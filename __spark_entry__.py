@@ -3118,6 +3118,85 @@ def percent_rank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier profile per event type — the
+    heavy-tail-safe alternative to z-scores: median, MAD, and the count
+    beyond median ± 3·MAD·1.4826. Exact percentiles per key (one keyed
+    agg), bounds rejoined broadcast, one narrow count pass."""
+    events = load_table(spark, sf_dir, "events")
+    med = F.expr("percentile(value, 0.5)")
+    stats = events.groupBy("event_type").agg(med.alias("med"))
+    dev = events.join(F.broadcast(stats), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.first("med").alias("med"),
+        F.expr("percentile(adev, 0.5)").alias("mad"),
+    )
+    bounds = mad.select(
+        "event_type",
+        F.round("med", 6).alias("median_value"),
+        F.round("mad", 6).alias("mad"),
+        F.round(F.col("med") - F.col("mad") * F.lit(3.0) * F.lit(1.4826), 6).alias(
+            "lo"
+        ),
+        F.round(F.col("med") + F.col("mad") * F.lit(3.0) * F.lit(1.4826), 6).alias(
+            "hi"
+        ),
+    )
+    flagged = events.join(F.broadcast(bounds), "event_type").groupBy(
+        "event_type", "median_value", "mad"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_outliers"),
+    )
+    return flagged
+
+
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card summary panel: per source — doc count, token volume,
+    mean quality-classifier score, English share, mean doc length. ONE
+    scan and ONE keyed agg (every signal is a narrow projection computed
+    in the same pass) — the corpus overview that heads a dataset card."""
+    docs = load_table(spark, sf_dir, "documents")
+    score = F.round(
+        text_ops.logit_quality_score("text", _LOGIT_WEIGHTS, bias=-1.0), 6
+    )
+    n_toks = text_ops.token_count("text")
+    return (
+        docs.select(
+            "source",
+            score.alias("q"),
+            n_toks.alias("nt"),
+            (F.col("lang") == "en").cast("int").alias("is_en"),
+            F.col("n_chars"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("q").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_quality"),
+            F.round(
+                F.sum("is_en").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("en_share"),
+            F.round(
+                F.sum(F.col("n_chars").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_chars"),
+        )
+    )
+
+
 def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-corpus URL hygiene: synthetic crawl URLs (deterministic per
     doc: scheme/host-case noise, tracking params, fragments) are
@@ -3486,6 +3565,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_stats": vector_stats,
         "percent_rank_quality": percent_rank_quality,
         "cdc_changed_columns": cdc_changed_columns,
+        "mad_outliers": mad_outliers,
+        "dataset_card": dataset_card,
         "url_canonicalize": url_canonicalize,
         "dup_cluster_histogram": dup_cluster_histogram,
         "split_leakage_audit": split_leakage_audit,

@@ -171,6 +171,8 @@ HEADLINE = [
     "percent_rank_quality",
     "cdc_changed_columns",
     "fuzzy_join_suppliers",
+    "mad_outliers",
+    "dataset_card",
     "url_canonicalize",
     "dup_cluster_histogram",
     "split_leakage_audit",

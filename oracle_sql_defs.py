@@ -2855,3 +2855,64 @@ SELECT CAST(count(*) AS BIGINT) AS n_grams,
     AS leak_ratio
 FROM pg
 """
+
+
+ORACLES["mad_outliers"] = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type),
+madt AS (
+  SELECT e.event_type, any_value(m.med) AS med,
+    quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m ON e.event_type = m.event_type
+  GROUP BY e.event_type),
+bounds AS (
+  SELECT event_type,
+    round(med, 6) AS median_value,
+    round(mad, 6) AS mad,
+    round(med - mad * CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE), 6) AS lo,
+    round(med + mad * CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE), 6) AS hi
+  FROM madt)
+SELECT e.event_type, b.median_value, b.mad,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CASE WHEN e.value < b.lo OR e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_outliers
+FROM events e JOIN bounds b ON e.event_type = b.event_type
+GROUP BY e.event_type, b.median_value, b.mad
+"""
+
+ORACLES["dataset_card"] = f"""
+WITH feats AS (
+  SELECT doc_id, source, lang, n_chars,
+    CAST(len(toks) AS DOUBLE) AS nt_d,
+    len(toks) AS nt,
+    round(CAST(length(replace(lower(text), ' ', '')) AS DOUBLE)
+      / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS atl,
+    round(CAST(len(list_filter(toks, x -> list_contains({_STOP_EN}, x))) AS DOUBLE)
+      / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS sr,
+    round(CAST(len(list_distinct(toks)) AS DOUBLE)
+      / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS utr
+  FROM (SELECT doc_id, source, lang, n_chars, text, {TOKS} AS toks FROM documents)),
+z AS (
+  SELECT *, CAST(-1.0 AS DOUBLE)
+      + CAST(-0.1 AS DOUBLE) * atl
+      + CAST(0.01 AS DOUBLE) * nt_d
+      + CAST(2.0 AS DOUBLE) * sr
+      + CAST(1.5 AS DOUBLE) * utr AS zz
+  FROM feats),
+q AS (
+  SELECT source, lang, n_chars, nt,
+    round(CAST(0.5 AS DOUBLE)
+      + CAST(0.5 AS DOUBLE) * zz / (CAST(1.0 AS DOUBLE) + abs(zz)), 6) AS qs
+  FROM z)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(nt) AS BIGINT) AS n_tokens,
+  round(CAST(sum(CAST(qs AS DECIMAL(18,6))) AS DOUBLE)
+    / CAST(count(*) AS DOUBLE), 6) AS mean_quality,
+  round(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(count(*) AS DOUBLE), 6) AS en_share,
+  round(CAST(sum(CAST(n_chars AS DECIMAL(18,4))) AS DOUBLE)
+    / CAST(count(*) AS DOUBLE), 6) AS mean_chars
+FROM q GROUP BY source
+"""
