@@ -3118,6 +3118,57 @@ def percent_rank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level conversion: gap-sessionize (30-min), then per user
+    the share of sessions containing a purchase — composing the window
+    sessionizer with a two-level conditional agg (the product-analytics
+    KPI computed without any self-join)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.when(
+        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 1800,
+        1,
+    ).otherwise(0)
+    sess = events.withColumn("new_sess", F.coalesce(gap, F.lit(0))).withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "converted"
+        )
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("converted").cast("long").alias("n_converting"),
+        F.round(
+            F.sum("converted").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("conversion_rate"),
+    )
+
+
+def top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary signature: top-3 tokens by frequency (ties to
+    the lexicographically smaller term) — explode → keyed count
+    (map-side combined) → per-source ranking window."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("source", F.explode(text_ops.tokens(F.col("text"))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("term"))
+    return (
+        tf.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("source", "term", "cnt", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust (median/MAD) outlier profile per event type — the
     heavy-tail-safe alternative to z-scores: median, MAD, and the count
@@ -3565,6 +3616,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_stats": vector_stats,
         "percent_rank_quality": percent_rank_quality,
         "cdc_changed_columns": cdc_changed_columns,
+        "session_conversion": session_conversion,
+        "top_terms_per_source": top_terms_per_source,
         "mad_outliers": mad_outliers,
         "dataset_card": dataset_card,
         "url_canonicalize": url_canonicalize,

@@ -171,6 +171,8 @@ HEADLINE = [
     "percent_rank_quality",
     "cdc_changed_columns",
     "fuzzy_join_suppliers",
+    "session_conversion",
+    "top_terms_per_source",
     "mad_outliers",
     "dataset_card",
     "url_canonicalize",

@@ -2916,3 +2916,41 @@ SELECT source,
     / CAST(count(*) AS DOUBLE), 6) AS mean_chars
 FROM q GROUP BY source
 """
+
+
+ORACLES["session_conversion"] = """
+WITH marked AS (
+  SELECT user_id, event_type, ts, event_id,
+    CASE WHEN (epoch_us(ts) // 1000000) - lag(epoch_us(ts) // 1000000) OVER w > 1800
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, event_type,
+    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked),
+per_session AS (
+  SELECT user_id, session_id,
+    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM sess GROUP BY user_id, session_id)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+  CAST(sum(converted) AS BIGINT) AS n_converting,
+  round(CAST(sum(converted) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+    AS conversion_rate
+FROM per_session GROUP BY user_id
+"""
+
+ORACLES["top_terms_per_source"] = f"""
+WITH tf AS (
+  SELECT source, unnest(toks) AS term
+  FROM (SELECT source, {TOKS} AS toks FROM documents)),
+counted AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS cnt
+  FROM tf GROUP BY source, term)
+SELECT source, term, cnt, CAST(rnk AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY source ORDER BY cnt DESC, term ASC) AS rnk
+      FROM counted)
+WHERE rnk <= 3
+"""
