@@ -71,7 +71,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
             F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            # scale-8 sums overflow a double's 53-bit mantissa at big SF;
+            # quantize to 4 dp in exact decimal space first so BOTH engines
+            # make ONE correctly-rounded decimal→double conversion
             F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("decimal(38,4)")
             .cast("double")
             .alias("sum_disc_price"),
             (
@@ -2579,12 +2583,12 @@ def compaction_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fluency scoring under the corpus's own add-one-smoothed bigram LM
     (penalizes unlikely token transitions, not just rare words). Decimal-
-    quantized per-bigram logprobs make the per-doc aggregate order-
-    independent — the float path is exactly oracle-checkable."""
+    quantized per-bigram logprobs summed to integer micro-units — the
+    output carries no float, so it hash-matches at ANY corpus scale."""
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     out = text_ops.bigram_logprob_score(docs, "doc_id")
     return out.select(
-        F.col("id").cast("long").alias("doc_id"), "n_bigrams", "avg_logprob"
+        F.col("id").cast("long").alias("doc_id"), "n_bigrams", "sum_logprob_micro"
     )
 
 

@@ -172,10 +172,13 @@ def bigram_logprob_score(
     distinguishes shuffled/boilerplate text from prose with the same
     vocabulary): ``p(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V)``.
 
-    → (id, n_bigrams, avg_logprob) over documents with ≥ 2 tokens.
-    Exactness: per-bigram log2 p is rounded and cast to DECIMAL before
-    the per-doc sum (the :func:`unigram_logprob_score` discipline), so
-    the aggregate is order-independent and the SQL oracle hash-matches.
+    → (id, n_bigrams, sum_logprob_micro) over documents with ≥ 2 tokens;
+    ``sum_logprob_micro`` is the per-doc logprob sum in integer
+    MICRO-units (sum of 4-dp-rounded log2 p × 10⁶ — exact in decimal
+    space, so the output carries no float at all and hash-matches at any
+    corpus scale; a float mean `round(sum/n, 6)` sits on round-half
+    boundaries whose tie-breaking differs between engines — observed at
+    sf0.1). Mean logprob = sum_logprob_micro / 1e6 / n_bigrams.
 
     Scale shape: bigram LM = one explode + count shuffle; unigram table
     and vocab size ride the same pass; scoring joins the (broadcastable)
@@ -219,9 +222,7 @@ def bigram_logprob_score(
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-            F.round(
-                F.sum(logp).cast("double") / F.count(F.lit(1)).cast("double"), 6
-            ).alias("avg_logprob"),
+            (F.sum(logp) * F.lit(1000000)).cast("long").alias("sum_logprob_micro"),
         )
     )
 

@@ -162,7 +162,7 @@ ORACLES["q1_pricing_summary"] = f"""
 SELECT l_returnflag, l_linestatus,
   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM({_REV}) AS DOUBLE) AS sum_disc_price,
+  CAST(CAST(SUM({_REV}) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
   CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
   CAST(COUNT(*) AS BIGINT) AS count_order
@@ -2127,7 +2127,7 @@ scored AS (
   JOIN lm_uni u ON b.w1 = u.w1
   CROSS JOIN vocab v)
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-  round(CAST(SUM(logp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_logprob
+  CAST(SUM(logp) * 1000000 AS BIGINT) AS sum_logprob_micro
 FROM scored GROUP BY doc_id
 """
 

@@ -258,9 +258,9 @@ def test_bigram_logprob_score(spark):
     lp_ab = round(math.log2((3 + 1) / (3 + 3)), 4)
     lp_ba = round(math.log2((1 + 1) / (3 + 3)), 4)
     assert out[1]["n_bigrams"] == 3
-    assert abs(out[1]["avg_logprob"] - round((2 * lp_ab + lp_ba) / 3, 6)) < 1e-9
+    assert out[1]["sum_logprob_micro"] == round((2 * lp_ab + lp_ba) * 1_000_000)
     assert out[2]["n_bigrams"] == 1
-    assert abs(out[2]["avg_logprob"] - round(lp_ab, 6)) < 1e-9
+    assert out[2]["sum_logprob_micro"] == round(lp_ab * 1_000_000)
     assert 3 not in out  # single-token docs have no bigrams
 
 
