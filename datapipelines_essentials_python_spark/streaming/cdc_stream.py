@@ -350,3 +350,64 @@ def streaming_cms_topk(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def idempotent_sink(
+    process: Callable[[DataFrame, int], None],
+    load_committed: Callable[[], set[int]],
+    mark_committed: Callable[[int], None],
+) -> Callable[[DataFrame, int], None]:
+    """Exactly-once wrapper for ``foreachBatch`` sinks: Structured
+    Streaming guarantees at-least-once delivery of (batch, epoch_id) —
+    after a crash between sink write and checkpoint commit, the SAME
+    epoch replays. Wrapping the sink with an epoch-id commit log turns
+    that into exactly-once: replayed epochs are skipped.
+
+    ``load_committed`` returns the set of already-committed epoch ids
+    (from any transactional store); ``mark_committed`` records one —
+    the caller makes write+mark atomic (same transaction / same file
+    rename) for true exactly-once.
+    """
+
+    def _wrapped(batch_df: DataFrame, epoch_id: int) -> None:
+        if int(epoch_id) in load_committed():
+            return
+        process(batch_df, epoch_id)
+        mark_committed(int(epoch_id))
+
+    return _wrapped
+
+
+def streaming_quality_admission(
+    stream: DataFrame,
+    text_col: str,
+    weights: dict[str, float],
+    sink: Callable[[DataFrame, int], None],
+    bias: float = 0.0,
+    threshold: float = 0.5,
+    checkpoint_dir: str | None = None,
+    query_name: str = "quality_admission",
+) -> StreamingQuery:
+    """Streaming corpus admission through the frozen-weight logistic
+    quality gate (``text.logit_quality_score``) — the streaming twin of
+    training_pipeline_v3's gate stage: each micro-batch is scored with
+    the SAME narrow Column expression the batch pipeline uses (one
+    implementation, two execution modes) and only rows at/above the
+    threshold reach the sink, with the score attached for audit."""
+    from datapipelines_essentials_python_spark.operators.text import (
+        logit_quality_score,
+    )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        scored = batch_df.withColumn(
+            "quality_score",
+            F.round(logit_quality_score(text_col, weights, bias=bias), 6),
+        )
+        sink(scored.where(F.col("quality_score") >= threshold), epoch_id)
+
+    writer = stream.writeStream.queryName(query_name).foreachBatch(_process)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -10,7 +10,14 @@ Portability conventions:
 - DECIMAL(18,4) pre-aggregation casts mirror the Spark side (exact sums);
 - counts/sums cast to BIGINT/DOUBLE to pin result types;
 - DuckDB ``date_trunc('day', ts)`` returns DATE → cast back to TIMESTAMP;
-- list comprehensions mirror Spark higher-order functions 1:1.
+- list comprehensions mirror Spark higher-order functions 1:1;
+- decimal sums destined for DOUBLE output are quantized to <= 4 dp in
+  decimal space first when their magnitude can exceed 53 bits (DuckDB's
+  decimal->double is double-rounded; Java's is correctly rounded — 1-ulp
+  divergence at >= 17 significant digits, observed at sf0.1);
+- outputs that would be a `round(sum/n, 6)` float mean are emitted as
+  exact integer micro-units instead (round-half tie-breaking on the same
+  double differs between engines).
 """
 
 from __future__ import annotations

@@ -356,3 +356,74 @@ def test_streaming_cms_topk_matches_full_rescan(spark, tmp_path):
     assert got == want
     # CMS never under-counts
     assert got["a"] >= 15 and got["b"] >= 3 and got["c"] >= 7
+
+
+def test_idempotent_sink_skips_replayed_epochs(spark):
+    from datapipelines_essentials_python_spark.streaming.cdc_stream import (
+        idempotent_sink,
+    )
+
+    committed, writes = set(), []
+    wrapped = idempotent_sink(
+        process=lambda df, eid: writes.append((eid, df.count())),
+        load_committed=lambda: committed,
+        mark_committed=committed.add,
+    )
+    df = spark.range(3)
+    wrapped(df, 0)
+    wrapped(df, 1)
+    wrapped(df, 0)  # crash-replay of epoch 0 → must be a no-op
+    assert writes == [(0, 3), (1, 3)]
+    assert committed == {0, 1}
+
+
+def test_streaming_quality_admission_matches_batch_gate(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from datapipelines_essentials_python_spark.operators.text import (
+        logit_quality_score,
+    )
+    from datapipelines_essentials_python_spark.streaming.cdc_stream import (
+        streaming_quality_admission,
+    )
+
+    src = str(tmp_path / "adm_src")
+    schema = "doc_id long, text string"
+    rows = [
+        (1, "the cat and the dog went to a house in the town"),
+        (2, "zzz qqq xxx yyy"),
+        (3, "the the the of of and and to to a a in in is is"),
+    ]
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(src)
+
+    w = {"stopword_ratio": 2.0, "uniq_token_ratio": 1.0}
+    got = {}
+
+    def sink(df, eid):
+        got.update({r["doc_id"]: r["quality_score"] for r in df.collect()})
+
+    q = streaming_quality_admission(
+        spark.readStream.schema(schema).parquet(src),
+        text_col="text",
+        weights=w,
+        sink=sink,
+        bias=-1.0,
+        threshold=0.5,
+        checkpoint_dir=str(tmp_path / "adm_ckpt"),
+        query_name="t_adm",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # streaming admission ≡ the batch gate on the same rows
+    batch = (
+        spark.createDataFrame(rows, schema)
+        .withColumn(
+            "quality_score",
+            F.round(logit_quality_score("text", w, bias=-1.0), 6),
+        )
+        .where(F.col("quality_score") >= 0.5)
+    )
+    want = {r["doc_id"]: r["quality_score"] for r in batch.collect()}
+    assert got == want and len(want) > 0
