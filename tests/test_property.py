@@ -198,3 +198,45 @@ def test_chi2_drift_nonnegative_and_mass_conserving(spark, vals):
     assert all(r["chi2_contrib"] >= 0.0 for r in out)
     if n_ref:
         assert abs(sum(r["p_ref"] for r in out) - 1.0) < 1e-4
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    lefts=st.lists(
+        st.tuples(
+            st.floats(min_value=0, max_value=100, allow_nan=False),
+            st.floats(min_value=0.5, max_value=40, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    rights=st.lists(
+        st.tuples(
+            st.floats(min_value=0, max_value=100, allow_nan=False),
+            st.floats(min_value=0.5, max_value=40, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    bucket=st.sampled_from([5.0, 10.0, 25.0]),
+)
+def test_interval_overlap_join_matches_brute_force(spark, lefts, rights, bucket):
+    """Bucketized interval join returns EXACTLY the brute-force overlap
+    set, each pair once, for arbitrary intervals and bucket widths."""
+    from datapipelines_essentials_python_spark.operators.asof import (
+        interval_overlap_join,
+    )
+
+    lrows = [(i, lo, lo + w) for i, (lo, w) in enumerate(lefts)]
+    rrows = [(i, lo, lo + w) for i, (lo, w) in enumerate(rights)]
+    l = spark.createDataFrame(lrows, "lid long, lo_a double, hi_a double")
+    r = spark.createDataFrame(rrows, "rid long, lo_b double, hi_b double")
+    out = interval_overlap_join(l, r, "lo_a", "hi_a", "lo_b", "hi_b", bucket)
+    got = sorted((x["lid"], x["rid"]) for x in out.collect())
+    want = sorted(
+        (li, ri)
+        for li, llo, lhi in lrows
+        for ri, rlo, rhi in rrows
+        if llo < rhi and rlo < lhi
+    )
+    assert got == want
