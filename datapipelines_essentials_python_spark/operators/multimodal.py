@@ -204,3 +204,75 @@ def chunk_text_media(
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
         _run, schema=CHUNKS_SCHEMA
     )
+
+
+def parse_image_header(content: bytes) -> tuple[str, int, int]:
+    """Extract (format, width, height) from raw image bytes by parsing the
+    container header directly — PNG's IHDR chunk and JPEG's SOFn marker —
+    with NO codec library: dimension metadata lives in the first bytes of
+    the file, so corpus-wide image profiling never needs to decode pixels.
+
+    Returns ("unknown", 0, 0) for unrecognized/truncated payloads (never
+    raises — corrupt members must not kill a 100 TB scan).
+    """
+    try:
+        if content[:8] == b"\x89PNG\r\n\x1a\n" and content[12:16] == b"IHDR":
+            w = int.from_bytes(content[16:20], "big")
+            h = int.from_bytes(content[20:24], "big")
+            return ("png", w, h)
+        if content[:2] == b"\xff\xd8":  # JPEG SOI
+            i = 2
+            n = len(content)
+            while i + 9 < n:
+                if content[i] != 0xFF:
+                    break
+                marker = content[i + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                seg_len = int.from_bytes(content[i + 2 : i + 4], "big")
+                # SOF0-SOF15 except DHT/JPG/DAC carry dimensions
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h = int.from_bytes(content[i + 5 : i + 7], "big")
+                    w = int.from_bytes(content[i + 7 : i + 9], "big")
+                    return ("jpeg", w, h)
+                i += 2 + seg_len
+        if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+            return ("webp", 0, 0)  # dims live in per-codec chunks; format only
+    except (IndexError, ValueError):  # pragma: no cover — malformed tails
+        pass
+    return ("unknown", 0, 0)
+
+
+def image_header_stats(
+    df: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """Corpus-wide image metadata profiling over a binary column: format,
+    width, height, n_bytes per media row — Arrow-batched ``mapInPandas``
+    running :func:`parse_image_header` (bytes-level parsing, no decode,
+    constant memory per batch). The triage pass that decides resize /
+    filter / bucket-by-aspect long before any expensive pixel decode."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("format", T.StringType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                raw = bytes(content) if content is not None else b""
+                fmt, w, h = parse_image_header(raw)
+                rows.append((int(mid), fmt, w, h, len(raw)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "format", "width", "height", "n_bytes"]
+            )
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(content_col).alias(content_col)
+    ).mapInPandas(_run, schema)

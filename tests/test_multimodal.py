@@ -77,3 +77,54 @@ def test_chunk_text_media(spark):
     assert len(by_id[2]) == 1 and by_id[2][0]["n_bytes"] == 5
     # empty payload still yields one (empty) chunk
     assert len(by_id[3]) == 1 and by_id[3][0]["sha256"] == hashlib.sha256(b"").hexdigest()
+
+
+def test_parse_image_header_png_jpeg():
+    import struct
+
+    from datapipelines_essentials_python_spark.operators.multimodal import (
+        parse_image_header,
+    )
+
+    # minimal PNG: signature + IHDR with 640x480
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", 640, 480)
+        + b"\x08\x02\x00\x00\x00"
+    )
+    assert parse_image_header(png) == ("png", 640, 480)
+
+    # minimal JPEG: SOI + APP0 stub + SOF0 with 1024x768 (h then w)
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(
+        ">HH", 768, 1024
+    ) + b"\x03" + b"\x00" * 9
+    jpeg = b"\xff\xd8" + app0 + sof0
+    assert parse_image_header(jpeg) == ("jpeg", 1024, 768)
+
+    assert parse_image_header(b"notanimage") == ("unknown", 0, 0)
+    assert parse_image_header(b"") == ("unknown", 0, 0)
+
+
+def test_image_header_stats_distributed(spark):
+    import struct
+
+    from datapipelines_essentials_python_spark.operators.multimodal import (
+        image_header_stats,
+    )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", 320, 200)
+        + b"\x08\x02\x00\x00\x00"
+    )
+    rows = [(1, bytearray(png)), (2, bytearray(b"junk"))]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r["media_id"]: r for r in image_header_stats(df).collect()}
+    assert out[1]["format"] == "png" and out[1]["width"] == 320
+    assert out[1]["height"] == 200 and out[1]["n_bytes"] == len(png)
+    assert out[2]["format"] == "unknown" and out[2]["n_bytes"] == 4
