@@ -363,3 +363,27 @@ def test_training_pipeline_v3_stays_jvm_side_and_scans_once_per_pass(spark):
     assert "InMemoryTableScan" in plan
     for dep in getattr(df, "_sg_persisted", ()):
         dep.unpersist()
+
+
+def test_plan_report_utility(spark):
+    from datapipelines_essentials_python_spark.utils.planaudit import plan_report
+
+    rep = plan_report(entry_mod.queries()["q5_nation_revenue"](spark, SF_DIR))
+    assert rep.n_scans >= 3  # lineitem + orders + customer (+ dims)
+    assert rep.n_broadcasts >= 1
+    assert not rep.python_eval and not rep.cartesian
+    assert rep.read_schemas  # pruned schemas captured
+    assert rep.problems() == []
+
+    # a deliberately bad plan is flagged (disable broadcast so the cross
+    # join cannot hide behind a BroadcastNestedLoopJoin)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bad = spark.range(10).crossJoin(
+            spark.range(10).withColumnRenamed("id", "b")
+        )
+        bad_rep = plan_report(bad)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert bad_rep.cartesian and any("cartesian" in p for p in bad_rep.problems())
