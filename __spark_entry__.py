@@ -3122,6 +3122,75 @@ def percent_rank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily + trailing-7-day active users. Exact rolling DISTINCT is not
+    window-expressible, so each (user, active-day) pair is exploded to
+    the ≤7 future days it keeps the user 'weekly-active' for, then one
+    count_distinct per day — the standard linear-shuffle trick (shuffle
+    is O(active-pairs × 7), never user × day cross)."""
+    events = load_table(spark, sf_dir, "events")
+    user_days = events.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    dau = user_days.groupBy("day").agg(
+        F.count_distinct("user_id").cast("long").alias("dau")
+    )
+    covered = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(6))
+        ).alias("off"),
+        F.col("day"),
+    ).select(
+        "user_id", F.expr("day + make_interval(0, 0, 0, off)").alias("wday")
+    )
+    wau = (
+        covered.groupBy("wday")
+        .agg(F.count_distinct("user_id").cast("long").alias("wau"))
+        .withColumnRenamed("wday", "day")
+    )
+    # report only days with actual activity (the WAU tail past the last
+    # active day is synthetic coverage, not a calendar read-out)
+    return dau.join(wau, "day").select("day", "dau", "wau")
+
+
+def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: each user's purchases credited to the
+    user's FIRST-ever event type (the acquisition channel proxy) — one
+    per-user window for the first touch, one conditional agg."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first = events.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    ).select("user_id", F.col("event_type").alias("first_touch"))
+    purchases = events.where(F.col("event_type") == "purchase").groupBy(
+        "user_id"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.sum(_dec("value")).cast("double").alias("purchase_value"),
+    )
+    return (
+        first.join(purchases, "user_id", "left")
+        .groupBy("first_touch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum(F.coalesce(F.col("n_purchases"), F.lit(0)))
+            .cast("long")
+            .alias("n_purchases"),
+            F.round(
+                F.sum(
+                    F.coalesce(F.col("purchase_value"), F.lit(0.0)).cast(
+                        "decimal(18,4)"
+                    )
+                ).cast("double"),
+                4,
+            ).alias("attributed_value"),
+        )
+    )
+
+
 def session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-level conversion: gap-sessionize (30-min), then per user
     the share of sessions containing a purchase — composing the window
@@ -3620,6 +3689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_stats": vector_stats,
         "percent_rank_quality": percent_rank_quality,
         "cdc_changed_columns": cdc_changed_columns,
+        "dau_wau": dau_wau,
+        "first_touch_attribution": first_touch_attribution,
         "session_conversion": session_conversion,
         "top_terms_per_source": top_terms_per_source,
         "mad_outliers": mad_outliers,

@@ -171,6 +171,8 @@ HEADLINE = [
     "percent_rank_quality",
     "cdc_changed_columns",
     "fuzzy_join_suppliers",
+    "dau_wau",
+    "first_touch_attribution",
     "session_conversion",
     "top_terms_per_source",
     "mad_outliers",

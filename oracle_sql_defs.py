@@ -2961,3 +2961,41 @@ FROM (SELECT *, row_number() OVER (
       FROM counted)
 WHERE rnk <= 3
 """
+
+
+ORACLES["dau_wau"] = """
+WITH user_days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+  FROM events),
+dau AS (
+  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+  FROM user_days GROUP BY day),
+covered AS (
+  SELECT user_id, day + off * INTERVAL 1 DAY AS wday
+  FROM user_days, unnest(range(0, 7)) AS t(off)),
+wau AS (
+  SELECT wday AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+  FROM covered GROUP BY wday)
+SELECT d.day, d.dau, w.wau
+FROM dau d JOIN wau w ON d.day = w.day
+"""
+
+ORACLES["first_touch_attribution"] = """
+WITH first AS (
+  SELECT user_id, event_type AS first_touch
+  FROM (SELECT user_id, event_type,
+          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events)
+  WHERE rn = 1),
+purchases AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+SELECT f.first_touch,
+  CAST(count(*) AS BIGINT) AS n_users,
+  CAST(sum(coalesce(p.n_purchases, 0)) AS BIGINT) AS n_purchases,
+  round(CAST(sum(CAST(coalesce(p.purchase_value, 0.0) AS DECIMAL(18,4))) AS DOUBLE), 4)
+    AS attributed_value
+FROM first f LEFT JOIN purchases p ON f.user_id = p.user_id
+GROUP BY f.first_touch
+"""
