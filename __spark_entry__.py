@@ -3122,6 +3122,86 @@ def percent_rank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each event picks the EARLIEST order quote at-or-
+    after its timestamp (the 'next scheduled revision' lookup) — same
+    one-shuffle union+window composition, mirrored frame."""
+    from datapipelines_essentials_python_spark.operators.asof import as_of_join
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", (F.col("user_id") % 20).alias("k"), "ts"
+    )
+    quotes = (
+        load_table(spark, sf_dir, "orders")
+        .select((F.col("o_orderkey") % 20).alias("k"), "o_orderdate", "o_totalprice")
+        .groupBy("k", "o_orderdate")
+        .agg(F.max("o_totalprice").alias("price"))
+    )
+    out = as_of_join(
+        events, quotes, ["k"], "ts", "o_orderdate", ["price"], direction="forward"
+    )
+    return out.select(
+        "event_id",
+        F.col("k").cast("long").alias("k"),
+        "asof_ts",
+        F.col("asof_price").alias("price"),
+    )
+
+
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join with a 30-day staleness tolerance: matches
+    older than the tolerance are nulled (row kept) — the freshness
+    guard every feature-store lookup needs."""
+    from datapipelines_essentials_python_spark.operators.asof import as_of_join
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", (F.col("user_id") % 20).alias("k"), "ts"
+    )
+    quotes = (
+        load_table(spark, sf_dir, "orders")
+        .select((F.col("o_orderkey") % 20).alias("k"), "o_orderdate", "o_totalprice")
+        .groupBy("k", "o_orderdate")
+        .agg(F.max("o_totalprice").alias("price"))
+    )
+    out = as_of_join(
+        events,
+        quotes,
+        ["k"],
+        "ts",
+        "o_orderdate",
+        ["price"],
+        tolerance_seconds=30 * 24 * 3600,
+    )
+    return out.select(
+        "event_id",
+        F.col("k").cast("long").alias("k"),
+        "asof_ts",
+        F.col("asof_price").alias("price"),
+    )
+
+
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (leakage-safe) dimension lookup: every order probes
+    the SCD2 dimension AS OF its own order date — the feature-store join
+    that guarantees training rows only see attribute versions that
+    existed at event time. Equi-join on the key + validity-interval
+    filter (versions per key are few, so the interval check is a narrow
+    post-filter, not a range-join blowup)."""
+    dim, snap = _scd2_staging(spark, sf_dir)
+    dim2 = cdc_ops.scd2_merge(
+        dim, snap, ["k"], ["status", "price"], load_date="1998-08-01"
+    )
+    probes = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderdate").cast("date").alias("probe_date"),
+    )
+    j = probes.join(dim2, "k").where(
+        (F.col("effective_from") <= F.col("probe_date"))
+        & (F.col("probe_date") < F.col("effective_to"))
+    )
+    return j.select("k", "probe_date", "status", "price", "is_current")
+
+
 def dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily + trailing-7-day active users. Exact rolling DISTINCT is not
     window-expressible, so each (user, active-day) pair is exploded to
@@ -3689,6 +3769,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_stats": vector_stats,
         "percent_rank_quality": percent_rank_quality,
         "cdc_changed_columns": cdc_changed_columns,
+        "asof_join_forward": asof_join_forward,
+        "asof_join_tolerance": asof_join_tolerance,
+        "scd2_point_in_time": scd2_point_in_time,
         "dau_wau": dau_wau,
         "first_touch_attribution": first_touch_attribution,
         "session_conversion": session_conversion,

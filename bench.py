@@ -171,6 +171,9 @@ HEADLINE = [
     "percent_rank_quality",
     "cdc_changed_columns",
     "fuzzy_join_suppliers",
+    "asof_join_forward",
+    "asof_join_tolerance",
+    "scd2_point_in_time",
     "dau_wau",
     "first_touch_attribution",
     "session_conversion",

@@ -31,14 +31,23 @@ def as_of_join(
     right_ts: str,
     value_cols: list[str],
     tolerance_seconds: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the most recent right row with
-    ``right.ts <= left.ts`` on the same key (backward, inclusive).
+    """For each left row, attach the nearest right row on the same key:
+    ``direction='backward'`` (default) → most recent with
+    ``right.ts <= left.ts``; ``'forward'`` → earliest with
+    ``right.ts >= left.ts`` (both inclusive — pandas ``merge_asof`` /
+    DuckDB ASOF semantics). Either way it is ONE key shuffle + one
+    in-partition sorted window, not a per-row range probe.
 
     ``right`` must be unique per (key, ts) — pre-aggregate if not (ties
     would otherwise be nondeterministic). Matched value columns come back
     as ``asof_<col>`` plus ``asof_ts``; unmatched rows keep NULLs.
+    ``tolerance_seconds`` nulls out matches farther than the tolerance in
+    the chosen direction.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     val_struct = F.struct(
         F.col(right_ts).alias("__rts"), *[F.col(c) for c in value_cols]
     )
@@ -48,22 +57,35 @@ def as_of_join(
     l = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
     u = l.unionByName(r, allowMissingColumns=True)
 
-    # at equal ts the right row (__side=0) sorts first, so it is visible to
-    # left rows at the same instant (inclusive semantics, = DuckDB ASOF >=)
-    w = (
-        Window.partitionBy(*key_cols)
-        .orderBy("__ts", "__side")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    filled = u.withColumn("__last", F.last("__val", ignorenulls=True).over(w))
+    if direction == "backward":
+        # at equal ts the right row (__side=0) sorts first, so it is visible
+        # to left rows at the same instant (inclusive, = DuckDB ASOF >=)
+        w = (
+            Window.partitionBy(*key_cols)
+            .orderBy("__ts", "__side")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        picked = F.last("__val", ignorenulls=True).over(w)
+    else:
+        # forward: left rows (__side=1) sort FIRST at equal ts so the
+        # same-instant right row lands inside the following frame
+        w = (
+            Window.partitionBy(*key_cols)
+            .orderBy("__ts", F.desc("__side"))
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        picked = F.first("__val", ignorenulls=True).over(w)
+    filled = u.withColumn("__last", picked)
     out = filled.where(F.col("__side") == 1)
 
     matched: Column = F.col("__last")
     if tolerance_seconds is not None:
-        fresh = (
-            F.col("__ts").cast("double") - F.col("__last.__rts").cast("double")
-        ) <= F.lit(tolerance_seconds)
-        matched = F.when(fresh, matched)
+        # cast through TIMESTAMP first: NTZ-typed inputs (untyped-timezone
+        # parquet) refuse a direct numeric cast
+        lts = F.col("__ts").cast("timestamp").cast("double")
+        rts = F.col("__last.__rts").cast("timestamp").cast("double")
+        dist = (lts - rts) if direction == "backward" else (rts - lts)
+        matched = F.when(dist <= F.lit(tolerance_seconds), matched)
     out = out.withColumn("__m", matched)
     keep = [c for c in left.columns]
     return out.select(

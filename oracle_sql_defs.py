@@ -2999,3 +2999,43 @@ SELECT f.first_touch,
 FROM first f LEFT JOIN purchases p ON f.user_id = p.user_id
 GROUP BY f.first_touch
 """
+
+
+
+ORACLES["asof_join_forward"] = """
+WITH ev AS (SELECT event_id, user_id % 20 AS k, ts FROM events),
+q AS (
+  SELECT o_orderkey % 20 AS k, o_orderdate, max(o_totalprice) AS price
+  FROM orders GROUP BY 1, 2)
+SELECT ev.event_id, CAST(ev.k AS BIGINT) AS k,
+       q.o_orderdate AS asof_ts, q.price AS price
+FROM ev ASOF LEFT JOIN q ON ev.k = q.k AND ev.ts <= q.o_orderdate
+"""
+
+ORACLES["asof_join_tolerance"] = """
+WITH ev AS (SELECT event_id, user_id % 20 AS k, ts FROM events),
+q AS (
+  SELECT o_orderkey % 20 AS k, o_orderdate, max(o_totalprice) AS price
+  FROM orders GROUP BY 1, 2)
+SELECT ev.event_id, CAST(ev.k AS BIGINT) AS k,
+  CASE WHEN q.o_orderdate IS NOT NULL
+            AND epoch_us(ev.ts) / 1000000.0 - epoch_us(q.o_orderdate) / 1000000.0
+                <= 2592000.0
+       THEN q.o_orderdate END AS asof_ts,
+  CASE WHEN q.o_orderdate IS NOT NULL
+            AND epoch_us(ev.ts) / 1000000.0 - epoch_us(q.o_orderdate) / 1000000.0
+                <= 2592000.0
+       THEN q.price END AS price
+FROM ev ASOF LEFT JOIN q ON ev.k = q.k AND ev.ts >= q.o_orderdate
+"""
+
+ORACLES["scd2_point_in_time"] = f"""
+WITH dim2 AS ({ORACLES["scd2_merge"]}),
+probes AS (
+  SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS probe_date FROM orders)
+SELECT p.k, p.probe_date, d.status, d.price, d.is_current
+FROM probes p JOIN dim2 d
+  ON p.k = d.k
+ AND d.effective_from <= p.probe_date
+ AND p.probe_date < d.effective_to
+"""

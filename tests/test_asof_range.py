@@ -106,3 +106,33 @@ def test_interval_overlap_join_exact(spark):
     assert pairs == want
     # spanning interval z pairs once with everything (no bucket duplicates)
     assert pairs.count(("a", "z")) == 1
+
+
+def test_as_of_join_forward_direction(spark):
+    from datapipelines_essentials_python_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame(
+        [("a", 5.0), ("a", 10.0), ("a", 25.0)], "k string, ts double"
+    )
+    right = spark.createDataFrame(
+        [("a", 6.0, 1), ("a", 10.0, 2), ("a", 20.0, 3)],
+        "k string, rts double, v int",
+    )
+    out = {
+        r["ts"]: r
+        for r in as_of_join(
+            left, right, ["k"], "ts", "rts", ["v"], direction="forward"
+        ).collect()
+    }
+    assert out[5.0]["asof_v"] == 1    # earliest at-or-after 5 → 6
+    assert out[10.0]["asof_v"] == 2   # inclusive: equal ts matches
+    assert out[25.0]["asof_v"] is None  # nothing after 25
+    # forward tolerance: match farther than 3s away is nulled
+    tol = {
+        r["ts"]: r
+        for r in as_of_join(
+            left, right, ["k"], "ts", "rts", ["v"],
+            direction="forward", tolerance_seconds=3,
+        ).collect()
+    }
+    assert tol[5.0]["asof_v"] == 1 and tol[10.0]["asof_v"] == 2
