@@ -3122,6 +3122,82 @@ def percent_rank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping (UNPIVOT/melt): the per-source dataset-card
+    panel melted into (source, metric, value) rows — the shape metric
+    stores and plotting layers want. Spark 4's native `unpivot`, no
+    explode-of-structs emulation."""
+    panel = dataset_card(spark, sf_dir).select(
+        "source",
+        F.col("n_docs").cast("double").alias("n_docs"),
+        F.col("n_tokens").cast("double").alias("n_tokens"),
+        "mean_quality",
+        "en_share",
+        "mean_chars",
+    )
+    return panel.unpivot(
+        ids=["source"],
+        values=["n_docs", "n_tokens", "mean_quality", "en_share", "mean_chars"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+def event_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence over (user, day) baskets: for every
+    event-type pair, joint support and lift = P(a,b)/(P(a)·P(b)) — the
+    association signal behind recommendation triggers. Basket count is
+    bounded by the type vocabulary, so the pair self-join is tiny however
+    many raw events flow in (distinct-first, then join)."""
+    events = load_table(spark, sf_dir, "events")
+    baskets = events.select(
+        "user_id", F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).distinct()
+    totals = (
+        baskets.select("user_id", "day")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("double").alias("n_baskets"))
+    )
+    singles = baskets.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_joint"))
+    )
+    sa = singles.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = singles.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    total = F.col("n_baskets")
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "type_a",
+            "type_b",
+            "n_joint",
+            "n_a",
+            "n_b",
+            F.round(F.col("n_joint").cast("double") / total, 6).alias("support"),
+            F.round(
+                (F.col("n_joint").cast("double") * total)
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
 def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward as-of join: each event picks the EARLIEST order quote at-or-
     after its timestamp (the 'next scheduled revision' lookup) — same
@@ -3769,6 +3845,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_stats": vector_stats,
         "percent_rank_quality": percent_rank_quality,
         "cdc_changed_columns": cdc_changed_columns,
+        "unpivot_metrics": unpivot_metrics,
+        "event_lift": event_lift,
         "asof_join_forward": asof_join_forward,
         "asof_join_tolerance": asof_join_tolerance,
         "scd2_point_in_time": scd2_point_in_time,

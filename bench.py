@@ -171,6 +171,8 @@ HEADLINE = [
     "percent_rank_quality",
     "cdc_changed_columns",
     "fuzzy_join_suppliers",
+    "unpivot_metrics",
+    "event_lift",
     "asof_join_forward",
     "asof_join_tolerance",
     "scd2_point_in_time",

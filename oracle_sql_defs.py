@@ -3039,3 +3039,41 @@ FROM probes p JOIN dim2 d
  AND d.effective_from <= p.probe_date
  AND p.probe_date < d.effective_to
 """
+
+
+ORACLES["unpivot_metrics"] = f"""
+WITH panel AS ({ORACLES["dataset_card"]})
+SELECT source, metric, value FROM (
+  SELECT source,
+    CAST(n_docs AS DOUBLE) AS n_docs,
+    CAST(n_tokens AS DOUBLE) AS n_tokens,
+    mean_quality, en_share, mean_chars
+  FROM panel)
+UNPIVOT (value FOR metric IN (n_docs, n_tokens, mean_quality, en_share, mean_chars))
+"""
+
+ORACLES["event_lift"] = """
+WITH baskets AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+    event_type
+  FROM events),
+totals AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_baskets
+  FROM (SELECT DISTINCT user_id, day FROM baskets)),
+singles AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM baskets GROUP BY event_type),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+    CAST(count(*) AS BIGINT) AS n_joint
+  FROM baskets a JOIN baskets b
+    ON a.user_id = b.user_id AND a.day = b.day AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT p.type_a, p.type_b, p.n_joint, sa.n AS n_a, sb.n AS n_b,
+  round(CAST(p.n_joint AS DOUBLE) / t.n_baskets, 6) AS support,
+  round((CAST(p.n_joint AS DOUBLE) * t.n_baskets)
+    / (CAST(sa.n AS DOUBLE) * CAST(sb.n AS DOUBLE)), 6) AS lift
+FROM pairs p
+JOIN singles sa ON p.type_a = sa.event_type
+JOIN singles sb ON p.type_b = sb.event_type
+CROSS JOIN totals t
+"""
