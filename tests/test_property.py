@@ -240,3 +240,27 @@ def test_interval_overlap_join_matches_brute_force(spark, lefts, rights, bucket)
         if llo < rhi and rlo < lhi
     )
     assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("abc <>/&;pqs\"=1\n\t")), max_size=60
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_strip_markup_idempotent(spark, texts):
+    """Stripping already-stripped text is a no-op (idempotence) — the
+    property that makes the op safe to run defensively in any pipeline
+    position, on arbitrary adversarial tag soup."""
+    from datapipelines_essentials_python_spark.operators.text import strip_markup
+
+    df = spark.createDataFrame([(t,) for t in texts], "raw string")
+    out = df.select(
+        strip_markup("raw").alias("once"),
+    ).select("once", strip_markup(F.col("once")).alias("twice"))
+    for r in out.collect():
+        assert r["once"] == r["twice"], (r["once"], r["twice"])
