@@ -3122,6 +3122,23 @@ def percent_rank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def geo_nearby_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial nearby-pairs join: customers placed on a deterministic
+    10°×10° grid (md5-derived coordinates), all pairs within 0.25°
+    found via 3×3 grid-cell blocking + exact distance check — the
+    spatial-join shape (geohash/H3 bucketing) with a brute-force oracle
+    proving the blocking loses nothing."""
+    from datapipelines_essentials_python_spark.operators.sampling import hash_fraction
+
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_custkey").alias("pid"),
+        F.round(hash_fraction("c_custkey", salt="lat") * 10, 6).alias("x"),
+        F.round(hash_fraction("c_custkey", salt="lon") * 10, 6).alias("y"),
+    )
+    return rel_ops.grid_nearby_join(pts, "pid", "x", "y", radius=0.25)
+
+
 def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long reshaping (UNPIVOT/melt): the per-source dataset-card
     panel melted into (source, metric, value) rows — the shape metric
@@ -3845,6 +3862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_stats": vector_stats,
         "percent_rank_quality": percent_rank_quality,
         "cdc_changed_columns": cdc_changed_columns,
+        "geo_nearby_customers": geo_nearby_customers,
         "unpivot_metrics": unpivot_metrics,
         "event_lift": event_lift,
         "asof_join_forward": asof_join_forward,

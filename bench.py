@@ -171,6 +171,7 @@ HEADLINE = [
     "percent_rank_quality",
     "cdc_changed_columns",
     "fuzzy_join_suppliers",
+    "geo_nearby_customers",
     "unpivot_metrics",
     "event_lift",
     "asof_join_forward",

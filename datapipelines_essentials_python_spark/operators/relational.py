@@ -466,3 +466,72 @@ def fuzzy_join_blocked(
         .drop("__g")
         .withColumn("dist", dist.cast("long"))
     )
+
+
+def grid_nearby_join(
+    points: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    radius: float,
+    cell: float | None = None,
+) -> DataFrame:
+    """All point pairs within Euclidean ``radius`` — the spatial
+    nearby-join — without a cross join: each point is replicated to its
+    3×3 neighborhood of grid cells (``cell >= radius`` guarantees any
+    within-radius pair shares one of those cells), the join is an EQUI
+    join of replicated-side cell vs home cell, and the exact distance
+    check filters corner cases. Each qualifying pair emerges exactly
+    once: the home cell is unique, and ``id_a < id_b`` keeps one
+    orientation.
+
+    → (id_a, id_b, dist_sq). Distance is squared (pure arithmetic — no
+    sqrt, engine-portable). Shuffle volume is 9× the points, versus the
+    cross join's N²; density per cell is the skew knob (shrink ``cell``
+    toward ``radius`` in dense regions).
+    """
+    c = float(cell if cell is not None else radius)
+    if c < radius:
+        raise ValueError("cell must be >= radius for the 3x3 guarantee")
+
+    def cell_id(x: Column, y: Column) -> Column:
+        return F.floor(x / c).cast("long") * F.lit(1_000_003) + F.floor(
+            y / c
+        ).cast("long")
+
+    home = points.select(
+        F.col(id_col).alias("id_b"),
+        F.col(x_col).alias("xb"),
+        F.col(y_col).alias("yb"),
+        cell_id(F.col(x_col), F.col(y_col)).alias("__cell"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    repl = points.select(
+        F.col(id_col).alias("id_a"),
+        F.col(x_col).alias("xa"),
+        F.col(y_col).alias("ya"),
+        F.explode(offsets).alias("o"),
+    ).select(
+        "id_a",
+        "xa",
+        "ya",
+        (
+            cell_id(F.col("xa"), F.col("ya"))
+            + F.col("o.dx").cast("long") * F.lit(1_000_003)
+            + F.col("o.dy").cast("long")
+        ).alias("__cell"),
+    )
+    dist_sq = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        repl.join(home, "__cell")
+        .where((F.col("id_a") < F.col("id_b")) & (dist_sq <= F.lit(radius * radius)))
+        .select("id_a", "id_b", F.round(dist_sq, 6).alias("dist_sq"))
+    )

@@ -3077,3 +3077,22 @@ JOIN singles sa ON p.type_a = sa.event_type
 JOIN singles sb ON p.type_b = sb.event_type
 CROSS JOIN totals t
 """
+
+
+_GEO_FRAC = lambda salt: (  # noqa: E731 — md5 uniform keyed on c_custkey
+    _hex_to_long(f"md5('{salt}' || '|' || CAST(c_custkey AS VARCHAR))", 8)
+    + " / 4294967296.0"
+)
+
+# oracle = brute-force cross join: proves grid-cell blocking is lossless
+ORACLES["geo_nearby_customers"] = f"""
+WITH pts AS (
+  SELECT c_custkey AS pid,
+    round(({_GEO_FRAC('lat')}) * 10, 6) AS x,
+    round(({_GEO_FRAC('lon')}) * 10, 6) AS y
+  FROM customer)
+SELECT a.pid AS id_a, b.pid AS id_b,
+  round((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y), 6) AS dist_sq
+FROM pts a JOIN pts b ON a.pid < b.pid
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 0.25 * 0.25
+"""

@@ -645,3 +645,40 @@ def test_fuzzy_join_blocked_equals_cross_join(spark):
     assert got == want
     # exactly one row per matched pair (first-shared-gram dedup works)
     assert len(got) == len({(a, b) for a, b, _ in got})
+
+
+def test_grid_nearby_join_equals_brute_force(spark):
+    from datapipelines_essentials_python_spark.operators.relational import (
+        grid_nearby_join,
+    )
+
+    import itertools
+    pts = [
+        (1, 0.1, 0.1), (2, 0.3, 0.1),   # cross-cell neighbors at cell=0.25
+        (3, 5.0, 5.0), (4, 5.2, 5.05),  # within radius
+        (5, 9.9, 9.9),                  # isolated
+        (6, 0.1, 0.1),                  # exact duplicate location of 1
+    ]
+    df = spark.createDataFrame(pts, "pid long, x double, y double")
+    out = grid_nearby_join(df, "pid", "x", "y", radius=0.25)
+    got = sorted((r["id_a"], r["id_b"]) for r in out.collect())
+    want = sorted(
+        (a[0], b[0])
+        for a, b in itertools.combinations(pts, 2)
+        if (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2 <= 0.0625
+    )
+    assert got == want
+    assert len(got) == len(set(got))  # each pair exactly once
+
+
+def test_grid_nearby_join_rejects_small_cell(spark):
+    from datapipelines_essentials_python_spark.operators.relational import (
+        grid_nearby_join,
+    )
+
+    df = spark.createDataFrame([(1, 0.0, 0.0)], "pid long, x double, y double")
+    try:
+        grid_nearby_join(df, "pid", "x", "y", radius=1.0, cell=0.5)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
