@@ -682,3 +682,18 @@ def test_grid_nearby_join_rejects_small_cell(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_connected_components_deep_path_no_lineage_blowup(spark):
+    """Regression guard for the round-2 JVM OOM: a 16-node path graph
+    needs ~15 propagation rounds; without per-round localCheckpoint the
+    logical plan doubles every round (2^15 nodes) and kills the driver.
+    With truncation this converges in seconds and labels correctly."""
+    n = 16
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "id_a long, id_b long"
+    )
+    out = {
+        r["id"]: r["component"] for r in dedup.connected_components(edges).collect()
+    }
+    assert out == {i: 1 for i in range(1, n + 1)}
