@@ -3122,6 +3122,25 @@ def percent_rank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative quality filter: keep each source's TOP 60% of documents
+    by classifier score (percent_rank within source) — the gate used when
+    absolute thresholds drift across heterogeneous sources. One narrow
+    scoring projection + one per-source ranking window."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    score = F.round(
+        text_ops.logit_quality_score("text", _LOGIT_WEIGHTS, bias=-1.0), 6
+    )
+    scored = docs.select("doc_id", "source", score.alias("quality_score"))
+    w = Window.partitionBy("source").orderBy("quality_score", "doc_id")
+    ranked = scored.withColumn("pr", F.round(F.percent_rank().over(w), 6))
+    return ranked.where(F.col("pr") >= 0.4).select(
+        "doc_id", "source", "quality_score", F.col("pr").alias("quality_pct_rank")
+    )
+
+
 def geo_nearby_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial nearby-pairs join: customers placed on a deterministic
     10°×10° grid (md5-derived coordinates), all pairs within 0.25°
@@ -3862,6 +3881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_stats": vector_stats,
         "percent_rank_quality": percent_rank_quality,
         "cdc_changed_columns": cdc_changed_columns,
+        "quality_percentile_gate": quality_percentile_gate,
         "geo_nearby_customers": geo_nearby_customers,
         "unpivot_metrics": unpivot_metrics,
         "event_lift": event_lift,

@@ -171,6 +171,7 @@ HEADLINE = [
     "percent_rank_quality",
     "cdc_changed_columns",
     "fuzzy_join_suppliers",
+    "quality_percentile_gate",
     "geo_nearby_customers",
     "unpivot_metrics",
     "event_lift",

@@ -3096,3 +3096,36 @@ SELECT a.pid AS id_a, b.pid AS id_b,
 FROM pts a JOIN pts b ON a.pid < b.pid
 WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 0.25 * 0.25
 """
+
+
+ORACLES["quality_percentile_gate"] = f"""
+WITH scored AS (
+  SELECT doc_id, source,
+    round(CAST(0.5 AS DOUBLE)
+      + CAST(0.5 AS DOUBLE) * z / (CAST(1.0 AS DOUBLE) + abs(z)), 6)
+      AS quality_score
+  FROM (
+    SELECT doc_id, source,
+      CAST(-1.0 AS DOUBLE)
+        + CAST(-0.1 AS DOUBLE) * atl
+        + CAST(0.01 AS DOUBLE) * nt
+        + CAST(2.0 AS DOUBLE) * sr
+        + CAST(1.5 AS DOUBLE) * utr AS z
+    FROM (
+      SELECT doc_id, source,
+        CAST(len(toks) AS DOUBLE) AS nt,
+        round(CAST(length(replace(lower(text), ' ', '')) AS DOUBLE)
+          / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS atl,
+        round(CAST(len(list_filter(toks, x -> list_contains({_STOP_EN}, x))) AS DOUBLE)
+          / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS sr,
+        round(CAST(len(list_distinct(toks)) AS DOUBLE)
+          / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS utr
+      FROM (SELECT doc_id, source, text, {TOKS} AS toks FROM documents)))),
+ranked AS (
+  SELECT doc_id, source, quality_score,
+    round(percent_rank() OVER (PARTITION BY source
+      ORDER BY quality_score, doc_id), 6) AS pr
+  FROM scored)
+SELECT doc_id, source, quality_score, pr AS quality_pct_rank
+FROM ranked WHERE pr >= CAST(0.4 AS DOUBLE)
+"""
