@@ -697,3 +697,22 @@ def test_connected_components_deep_path_no_lineage_blowup(spark):
         r["id"]: r["component"] for r in dedup.connected_components(edges).collect()
     }
     assert out == {i: 1 for i in range(1, n + 1)}
+
+
+def test_mixture_rates_default_share(spark):
+    from datapipelines_essentials_python_spark.operators.sampling import mixture_rates
+
+    rows = [("a",)] * 60 + [("b",)] * 60 + [("c",)] * 30
+    df = spark.createDataFrame(rows, "domain string")
+    # untargeted domain 'c' falls back to default_share instead of 0
+    out = {
+        r["domain"]: r
+        for r in mixture_rates(
+            df, "domain", {"a": 0.45, "b": 0.45}, default_share=0.1
+        ).collect()
+    }
+    # budget = min(60/0.45, 60/0.45, 30/0.1) = 133.33…; c binds at rate 0.444444
+    assert out["c"]["target_share"] == 0.1
+    assert 0 < out["c"]["rate"] < 1.0
+    assert out["a"]["rate"] == 1.0 and out["b"]["rate"] == 1.0
+    assert out["c"]["n_keep"] <= 30
