@@ -65,16 +65,20 @@ def as_of_join(
             .orderBy("__ts", "__side")
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        picked = F.last("__val", ignorenulls=True).over(w)
     else:
-        # forward: left rows (__side=1) sort FIRST at equal ts so the
-        # same-instant right row lands inside the following frame
+        # forward: mirror by SORT ORDER, not frame direction. Descending ts
+        # with the same running unboundedPreceding..0 frame means the
+        # last-seen non-null __val is the SMALLEST right ts >= left ts.
+        # (An unboundedFollowing frame + first() has no running-state
+        # processor in Spark and re-scans to partition end per row —
+        # O(n^2) per key; this shape is O(n).) At equal ts the right row
+        # (__side=0) still sorts first, keeping inclusive semantics.
         w = (
             Window.partitionBy(*key_cols)
-            .orderBy("__ts", F.desc("__side"))
-            .rowsBetween(0, Window.unboundedFollowing)
+            .orderBy(F.desc("__ts"), "__side")
+            .rowsBetween(Window.unboundedPreceding, 0)
         )
-        picked = F.first("__val", ignorenulls=True).over(w)
+    picked = F.last("__val", ignorenulls=True).over(w)
     filled = u.withColumn("__last", picked)
     out = filled.where(F.col("__side") == 1)
 

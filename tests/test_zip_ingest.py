@@ -36,3 +36,118 @@ def test_member_filters(spark, tmp_path):
     assert {r["member_name"] for r in pfx.collect()} == {"img_1.png"}
     ctn = read_zip_members(spark, str(tmp_path), contains="read")
     assert {r["member_name"] for r in ctn.collect()} == {"readme.txt"}
+
+
+# ---- S10: distributed URL fetch (executor-side, injectable transport) ----
+
+import hashlib as _hl
+import os
+
+import pytest
+
+from datapipelines_essentials_python_spark.io.zip_ingest import (
+    fetch_and_land_zips,
+    fetch_urls,
+)
+
+CHUNK_ZIP = "/root/reference/resources/data/clinical_trial/data/chunk1.zip"
+
+
+def test_fetch_urls_executor_side(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.bin").write_bytes(b"alpha")
+    (src / "b.bin").write_bytes(b"beta-beta")
+    dest = str(tmp_path / "landed")
+    urls = [f"file://{src}/a.bin", f"file://{src}/b.bin"]
+    audit = fetch_urls(spark, urls, dest).collect()
+    by_url = {r["url"]: r for r in audit}
+    assert all(r["ok"] for r in audit)
+    a = by_url[urls[0]]
+    assert a["fetched_bytes"] == 5
+    assert a["content_md5"] == _hl.md5(b"alpha").hexdigest()
+    # the bytes really landed on disk under the sanitized name
+    with open(a["dest_path"], "rb") as f:
+        assert f.read() == b"alpha"
+    assert os.path.dirname(a["dest_path"]) == dest
+
+
+def test_fetch_urls_failure_becomes_audit_row(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "ok.bin").write_bytes(b"fine")
+    urls = [f"file://{src}/ok.bin", f"file://{src}/missing.bin"]
+    audit = fetch_urls(spark, urls, str(tmp_path / "d")).collect()
+    by_url = {r["url"]: r for r in audit}
+    assert by_url[urls[0]]["ok"] is True
+    bad = by_url[urls[1]]
+    assert bad["ok"] is False and bad["error"] and bad["dest_path"] is None
+
+
+def test_fetch_urls_injectable_opener(spark, tmp_path):
+    def opener(url):  # custom transport — proves injection, no urllib
+        return f"payload-for:{url}".encode()
+
+    audit = fetch_urls(
+        spark, ["scheme://x/one", "scheme://x/two?v=3"], str(tmp_path / "d"), opener
+    ).collect()
+    assert {r["fetched_bytes"] for r in audit} == {
+        len(b"payload-for:scheme://x/one"),
+        len(b"payload-for:scheme://x/two?v=3"),
+    }
+    # '?' and '=' sanitized out of dest names (reference url_suffix rule)
+    for r in audit:
+        base = os.path.basename(r["dest_path"])
+        assert "?" not in base and "=" not in base
+
+
+def test_fetch_and_land_zips_local_fixture(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    _make_zip(
+        src / "chunkA.zip",
+        {"s/one.xml": b"<doc>1</doc>", "s/two.xml": b"<doc>2</doc>", "n.txt": b"no"},
+    )
+    landing = str(tmp_path / "landing")
+    audit = fetch_and_land_zips(
+        spark, [f"file://{src}/chunkA.zip"], landing, member_suffix=".xml", root_tag=None
+    ).collect()
+    assert len(audit) == 1 and audit[0]["ok"]
+    row = audit[0]
+    assert row["members_written"] == 2
+    with open(row["landed_path"], encoding="utf-8") as f:
+        assert f.read() == "<doc>1</doc><doc>2</doc>"
+
+
+def test_fetch_and_land_zips_decorate_hook(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    _make_zip(src / "c.zip", {"a.xml": b"<r/>"})
+
+    def decorate(name, text):  # reference append_audit_attributes_to_xml slot
+        return f"<!--{name}-->{text}"
+
+    audit = fetch_and_land_zips(
+        spark, [f"file://{src}/c.zip"], str(tmp_path / "l"), decorate=decorate, root_tag=None
+    ).collect()
+    with open(audit[0]["landed_path"], encoding="utf-8") as f:
+        assert f.read() == "<!--a.xml--><r/>"
+
+
+@pytest.mark.skipif(not os.path.isfile(CHUNK_ZIP), reason="reference fixtures absent")
+def test_fetch_and_land_reference_chunk_readable_as_xml(spark, tmp_path):
+    """E2E over the reference's real archive: executor-side fetch of
+    chunk1.zip -> one big landed XML -> Spark XML source parses all 15
+    studies (the reference's landing contract, clinical_trial_etl.py:19-50)."""
+    landing = str(tmp_path / "landing")
+    audit = fetch_and_land_zips(
+        spark, [f"file://{CHUNK_ZIP}"], landing, member_suffix=".xml"
+    ).collect()
+    assert audit[0]["ok"] and audit[0]["members_written"] == 15
+    studies = (
+        spark.read.format("xml")
+        .option("rowTag", "clinical_study")
+        .load(audit[0]["landed_path"])
+    )
+    assert studies.count() == 15
+    assert "id_info" in studies.columns
