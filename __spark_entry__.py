@@ -3721,83 +3721,93 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # The driver's CORRECTNESS gate records only the first 50 entries;
-        # the riskiest queries (time-typed arithmetic, iterative/stateful
-        # loops, LSH pipelines) are deliberately ordered into that window.
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_top_revenue_orders": q3_top_revenue_orders,
-        "q5_nation_revenue": q5_nation_revenue,
+        # The driver's CORRECTNESS gate records only the first 50 entries.
+        # Round-4 ordering (VERDICT r03 item 2): one flagship query per
+        # SURVEY §2.2-§2.11 key sits inside this window, followed by the
+        # riskiest numeric/stateful pipelines; everything below the marker
+        # is covered by tools/check_parity.py (full-suite PARITY_r{N}.txt
+        # committed per round at sf0.01 AND sf0.1).
+        "q1_pricing_summary": q1_pricing_summary,       # A1 agg spine
+        "q3_top_revenue_orders": q3_top_revenue_orders,  # O1
+        "q5_nation_revenue": q5_nation_revenue,          # J1/J2
+        "metadata_pipeline": metadata_pipeline,          # P1 + §2.12
+        "filter_dsl_scan": filter_dsl_scan,              # P2
+        "projection_cast_nvl": projection_cast_nvl,      # P3/F2
+        "snake_case_projection": snake_case_projection,  # P4/P5
+        "agg_dispatch": agg_dispatch,                    # A2
+        "duration_buckets": duration_buckets,            # A3/F5/F6
+        "dq_summary": dq_summary,                        # A4/F11/Q1-Q5
+        "word_count": word_count,                        # A5
+        "exact_dedup": exact_dedup,                      # A6
+        "window_latest_order": window_latest_order,      # W1
+        "top_k_per_group": top_k_per_group,              # O2
+        "set_ops": set_ops,                              # U2/U3
+        "lookup_mapping": lookup_mapping,                # F3
+        "tz_convert": tz_convert,                        # F4
+        "audit_columns": audit_columns,                  # F7
+        "string_ops": string_ops,                        # F12
+        "date_sequence_backfill": date_sequence_backfill,  # F13
+        "date_parse_safe": date_parse_safe,              # F14
+        "having_clause": having_clause,                  # A1 HAVING
+        "json_flatten": json_flatten,                    # J5 + §2.10
+        "flatten_deep": flatten_deep,                    # §2.10
+        "array_explode": array_explode,                  # §2.10
+        "dq_file_completeness": dq_file_completeness,    # J6 + §2.11
+        "dq_profile": dq_profile,                        # §2.11
+        "multimodal_features": multimodal_features,      # §2.12 pandas_udf
+        "cdc_merge": cdc_merge,                          # J3/J4/W3/U1/F8/§2.9
+        "scd2_merge": scd2_merge_q,                      # §2.9
+        # ---- riskiest numeric/stateful pipelines, kept in-window
         "sessionize": sessionize,
+        "session_window_agg": session_window_agg,
+        "funnel_conversion": funnel_conversion,
+        "asof_join": asof_join_query,
+        "asof_join_forward": asof_join_forward,
+        "range_join": range_join_query,
+        "dedup_components": dedup_components,
+        "dedup_components_star": dedup_components_star,
+        "kmeans_step": kmeans_step_q,
+        "incremental_dedup": incremental_dedup_q,
+        "training_pipeline_e2e": training_pipeline_e2e,
+        "minhash_lsh": minhash_lsh,
+        "near_dedup_keep": near_dedup_keep,
+        "simhash_neardup": simhash_neardup,
+        "embedding_lsh_topk": embedding_lsh_topk,
+        "ivf_ann": ivf_ann,
+        "decontamination_bloom": decontamination_bloom,
+        "semantic_dedup": semantic_dedup,
+        "hll_distinct": hll_distinct,
+        "cms_topk": cms_topk,
+        # ---- entries below are covered by tools/check_parity.py
+        # ---- (full-suite log committed per round as PARITY_r{N}.txt)
         "gap_fill_events": gap_fill_events,
         "rolling_events_7d": rolling_events_7d,
-        "session_window_agg": session_window_agg,
         "hopping_window_agg": hopping_window_agg,
-        "funnel_conversion": funnel_conversion,
         "cohort_retention": cohort_retention,
         "time_rollup": time_rollup,
         "sliding_count_1h": sliding_count_1h,
         "funnel_within_1h": funnel_within_1h,
         "interval_join_sessions": interval_join_sessions,
         "events_by_day": events_by_day,
-        "tz_convert": tz_convert,
-        "date_sequence_backfill": date_sequence_backfill,
-        "date_parse_safe": date_parse_safe,
-        "asof_join": asof_join_query,
-        "range_join": range_join_query,
-        "dedup_components": dedup_components,
-        "dedup_components_star": dedup_components_star,
-        "kmeans_step": kmeans_step_q,
         "kmeans_two_step": kmeans_two_step,
-        "incremental_dedup": incremental_dedup_q,
-        "training_pipeline_e2e": training_pipeline_e2e,
         "training_pipeline_v2": training_pipeline_v2,
         "training_pipeline_v3": training_pipeline_v3,
         "dedup_keep_best": dedup_keep_best,
-        "minhash_lsh": minhash_lsh,
-        "near_dedup_keep": near_dedup_keep,
         "ngram_jaccard": ngram_jaccard,
-        "simhash_neardup": simhash_neardup,
         "embedding_neardup": embedding_neardup,
-        "embedding_lsh_topk": embedding_lsh_topk,
         "ann_recall_lsh": ann_recall_lsh,
         "quantized_topk": quantized_topk,
-        "ivf_ann": ivf_ann,
         "ivf_ann_nprobe2": ivf_ann_nprobe2,
-        "cdc_merge": cdc_merge,
         "salted_join_events": salted_join_events,
-        "decontamination_bloom": decontamination_bloom,
-        "semantic_dedup": semantic_dedup,
-        "scd2_merge": scd2_merge_q,
         "data_skipping_plan": data_skipping_plan,
-        "hll_distinct": hll_distinct,
-        "cms_topk": cms_topk,
         "group_quantiles": group_quantiles,
         "span_dedup": span_dedup_q,
         "winsorize_events": winsorize_events,
-        # ---- entries below are covered by tools/check_parity.py
-        # ---- (full-suite log committed per round as PARITY_r{N}.txt)
-        "filter_dsl_scan": filter_dsl_scan,
-        "duration_buckets": duration_buckets,
-        "multimodal_features": multimodal_features,
-        "flatten_deep": flatten_deep,
         "simhash_fp": simhash_fp,
         "embedding_topk": embedding_topk,
-        "exact_dedup": exact_dedup,
-        "json_flatten": json_flatten,
         "media_chunks": media_chunks,
         "pack_sequences": pack_sequences,
-        "metadata_pipeline": metadata_pipeline,
         "snapshot_diff": snapshot_diff_orders,
-        "window_latest_order": window_latest_order,
-        "projection_cast_nvl": projection_cast_nvl,
-        "agg_dispatch": agg_dispatch,
-        "top_k_per_group": top_k_per_group,
-        "set_ops": set_ops,
-        "word_count": word_count,
-        "array_explode": array_explode,
-        "lookup_mapping": lookup_mapping,
-        "dq_summary": dq_summary,
-        "dq_file_completeness": dq_file_completeness,
         "lang_id": lang_id,
         "text_quality": text_quality,
         "token_stats": token_stats,
@@ -3814,8 +3824,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": q18_large_orders,
         "semi_join_returned": semi_join_returned,
         "anti_join_dormant": anti_join_dormant,
-        "having_clause": having_clause,
-        "string_ops": string_ops,
         "stratified_sample_docs": stratified_sample_docs,
         "train_holdout_split": train_holdout_split,
         "unigram_lm_quality": unigram_lm_quality,
@@ -3837,13 +3845,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_count": q16_supplier_count,
         "q20_excess_shippers": q20_excess_shippers,
         "q21_waiting_suppliers": q21_waiting_suppliers,
-        "snake_case_projection": snake_case_projection,
         "q7_volume_shipping": q7_volume_shipping,
         "q8_market_share": q8_market_share,
         "q10_returned_customers": q10_returned_customers,
         "zorder_layout": zorder_layout,
         "cube_agg": cube_agg,
-        "audit_columns": audit_columns,
         "text_normalize": text_normalize,
         "vocab_coverage": vocab_coverage,
         "tfidf_top_terms": tfidf_top_terms_q,
@@ -3859,7 +3865,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_hash_tf": feature_hash_tf_q,
         "incremental_agg": incremental_agg,
         "grouped_split_docs": grouped_split_docs,
-        "dq_profile": dq_profile,
         "compaction_plan": compaction_plan_q,
         "bigram_lm_quality": bigram_lm_quality,
         "pq_ann": pq_ann,
@@ -3885,7 +3890,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_nearby_customers": geo_nearby_customers,
         "unpivot_metrics": unpivot_metrics,
         "event_lift": event_lift,
-        "asof_join_forward": asof_join_forward,
         "asof_join_tolerance": asof_join_tolerance,
         "scd2_point_in_time": scd2_point_in_time,
         "dau_wau": dau_wau,
