@@ -507,7 +507,10 @@ def normalize_text(col: Column | str, lowercase: bool = True) -> Column:
 # vocabulary construction
 # --------------------------------------------------------------------------
 def build_vocab(
-    df: DataFrame, text_col: str = "text", top_k: int | None = None
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int | None = None,
+    rank_partitions: int | None = None,
 ) -> DataFrame:
     """Corpus vocabulary with coverage accounting: token → count, frequency
     rank (count desc, token asc — a total order), cumulative count, and
@@ -516,21 +519,68 @@ def build_vocab(
     to size a tokenizer vocab.
 
     Scale shape: one word-count shuffle (map-side combined) over the
-    corpus, then a single-partition ranking window over the VOCABULARY
-    (≪ corpus; a few million rows at web scale, fine on one task). The
-    corpus itself is never globally sorted.
+    corpus, then a TWO-LEVEL global ranking over the vocabulary — never a
+    single-partition window, whatever the vocab size:
+
+    1. ``repartitionByRange`` on the rank order (cnt desc, token asc)
+       spreads the vocab over balanced sorted ranges (the sampler handles
+       Zipf skew);
+    2. rank + running sum WITHIN each range partition in parallel;
+    3. per-partition row/sum totals (a ``rank_partitions``-row table) are
+       prefix-summed and broadcast back as offsets.
+
+    Global rank = local rank + rows in earlier ranges, independent of
+    where the sampled boundaries fall, so the result is deterministic.
+    The corpus itself is never globally sorted.
     """
     from pyspark.sql import Window
 
     counts = unigram_counts(df, text_col)
-    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
-    ranked = counts.select(
+    spark = counts.sparkSession
+    n_part = rank_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    ranged = counts.repartitionByRange(
+        n_part, F.col("cnt").desc(), F.col("token")
+    ).withColumn("__pid", F.spark_partition_id())
+    lw = Window.partitionBy("__pid").orderBy(F.col("cnt").desc(), F.col("token"))
+    local = ranged.select(
         "token",
         F.col("cnt").cast("long").alias("cnt"),
-        F.row_number().over(w).alias("rank"),
-        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        "__pid",
+        F.row_number().over(lw).alias("__lrank"),
+        F.sum("cnt").over(lw.rowsBetween(Window.unboundedPreceding, 0))
         .cast("long")
-        .alias("cum_cnt"),
+        .alias("__lcum"),
+    )
+    # offsets: per-range totals (exactly n_part rows) prefix-summed with a
+    # triangular broadcast self-join — no window at all, so nothing ever
+    # moves "all data to a single partition", and the per-range totals are
+    # aggregated straight off the range exchange (local's lineage is not
+    # recomputed)
+    per_range = ranged.groupBy("__pid").agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("cnt").cast("long").alias("__s")
+    )
+    earlier = per_range.select(
+        F.col("__pid").alias("__epid"),
+        F.col("__n").alias("__en"),
+        F.col("__s").alias("__es"),
+    )
+    offsets = (
+        per_range.join(
+            F.broadcast(earlier), F.col("__epid") < F.col("__pid"), "left"
+        )
+        .groupBy("__pid")
+        .agg(
+            F.coalesce(F.sum("__en"), F.lit(0)).alias("__rank_off"),
+            F.coalesce(F.sum("__es"), F.lit(0)).alias("__cum_off"),
+        )
+    )
+    ranked = local.join(F.broadcast(offsets), "__pid").select(
+        "token",
+        "cnt",
+        (F.col("__lrank") + F.col("__rank_off")).cast("int").alias("rank"),
+        (F.col("__lcum") + F.col("__cum_off")).cast("long").alias("cum_cnt"),
     )
     if top_k is not None:
         ranked = ranked.where(F.col("rank") <= top_k)
