@@ -195,12 +195,21 @@ HEADLINE = [
 
 
 def load_prior_bench(sf) -> tuple[str, dict[str, float]] | None:
-    """Latest BENCH_r{N}.json at the same sf → (tag, per-query seconds)."""
+    """Latest parseable bench at the same sf → (tag, per-query seconds).
+
+    Prefers the committed full-detail snapshots (BENCH_FULL_r{N}.json,
+    written by this script and committed per round — immune to the
+    driver's 2000-char stdout-tail truncation) and falls back to the
+    driver's own BENCH_r{N}.json records; unparseable/crashed rounds are
+    skipped so the comparison is always against a real prior.
+    """
     import re
 
     best: tuple[int, str, dict[str, float]] | None = None
-    for p in Path(__file__).resolve().parent.glob("BENCH_r*.json"):
-        m = re.match(r"BENCH_r(\d+)\.json", p.name)
+    root = Path(__file__).resolve().parent
+    # FULL first: at equal round number the strict > keeps the first seen
+    for p in list(root.glob("BENCH_FULL_r*.json")) + list(root.glob("BENCH_r*.json")):
+        m = re.match(r"BENCH(?:_FULL)?_r(\d+)\.json", p.name)
         if not m:
             continue
         try:
@@ -277,18 +286,39 @@ def main() -> None:
         for line in flagged:
             print(line, file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-                "regressions_vs_prior": regressions,
-            }
-        )
+    # Full per-query detail always lands in bench_full.json next to this
+    # script; the stdout JSON line must additionally fit the DRIVER'S
+    # 2000-char stdout-tail window or the round records parsed=null (this
+    # is exactly what silenced BENCH_r02/r03: the 143-query line is ~5 KB,
+    # the driver keeps only the tail, and the truncated line no longer
+    # parses). Strategy: emit all timings if the line fits, else the
+    # slowest queries that do, with n_queries recording true coverage.
+    record = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "compared_to": prior[0] if prior else None,
+        "regressions_vs_prior": regressions,
+    }
+    Path(__file__).resolve().parent.joinpath("bench_full.json").write_text(
+        json.dumps(record, indent=1)
     )
+    line = json.dumps(record)
+    budget = 1900
+    if len(line) > budget:
+        by_cost = sorted(timings, key=timings.get, reverse=True)
+        kept: dict[str, float] = {}
+        for name in by_cost:
+            trial = dict(record, queries={**kept, name: timings[name]})
+            if len(json.dumps(trial)) > budget:
+                break
+            kept[name] = timings[name]
+        record["queries"] = kept
+        line = json.dumps(record)
+    print(line)
 
 
 if __name__ == "__main__":

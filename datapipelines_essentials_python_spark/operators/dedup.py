@@ -283,20 +283,31 @@ def minhash_lsh_pairs(
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
 
-    # cap degenerate buckets before the quadratic self-join; window count
-    # reuses the same (band, bucket) shuffle instead of a groupBy + rejoin
-    from pyspark.sql import Window
-
-    sized = banded.withColumn(
-        "bsz", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
-    ).where(F.col("bsz") <= max_bucket)
-
-    lhs = sized.select(F.col("band"), F.col("bucket"), F.col("id").alias("id_a"))
-    rhs = sized.select(F.col("band"), F.col("bucket"), F.col("id").alias("id_b"))
+    # Candidate pairs straight off ONE (band, bucket) exchange: collect the
+    # bucket's ids (map-side combined), drop degenerate buckets larger than
+    # ``max_bucket`` BEFORE any pair exists, and expand the strict upper
+    # triangle with JVM array expressions. This replaces the previous
+    # bucket-size window + bucket self-join (two exchanges of the banded
+    # table) with a single groupBy — at scale the banded table is
+    # bands×corpus rows, so the saved exchange is the big one. Sorting the
+    # bucket makes (id_a < id_b) positional and the output deterministic.
+    bucketed = (
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
+    triangle = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     candidates = (
-        lhs.join(rhs, ["band", "bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        bucketed.select(F.explode(triangle).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -583,24 +594,32 @@ def connected_components(
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
-    for _ in range(max_iter):
+
+    def propagate(lbl: DataFrame) -> DataFrame:
         # One round = one join (attach labels to edge sources) + one
         # groupBy taking the min over {own label} ∪ {neighbors' labels} —
         # the self-contribution rides the same shuffle as a union leg, so
         # each round costs two exchanges, not three.
+        contrib = und.join(lbl.withColumnRenamed("id", "src"), "src").select(
+            F.col("dst").alias("id"), "comp"
+        )
+        return (
+            contrib.unionByName(lbl)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+        )
+
+    for _ in range(max(1, max_iter // 2)):
+        # TWO propagation rounds per materialization: min-label rounds are
+        # idempotent past convergence, so checking the (monotone) label sum
+        # every other round trades at most one no-op round for HALF the
+        # per-iteration job count — on near-dup graphs (diameter ≤ ~5) the
+        # driver-side action overhead is the loop's dominant cost.
         # localCheckpoint (not persist): the plan references ``labels``
         # twice per round, so un-truncated lineage doubles every iteration
         # and OOMs the driver JVM (same fix as connected_components_star
         # and clustering.kmeans_train).
-        contrib = und.join(labels.withColumnRenamed("id", "src"), "src").select(
-            F.col("dst").alias("id"), "comp"
-        )
-        new_labels = (
-            contrib.unionByName(labels)
-            .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint()
-        )
+        new_labels = propagate(propagate(labels)).localCheckpoint()
         new_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
         labels = new_labels
         if new_sum == prev_sum:
