@@ -226,7 +226,15 @@ def parse_image_header(content: bytes) -> tuple[str, int, int]:
             while i + 9 < n:
                 if content[i] != 0xFF:
                     break
+                # skip 0xFF fill bytes: the spec allows any number of
+                # padding 0xFFs before a marker byte, so advance to the
+                # first non-FF (otherwise the pad byte is misread as the
+                # marker and a bogus seg_len is consumed)
+                while i + 9 < n and content[i + 1] == 0xFF:
+                    i += 1
                 marker = content[i + 1]
+                if marker == 0xDA or marker == 0xD9:
+                    break  # SOS (entropy data follows) / EOI: no SOF seen
                 if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                     i += 2
                     continue

@@ -435,11 +435,24 @@ def fuzzy_join_blocked(
     no DISTINCT shuffle), and the exact levenshtein verify runs only on
     candidates.
 
+    The q-gram guarantee needs ``len >= gram·(max_distance+1)``; SHORTER
+    keys are routed through one shared whole-population sentinel block
+    (keys with ``len < gram·(d+1) + d`` carry it, since a valid partner of
+    a short key can be at most ``d`` longer), so short-key matches are
+    never silently dropped. The sentinel block is a bounded mini
+    cross-join over the short-key rows only — cheap when short keys are
+    rare, and LOUD in the plan (one hot join key) when they are not;
+    pre-filter or lengthen keys if your corpus is dominated by them.
+
     → left row + right row + ``dist``. At 100 TB the shuffle carries
     (gram, row) pairs — O(rows × key_len) — versus the cross join's
     O(N×M) comparisons; frequency-skewed grams behave like any hot join
     key (salt or AQE-skew them).
     """
+    cutoff = gram * (max_distance + 1)
+    ext = cutoff + max_distance  # short-partner reach: len(short) + d
+    sentinel = ""  # real grams are non-empty, so '' cannot collide
+
     # substring with a per-element start position needs the SQL lambda form
     def gram_array(col: str) -> Column:
         return F.array_distinct(
@@ -449,15 +462,31 @@ def fuzzy_join_blocked(
             )
         )
 
+    def block_array(col: str) -> Column:
+        ln = F.length(F.col(col))
+        grams_ = gram_array(col)
+        sent = F.array(F.lit(sentinel))
+        return (
+            F.when(ln < cutoff, sent)  # guarantee void: sentinel only
+            .when(ln < ext, F.array_union(grams_, sent))  # both worlds
+            .otherwise(grams_)
+        )
+
     l = left.select(
-        *[F.col(c) for c in left.columns], F.explode(gram_array(left_key)).alias("__g")
+        *[F.col(c) for c in left.columns], F.explode(block_array(left_key)).alias("__g")
     )
     r = right.select(
         *[F.col(c) for c in right.columns],
-        F.explode(gram_array(right_key)).alias("__g"),
+        F.explode(block_array(right_key)).alias("__g"),
     )
-    first_shared = F.array_min(
-        F.array_intersect(gram_array(left_key), gram_array(right_key))
+    # stateless pair dedup: a pair meeting in several blocks is kept only
+    # at its canonical one — the sentinel when both sides carry it, else
+    # the lexicographically smallest shared gram
+    both_sent = (F.length(F.col(left_key)) < ext) & (
+        F.length(F.col(right_key)) < ext
+    )
+    first_shared = F.when(both_sent, F.lit(sentinel)).otherwise(
+        F.array_min(F.array_intersect(gram_array(left_key), gram_array(right_key)))
     )
     dist = F.levenshtein(F.col(left_key), F.col(right_key))
     return (

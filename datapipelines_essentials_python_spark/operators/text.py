@@ -691,11 +691,16 @@ def logit_quality_score(
 # markup stripping (HTML-ish boilerplate removal)
 # --------------------------------------------------------------------------
 _MARKUP_ENTITIES: tuple[tuple[str, str], ...] = (
-    ("&amp;", "&"),
+    # standard decode order: ``&amp;`` LAST, so nested entities like
+    # ``&amp;lt;`` decode to the literal text ``&lt;`` (one level) instead
+    # of double-decoding to ``<``. Note decoded output may legitimately
+    # contain markup-like text — strip_markup is a decode, not a sanitizer,
+    # and is not idempotent on entity-bearing input by design.
     ("&lt;", "<"),
     ("&gt;", ">"),
     ("&quot;", '"'),
     ("&nbsp;", " "),
+    ("&amp;", "&"),
 )
 
 

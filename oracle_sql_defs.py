@@ -2314,7 +2314,7 @@ stripped AS (
             regexp_replace(raw, '(?si)<script[^>]*>.*?</script>', ' ', 'g'),
             '(?si)<style[^>]*>.*?</style>', ' ', 'g'),
           '<[^>]+>', ' ', 'g'),
-        '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&nbsp;', ' '),
+        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&nbsp;', ' '), '&amp;', '&'),
       '\s+', ' ', 'g')) AS clean_text
   FROM seeded)
 SELECT doc_id, clean_text,
@@ -2591,7 +2591,7 @@ cleaned AS (
             regexp_replace(raw, '(?si)<script[^>]*>.*?</script>', ' ', 'g'),
             '(?si)<style[^>]*>.*?</style>', ' ', 'g'),
           '<[^>]+>', ' ', 'g'),
-        '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&nbsp;', ' '),
+        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&nbsp;', ' '), '&amp;', '&'),
       '\\s+', ' ', 'g')) AS clean_text
   FROM seeded),
 feats AS (

@@ -716,3 +716,39 @@ def test_mixture_rates_default_share(spark):
     assert 0 < out["c"]["rate"] < 1.0
     assert out["a"]["rate"] == 1.0 and out["b"]["rate"] == 1.0
     assert out["c"]["n_keep"] <= 30
+
+
+def test_fuzzy_join_blocked_short_keys(spark):
+    """Keys shorter than gram*(d+1) take the whole-population sentinel
+    block, so pairs like 'abc'~'abd' (no shared trigram) are found; mixed
+    short/boundary lengths dedup to exactly one output row per pair."""
+    from datapipelines_essentials_python_spark.operators.relational import (
+        fuzzy_join_blocked,
+    )
+
+    lrows = [(1, "abc"), (2, "abcdefgh"), (3, "abcdefghi"), (4, "kitten town")]
+    rrows = [(10, "abd"), (11, "abcdefgg"), (12, "abcdefghij"),
+             (13, "kitten towns"), (14, "zz")]
+    left = spark.createDataFrame(lrows, "lid long, lname string")
+    right = spark.createDataFrame(rrows, "rid long, rname string")
+    out = fuzzy_join_blocked(left, right, "lname", "rname", max_distance=2).collect()
+    got = sorted((r["lid"], r["rid"], r["dist"]) for r in out)
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    want = sorted(
+        (li, ri, lev(ln, rn))
+        for li, ln in lrows
+        for ri, rn in rrows
+        if lev(ln, rn) <= 2
+    )
+    assert got == want
+    assert (1, 10, 1) in got  # the 'abc'~'abd' case from the advice
+    # exactly-once: no duplicate pairs from multi-block collisions
+    assert len(got) == len(set((a, b) for a, b, _ in got))

@@ -128,3 +128,31 @@ def test_image_header_stats_distributed(spark):
     assert out[1]["format"] == "png" and out[1]["width"] == 320
     assert out[1]["height"] == 200 and out[1]["n_bytes"] == len(png)
     assert out[2]["format"] == "unknown" and out[2]["n_bytes"] == 4
+
+
+def test_parse_image_header_jpeg_padding_and_sos():
+    """Spec-legal 0xFF fill bytes before markers are skipped, and the scan
+    stops at SOS/EOI instead of misreading entropy-coded data."""
+    import struct
+
+    from datapipelines_essentials_python_spark.operators.multimodal import (
+        parse_image_header,
+    )
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (
+        b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", 600, 800) + b"\x03" + b"\x00" * 9
+    )
+    # padding runs of 0xFF before both segments
+    padded = b"\xff\xd8" + b"\xff\xff\xff" + app0[1:] + b"\xff\xff" + sof0[1:]
+    assert parse_image_header(padded) == ("jpeg", 800, 600)
+
+    # SOS before any SOF: stop cleanly (no bogus read of entropy data)
+    sos = b"\xff\xda" + struct.pack(">H", 12) + b"\x03" + b"\x00" * 9
+    entropy = b"\xff\xc0\x99\x99" * 4  # SOF-looking bytes INSIDE scan data
+    no_sof = b"\xff\xd8" + app0 + sos + entropy + b"\xff\xd9"
+    assert parse_image_header(no_sof) == ("unknown", 0, 0)
+
+    # EOI immediately: unknown, not a crash
+    assert parse_image_header(b"\xff\xd8\xff\xd9") == ("unknown", 0, 0)
