@@ -104,6 +104,7 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("decimal(38,4)")
             .cast("double")
             .alias("revenue")
         )
@@ -133,6 +134,7 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("decimal(38,4)")
             .cast("double")
             .alias("revenue"),
             F.count(F.lit(1)).cast("long").alias("n_lineitems"),
@@ -840,6 +842,7 @@ def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return filtered.agg(
         F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+        .cast("decimal(38,4)")
         .cast("double")
         .alias("revenue"),
         F.count(F.lit(1)).cast("long").alias("n_rows"),
@@ -871,10 +874,10 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.agg(
         (
             F.lit(100.0)
-            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,4)"))).cast("double")
-            / F.sum(rev).cast("double")
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,4)"))).cast("decimal(38,4)").cast("double")
+            / F.sum(rev).cast("decimal(38,4)").cast("double")
         ).alias("promo_pct"),
-        F.sum(rev).cast("double").alias("total_revenue"),
+        F.sum(rev).cast("decimal(38,4)").cast("double").alias("total_revenue"),
     )
 
 
@@ -1306,6 +1309,7 @@ def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_suppkey")
         .agg(
             F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("decimal(38,4)")
             .cast("double")
             .alias("total_revenue")
         )
@@ -1338,6 +1342,7 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     bracket3 = (F.col("p_type") == "PROMO") & (F.col("l_quantity") >= 20)
     return j.where(bracket1 | bracket2 | bracket3).agg(
         F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+        .cast("decimal(38,4)")
         .cast("double")
         .alias("revenue"),
         F.count(F.lit(1)).cast("long").alias("n_rows"),
@@ -1471,7 +1476,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
         )
-        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+        .agg(F.sum(profit).cast("decimal(38,4)").cast("double").alias("sum_profit"))
     )
 
 
@@ -1484,9 +1489,11 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction) so the query stays non-trivial at every sf."""
     li = load_table(spark, sf_dir, "lineitem")
     rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
-    per_part = li.groupBy("l_partkey").agg(F.sum(rev).cast("double").alias("value"))
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(rev).cast("decimal(38,4)").cast("double").alias("value")
+    )
     total = li.agg(
-        F.sum(rev).cast("double").alias("total"),
+        F.sum(rev).cast("decimal(38,4)").cast("double").alias("total"),
         F.countDistinct("l_partkey").cast("double").alias("n_parts"),
     )
     return (
@@ -1742,7 +1749,7 @@ def salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(_dec("value") * _dec("weight")).cast("double").alias("weighted_value"),
+        F.sum(_dec("value") * _dec("weight")).cast("decimal(38,4)").cast("double").alias("weighted_value"),
     )
 
 
@@ -1776,6 +1783,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
         .agg(
             F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("decimal(38,4)")
             .cast("double")
             .alias("revenue"),
             F.count(F.lit(1)).cast("long").alias("n_rows"),
@@ -1816,10 +1824,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(
                     F.when(F.col("supp_nation") == "NATION_7", rev)
                     .otherwise(F.lit(0).cast("decimal(18,4)"))
-                ).cast("double")
-                / F.sum(rev).cast("double")
+                ).cast("decimal(38,4)").cast("double")
+                / F.sum(rev).cast("decimal(38,4)").cast("double")
             ).alias("mkt_share"),
-            F.sum(rev).cast("double").alias("total_revenue"),
+            F.sum(rev).cast("decimal(38,4)").cast("double").alias("total_revenue"),
         )
     )
 
@@ -1838,6 +1846,7 @@ def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.groupBy("c_custkey", "c_name", "c_mktsegment")
         .agg(
             F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("decimal(38,4)")
             .cast("double")
             .alias("revenue")
         )
@@ -2358,6 +2367,15 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-row result with a total order."""
     docs = load_table(spark, sf_dir, "documents")
     return chunk_ops.heavy_hitters_bigrams(docs, k=20)
+
+
+def substring_dup_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 8-token-window substring-duplication profile at stride 3 —
+    the overlapping-span repetition signal (Lee et al.-style) used to drop
+    or trim boilerplate-heavy documents. One window-keyed agg (md5 keys)
+    + one doc-keyed agg; no corpus-wide windows."""
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_ops.substring_dup_profile(docs, window=8, stride=3)
 
 
 def feature_hash_tf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3802,6 +3820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_skipping_plan": data_skipping_plan,
         "group_quantiles": group_quantiles,
         "span_dedup": span_dedup_q,
+        "substring_dup_profile": substring_dup_profile_q,
         "winsorize_events": winsorize_events,
         "simhash_fp": simhash_fp,
         "embedding_topk": embedding_topk,

@@ -159,3 +159,56 @@ def feature_hash_tf(
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
+
+
+def substring_dup_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 16,
+    stride: int = 4,
+) -> DataFrame:
+    """Rolling-window substring-duplication profile — the overlapping-span
+    complement of :func:`span_dedup` (which only sees ``block_size``-aligned
+    repeats). Approximates suffix-array substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better") with
+    overlapping ``window``-token hashes every ``stride`` tokens: a repeated
+    passage is caught wherever it starts, not only on block boundaries.
+
+    A window is *duplicated* when its exact token text occurs ≥2 times
+    anywhere in the corpus (other documents or elsewhere in the same one —
+    both are training-data repetition). Tail windows shorter than
+    ``window`` participate as-is, so short documents behave like exact
+    dedup candidates.
+
+    Returns (id, n_windows, n_dup_windows, dup_ratio) per document — the
+    signal used to drop or trim boilerplate-heavy documents.
+
+    Scale shape: windows are a narrow posexplode projection; corpus window
+    counts are ONE agg keyed on the md5 of the window text (fixed 32-char
+    key instead of a ~100-char string — smaller shuffle, same exact
+    grouping for profiling purposes), joined back on the same key (rides
+    the same exchange), then one doc-keyed agg. No windows over the corpus.
+    """
+    wins = chunk_documents(
+        df, text_col=text_col, id_col=id_col, chunk_size=window, stride=stride
+    ).select(id_col, F.md5(F.col("chunk_text")).alias("__wkey"))
+    counts = wins.groupBy("__wkey").agg(F.count(F.lit(1)).alias("__c"))
+    return (
+        wins.join(counts, "__wkey")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum(F.when(F.col("__c") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_windows"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.round(
+                F.col("n_dup_windows").cast("double")
+                / F.col("n_windows").cast("double"),
+                6,
+            ),
+        )
+    )

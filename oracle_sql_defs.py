@@ -180,7 +180,7 @@ GROUP BY l_returnflag, l_linestatus
 
 ORACLES["q3_top_revenue_orders"] = f"""
 SELECT o_orderkey, o_orderdate, o_orderpriority,
-  CAST(SUM({_REV}) AS DOUBLE) AS revenue
+  CAST(CAST(SUM({_REV}) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -192,7 +192,7 @@ LIMIT 10
 
 ORACLES["q5_nation_revenue"] = f"""
 SELECT n_name,
-  CAST(SUM({_REV}) AS DOUBLE) AS revenue,
+  CAST(CAST(SUM({_REV}) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
   CAST(COUNT(*) AS BIGINT) AS n_lineitems
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -634,7 +634,7 @@ WHERE l.doc_id IS NULL
 """
 
 ORACLES["q6_revenue_delta"] = """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_rows
 FROM lineitem
 WHERE year(l_shipdate) = 1996 AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
@@ -650,9 +650,9 @@ GROUP BY c_count
 """
 
 ORACLES["q14_promo_revenue"] = f"""
-SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV} ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-         / CAST(SUM({_REV}) AS DOUBLE) AS promo_pct,
-       CAST(SUM({_REV}) AS DOUBLE) AS total_revenue
+SELECT 100.0 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV} ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(38,4)) AS DOUBLE)
+         / CAST(CAST(SUM({_REV}) AS DECIMAL(38,4)) AS DOUBLE) AS promo_pct,
+       CAST(CAST(SUM({_REV}) AS DECIMAL(38,4)) AS DOUBLE) AS total_revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE year(l_shipdate) = 1997
 """
@@ -993,7 +993,7 @@ WHERE p.p_retailprice = m.min_price
 
 ORACLES["q15_top_suppliers"] = f"""
 WITH rev AS (
-  SELECT l_suppkey, CAST(SUM({_REV}) AS DOUBLE) AS total_revenue
+  SELECT l_suppkey, CAST(CAST(SUM({_REV}) AS DECIMAL(38,4)) AS DOUBLE) AS total_revenue
   FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY l_suppkey),
 top AS (SELECT * FROM rev WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev))
 SELECT s.s_suppkey, s.s_name, t.total_revenue
@@ -1001,7 +1001,7 @@ FROM top t JOIN supplier s ON t.l_suppkey = s.s_suppkey
 """
 
 ORACLES["q19_disjunctive"] = f"""
-SELECT CAST(SUM({_REV}) AS DOUBLE) AS revenue,
+SELECT CAST(CAST(SUM({_REV}) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_rows
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
@@ -1057,8 +1057,8 @@ GROUP BY o_orderpriority
 ORACLES["q9_product_profit"] = f"""
 SELECT n.n_name AS nation,
   CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-  CAST(SUM({_REV} - CAST(round(0.6 * p.p_retailprice * l.l_quantity, 4)
-                         AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+  CAST(CAST(SUM({_REV} - CAST(round(0.6 * p.p_retailprice * l.l_quantity, 4)
+                         AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_profit
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%gear%'
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -1069,9 +1069,9 @@ GROUP BY 1, 2
 
 ORACLES["q11_important_parts"] = f"""
 WITH per_part AS (
-  SELECT l_partkey, CAST(SUM({_REV}) AS DOUBLE) AS value FROM lineitem GROUP BY 1),
+  SELECT l_partkey, CAST(CAST(SUM({_REV}) AS DECIMAL(38,4)) AS DOUBLE) AS value FROM lineitem GROUP BY 1),
 total AS (
-  SELECT CAST(SUM({_REV}) AS DOUBLE) AS total,
+  SELECT CAST(CAST(SUM({_REV}) AS DECIMAL(38,4)) AS DOUBLE) AS total,
          CAST(COUNT(DISTINCT l_partkey) AS DOUBLE) AS n_parts
   FROM lineitem)
 SELECT l_partkey, value FROM per_part, total WHERE value > total / n_parts * 1.5
@@ -1249,7 +1249,7 @@ WITH dim(event_type, weight) AS (
          ('signup', 5.0), ('error', 0.0))
 SELECT e.event_type,
   CAST(COUNT(*) AS BIGINT) AS n,
-  CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(weight AS DECIMAL(18,4))) AS DOUBLE) AS weighted_value
+  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(weight AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS weighted_value
 FROM events e JOIN dim d ON e.event_type = d.event_type
 GROUP BY e.event_type
 """
@@ -1257,7 +1257,7 @@ GROUP BY e.event_type
 ORACLES["q7_volume_shipping"] = f"""
 SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
   CAST(year(l_shipdate) AS BIGINT) AS l_year,
-  CAST(SUM({_REV}) AS DOUBLE) AS revenue,
+  CAST(CAST(SUM({_REV}) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
   CAST(COUNT(*) AS BIGINT) AS n_rows
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
@@ -1272,10 +1272,10 @@ GROUP BY 1, 2, 3
 
 ORACLES["q8_market_share"] = f"""
 SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-  CAST(SUM(CASE WHEN sn.n_name = 'NATION_7' THEN {_REV}
-                ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-    / CAST(SUM({_REV}) AS DOUBLE) AS mkt_share,
-  CAST(SUM({_REV}) AS DOUBLE) AS total_revenue
+  CAST(CAST(SUM(CASE WHEN sn.n_name = 'NATION_7' THEN {_REV}
+                ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(38,4)) AS DOUBLE)
+    / CAST(CAST(SUM({_REV}) AS DECIMAL(38,4)) AS DOUBLE) AS mkt_share,
+  CAST(CAST(SUM({_REV}) AS DECIMAL(38,4)) AS DOUBLE) AS total_revenue
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation sn ON s_nationkey = sn.n_nationkey
@@ -1289,7 +1289,7 @@ GROUP BY 1
 
 ORACLES["q10_returned_customers"] = f"""
 SELECT c_custkey, c_name, c_mktsegment,
-  CAST(SUM({_REV}) AS DOUBLE) AS revenue
+  CAST(CAST(SUM({_REV}) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1910,6 +1910,24 @@ SELECT doc_id,
   CAST(max(n_total) AS BIGINT) AS n_blocks_total,
   CAST(count(*) AS BIGINT) AS n_blocks_kept
 FROM marked WHERE rn = 1 GROUP BY doc_id
+"""
+
+ORACLES["substring_dup_profile"] = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS tk FROM documents),
+w0 AS (
+  SELECT doc_id, tk, unnest(range(0, len(tk), 3)) AS s
+  FROM toks WHERE len(tk) > 0),
+wins AS (
+  SELECT doc_id, md5(array_to_string(tk[s + 1 : s + 8], ' ')) AS wkey
+  FROM w0),
+cnts AS (SELECT wkey, COUNT(*) AS c FROM wins GROUP BY wkey)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_windows,
+  CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+  round(CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE), 6) AS dup_ratio
+FROM wins JOIN cnts USING (wkey)
+GROUP BY doc_id
 """
 
 ORACLES["heavy_hitters"] = f"""

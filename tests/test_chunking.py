@@ -84,3 +84,31 @@ def test_feature_hash_tf_bounded_buckets(spark):
     out = chunking.feature_hash_tf(df, num_buckets=8)
     assert out.agg(F.max("bucket")).collect()[0][0] <= 7
     assert out.agg(F.min("bucket")).collect()[0][0] >= 0
+
+
+def test_substring_dup_profile(spark):
+    """A passage repeated across docs is caught wherever it starts (not
+    only on block boundaries); unique docs profile at dup_ratio 0."""
+    from datapipelines_essentials_python_spark.operators.chunking import (
+        substring_dup_profile,
+    )
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, "intro words here " + boiler),       # passage at offset 3
+        (2, boiler + " trailing tail content"),  # same passage at offset 0
+        (3, "completely different text with no repeats at all ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in substring_dup_profile(df, window=4, stride=1).collect()
+    }
+    # the shared 12-token passage yields shared 4-token windows in both
+    # docs despite the 3-token offset (stride 1 realigns)
+    assert out[1]["n_dup_windows"] >= 8
+    assert out[2]["n_dup_windows"] >= 8
+    assert out[3]["n_dup_windows"] == 0 and out[3]["dup_ratio"] == 0.0
+    for r in out.values():
+        assert 0.0 <= r["dup_ratio"] <= 1.0
+        assert r["n_dup_windows"] <= r["n_windows"]
