@@ -135,6 +135,7 @@ HEADLINE = [
     "hll_distinct",
     "chunk_documents",
     "span_dedup",
+    "substring_dup_profile",
     "heavy_hitters",
     "feature_hash_tf",
     "group_quantiles",
