@@ -83,6 +83,21 @@ def get_or_create_spark_session(
 
     confs = dict(DEFAULT_CONFS)
     confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cores)
+    # Local mode runs driver + all executor threads in ONE JVM whose
+    # default heap is spark.driver.memory=1g — 32 task threads plus a
+    # 64 MB-threshold broadcast build can exhaust that long before the
+    # data is the problem (observed: q18's broadcast OOM at the 10x
+    # stress tier after a dozen prior queries). 4g fixes that with no
+    # measured throughput cost; DON'T default bigger — long 100+-query
+    # sessions accumulate localCheckpoint blocks, and on a 24g heap the
+    # full-GC tax measured ~20% on the bench. On a real cluster this key
+    # comes from spark-submit instead.
+    if (master or "local").startswith("local") and "spark.driver.memory" not in (
+        extra_confs or {}
+    ):
+        confs.setdefault(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g")
+        )
     if extra_confs:
         confs.update(extra_confs)
     for key, value in confs.items():
