@@ -120,3 +120,41 @@ def sponsors(tables: dict[str, DataFrame]) -> DataFrame:
     return leg(tables["xmltable_sponsors_lead_sponsor"], "lead").unionByName(
         leg(tables["xmltable_sponsors_collaborator"], "collaborator")
     )
+
+
+def ingest_from_urls(
+    spark,
+    urls: list[str],
+    landing_dir: str,
+    ts: str,
+    opener=None,
+):
+    """Full reference ingest lifecycle in one call
+    (``clinical_trial_etl.py:107-170``: validate URLs → parallel
+    download/unzip → land one big XML per archive → read into a studies
+    DataFrame with audit columns): executor-side fetch of every zip
+    (:func:`io.zip_ingest.fetch_and_land_zips`), then the landed XML read
+    back through the Spark XML source with the audit surface of
+    :func:`with_study_audit`.
+
+    Returns ``(studies_df, fetch_audit_df)`` — the audit DataFrame is the
+    per-URL (ok, error, members, md5) record the reference only printed;
+    anti-join it to retry failures without re-fetching successes.
+    """
+    from datapipelines_essentials_python_spark.io.zip_ingest import (
+        fetch_and_land_zips,
+    )
+
+    audit = fetch_and_land_zips(
+        spark, urls, landing_dir, member_suffix=".xml", opener=opener
+    )
+    # materialize the fetch (foreachPartition semantics) before reading
+    landed = [r["landed_path"] for r in audit.collect() if r["ok"]]
+    if not landed:
+        raise ValueError("no archive landed successfully; see audit output")
+    studies = (
+        spark.read.format("xml")
+        .option("rowTag", "clinical_study")
+        .load(landed)
+    )
+    return with_study_audit(studies, ts), audit

@@ -123,3 +123,21 @@ def test_clinical_trial_cdc_flatten_sponsors(spark, batches):
                     (nct, sp.findtext("agency_class"), kind, sp.findtext("agency"))
                 )
     assert sorted(r[:4] for r in ref_rows) == sorted(expected)
+
+
+def test_ingest_from_urls_full_lifecycle(spark, tmp_path):
+    """S10 end-to-end on the reference's real archive: file:// fetch on
+    executors -> landed XML -> studies DataFrame with audit columns ->
+    CDC snapshot, mirroring clinical_trial_etl.py:107-212."""
+    studies, audit = ct.ingest_from_urls(
+        spark, [f"file://{CHUNK_ZIP}"], str(tmp_path / "landing"), T1
+    )
+    rows = audit.collect()
+    assert len(rows) == 1 and rows[0]["ok"] and rows[0]["members_written"] == 15
+    assert studies.count() == 15
+    for col in ("xml_file_name", "hashcode", "spark_timestamp", "pk_nct_id"):
+        assert col in studies.columns
+    # lifecycle continues: initial-load CDC over the ingested batch
+    delta, active = ct.study_cdc(None, studies)
+    assert active.count() == 15
+    assert delta.count() == 15
