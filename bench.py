@@ -248,16 +248,28 @@ def main() -> None:
         .collect()
     )
 
-    for name in HEADLINE:
+    def run_once(name: str) -> float:
         fn = queries[name]
         t0 = time.time()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
         # free blocks a query deliberately persisted (LSH signatures,
         # centroid assignments) so 85 queries don't accumulate cache
         for dep in getattr(df, "_sg_persisted", ()):
             dep.unpersist()
+        return round(time.time() - t0, 3)
+
+    for name in HEADLINE:
+        timings[name] = run_once(name)
+
+    # Noise probe: re-run the first headline query at the END of the pass.
+    # This VM's IO-wait noise swings absolute seconds ±30%; the start/end
+    # pair lets a reader separate machine drift from plan regressions.
+    noise_probe = {
+        "first_query": HEADLINE[0],
+        "start_sec": timings[HEADLINE[0]],
+        "end_sec": run_once(HEADLINE[0]),
+    }
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -303,6 +315,7 @@ def main() -> None:
         "n_queries": len(timings),
         "compared_to": prior[0] if prior else None,
         "regressions_vs_prior": regressions,
+        "noise_probe": noise_probe,
     }
     Path(__file__).resolve().parent.joinpath("bench_full.json").write_text(
         json.dumps(record, indent=1)
