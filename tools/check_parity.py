@@ -88,32 +88,33 @@ def main() -> int:
             spark_pdf = fn(spark, sf_dir).toPandas()
         except Exception as exc:  # noqa: BLE001
             failed.append(name)
-            print(f"FAIL {name}: spark error: {exc}")
+            print(f"FAIL {name}: spark error: {exc}", flush=True)
             continue
         t_spark = time.time() - t0
         if name not in oracles:
             skipped.append(name)
-            print(f"SKIP {name}: no oracle (rows={len(spark_pdf)}, {t_spark:.1f}s)")
+            print(f"SKIP {name}: no oracle (rows={len(spark_pdf)}, {t_spark:.1f}s)", flush=True)
             continue
         t0 = time.time()
         try:
             oracle_pdf = con.execute(oracles[name]).fetchdf()
         except Exception as exc:  # noqa: BLE001
             failed.append(name)
-            print(f"FAIL {name}: oracle error: {exc}")
+            print(f"FAIL {name}: oracle error: {exc}", flush=True)
             continue
         t_oracle = time.time() - t0
         problems = compare(name, spark_pdf, oracle_pdf)
         if problems:
             failed.append(name)
-            print(f"FAIL {name} ({t_spark:.1f}s/{t_oracle:.1f}s):")
+            print(f"FAIL {name} ({t_spark:.1f}s/{t_oracle:.1f}s):", flush=True)
             for p in problems:
                 print(f"  - {p}")
         else:
             passed.append(name)
             print(
                 f"PASS {name}: rows={len(spark_pdf)} "
-                f"(spark {t_spark:.1f}s, duckdb {t_oracle:.1f}s)"
+                f"(spark {t_spark:.1f}s, duckdb {t_oracle:.1f}s)",
+                flush=True,
             )
 
     print(
