@@ -2791,6 +2791,16 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return samp_ops.mixture_rates(docs, "source", _MIXTURE_TARGETS)
 
 
+def temperature_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha=0.5) mixture weights per source — the
+    multilingual alpha-sampling scheme; sqrt-only arithmetic keeps it
+    bit-identical across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    from datapipelines_essentials_python_spark.operators import sampling as samp_ops
+
+    return samp_ops.temperature_mixture(docs, "source", sqrt_passes=1)
+
+
 _DRIFT_EDGES = [150.0, 200.0, 250.0, 300.0, 350.0]
 
 
@@ -3893,6 +3903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logistic_quality": logistic_quality,
         "strip_markup": strip_markup_q,
         "mixture_weights": mixture_weights,
+        "temperature_mixture": temperature_mixture_q,
         "drift_chi2": drift_chi2,
         "hard_negatives": hard_negatives,
         "knn_label_accuracy": knn_label_accuracy,

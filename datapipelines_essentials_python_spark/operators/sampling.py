@@ -278,3 +278,61 @@ def mixture_rates(
         "n_keep",
         F.floor(F.col("rate") * F.col("n_rows").cast("double")).cast("long"),
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    domain_col: str,
+    sqrt_passes: int = 1,
+) -> DataFrame:
+    """Temperature-scaled mixture weights — the multilingual/multi-domain
+    α-sampling scheme (q_d ∝ p_d^α) that up-weights small domains without
+    letting a giant one dominate (α≈0.3–0.5 in the multilingual-pretraining
+    literature; α=1 is proportional, α→0 uniform).
+
+    α is restricted to powers of one half (``sqrt_passes``=k → α=0.5^k):
+    IEEE ``sqrt`` is correctly rounded and therefore IDENTICAL across
+    engines, while general ``pow(x, α)`` is not — this keeps the operator
+    oracle-exact. The temperatured masses are quantized to DECIMAL(28,12)
+    before the normalizing sum so the 5-term addition is order-independent
+    too.
+
+    → (domain, n_rows, p_raw, q_temp, sample_factor): ``p_raw`` the raw
+    corpus share, ``q_temp`` the temperature-scaled sampling share,
+    ``sample_factor = q_temp / p_raw`` the implied per-domain up/down-
+    sampling multiplier. One domain-keyed count agg; everything after is
+    arithmetic over the domain-cardinality table.
+    """
+    if sqrt_passes < 1:
+        raise ValueError("sqrt_passes must be >= 1 (alpha = 0.5^k)")
+    counts = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    total = counts.agg(F.sum("n_rows").cast("double").alias("total"))
+    with_p = counts.crossJoin(F.broadcast(total)).withColumn(
+        "p_raw_exact", F.col("n_rows").cast("double") / F.col("total")
+    )
+    mass = F.col("p_raw_exact")
+    for _ in range(sqrt_passes):
+        mass = F.sqrt(mass)
+    with_mass = with_p.withColumn(
+        "__mass", mass.cast("decimal(28,12)")
+    )
+    norm = with_mass.agg(F.sum("__mass").alias("__z"))
+    return (
+        with_mass.crossJoin(F.broadcast(norm))
+        .select(
+            "domain",
+            "n_rows",
+            F.round(F.col("p_raw_exact"), 6).alias("p_raw"),
+            F.round(
+                (F.col("__mass").cast("double") / F.col("__z").cast("double")), 6
+            ).alias("q_temp"),
+            F.round(
+                F.col("__mass").cast("double")
+                / F.col("__z").cast("double")
+                / F.col("p_raw_exact"),
+                6,
+            ).alias("sample_factor"),
+        )
+    )

@@ -2368,6 +2368,24 @@ SELECT domain, n_rows, target_share, rate,
 FROM rated
 """
 
+ORACLES["temperature_mixture"] = """
+WITH counts AS (
+  SELECT source AS domain, CAST(count(*) AS BIGINT) AS n_rows
+  FROM documents GROUP BY source),
+t AS (SELECT CAST(sum(n_rows) AS DOUBLE) AS total FROM counts),
+m AS (
+  SELECT domain, n_rows,
+    CAST(n_rows AS DOUBLE) / total AS p_raw_exact,
+    CAST(sqrt(CAST(n_rows AS DOUBLE) / total) AS DECIMAL(28,12)) AS mass
+  FROM counts CROSS JOIN t),
+z AS (SELECT sum(mass) AS zz FROM m)
+SELECT domain, n_rows,
+  round(p_raw_exact, 6) AS p_raw,
+  round(CAST(mass AS DOUBLE) / CAST(zz AS DOUBLE), 6) AS q_temp,
+  round(CAST(mass AS DOUBLE) / CAST(zz AS DOUBLE) / p_raw_exact, 6) AS sample_factor
+FROM m CROSS JOIN z
+"""
+
 ORACLES["drift_chi2"] = """
 WITH bucketed AS (
   SELECT CASE WHEN CAST(n_chars AS DOUBLE) >= 350 THEN 5

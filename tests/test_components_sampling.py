@@ -752,3 +752,29 @@ def test_fuzzy_join_blocked_short_keys(spark):
     assert (1, 10, 1) in got  # the 'abc'~'abd' case from the advice
     # exactly-once: no duplicate pairs from multi-block collisions
     assert len(got) == len(set((a, b) for a, b, _ in got))
+
+
+def test_temperature_mixture(spark):
+    """alpha=0.5 sampling: q ∝ sqrt(p); small domains get factor > 1,
+    large ones < 1; shares normalize to 1."""
+    from datapipelines_essentials_python_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    rows = [("big",)] * 900 + [("small",)] * 100
+    df = spark.createDataFrame(rows, "dom string")
+    out = {r["domain"]: r for r in temperature_mixture(df, "dom").collect()}
+    import math
+
+    z = math.sqrt(0.9) + math.sqrt(0.1)
+    assert out["big"]["p_raw"] == 0.9
+    assert abs(out["big"]["q_temp"] - math.sqrt(0.9) / z) < 1e-6
+    assert abs(out["small"]["q_temp"] - math.sqrt(0.1) / z) < 1e-6
+    assert out["small"]["sample_factor"] > 1.0 > out["big"]["sample_factor"]
+    assert abs(out["big"]["q_temp"] + out["small"]["q_temp"] - 1.0) < 2e-6
+    # alpha=0.25 flattens harder
+    out2 = {
+        r["domain"]: r
+        for r in temperature_mixture(df, "dom", sqrt_passes=2).collect()
+    }
+    assert out2["small"]["q_temp"] > out["small"]["q_temp"]
