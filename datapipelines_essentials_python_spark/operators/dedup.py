@@ -192,23 +192,30 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> Column:
 
     sig_i = min over shingles of (a_i·h(shingle) + b_i) mod p, with h = the
     32-bit md5 prefix mod p. Min over a universal hash family is the classic
-    MinHash estimator; one md5 per shingle instead of ``num_hashes`` md5s
-    makes signing ~num_hashes× cheaper at scan time. Empty documents sign
-    as the sentinel p (above every real value).
+    MinHash estimator. Empty documents sign as the sentinel p (above every
+    real value).
+
+    Evaluation shape matters: higher-order lambdas run interpreted (no
+    codegen CSE), so the md5 value must be bound to a lambda VARIABLE
+    before fan-out — a per-hash ``transform(vals, affine_i)`` family
+    re-evaluates the md5 subtree ``num_hashes`` times per shingle. Here
+    each shingle is hashed ONCE (``shingle_values``), the 16 affine maps
+    read the bound variable, and the signature is an elementwise-min fold
+    (``aggregate`` + ``zip_with``/``least``) over the per-shingle rows.
     """
     vals = shingle_values(shingle_col)
-
-    def affine(a: int, b: int):
-        return lambda v: (F.lit(a) * v + F.lit(b)) % MINHASH_P
-
-    return F.array(
-        *[
-            F.coalesce(
-                F.array_min(F.transform(vals, affine(a, b))),
-                F.lit(MINHASH_P).cast("long"),
-            )
-            for a, b in minhash_coeffs(num_hashes)
-        ]
+    coeffs = minhash_coeffs(num_hashes)
+    per_shingle = F.transform(
+        vals,
+        lambda v: F.array(
+            *[(F.lit(a) * v + F.lit(b)) % MINHASH_P for a, b in coeffs]
+        ),
+    )
+    init = F.array(*[F.lit(MINHASH_P).cast("long")] * num_hashes)
+    return F.aggregate(
+        per_shingle,
+        init,
+        lambda acc, row: F.zip_with(acc, row, lambda x, y: F.least(x, y)),
     )
 
 
