@@ -195,23 +195,52 @@ HEADLINE = [
 ]
 
 
+def current_round() -> int | None:
+    """The round currently being built, inferred from VERDICT.md's header
+    ("# VERDICT — round N" → currently building N+1). The judge writes
+    VERDICT strictly AFTER the driver's bench run, so throughout round
+    N+1 — including the driver's own bench invocation — the header still
+    reads N. (CORRECTNESS_r{N} is NOT a safe source: the r4 driver wrote
+    it minutes BEFORE running bench, so it already names the in-flight
+    round at bench time.)"""
+    import re
+
+    root = Path(__file__).resolve().parent
+    try:
+        head = (root / "VERDICT.md").read_text()[:200]
+    except OSError:
+        return None
+    m = re.search(r"round\s+(\d+)", head)
+    return int(m.group(1)) + 1 if m else None
+
+
 def load_prior_bench(sf) -> tuple[str, dict[str, float]] | None:
-    """Latest parseable bench at the same sf → (tag, per-query seconds).
+    """Latest parseable bench from a PRIOR round at the same sf →
+    (tag, per-query seconds).
 
     Prefers the committed full-detail snapshots (BENCH_FULL_r{N}.json,
     written by this script and committed per round — immune to the
     driver's 2000-char stdout-tail truncation) and falls back to the
     driver's own BENCH_r{N}.json records; unparseable/crashed rounds are
     skipped so the comparison is always against a real prior.
+
+    Snapshots tagged with the current round (or later) are EXCLUDED:
+    when the driver runs bench after this round's BENCH_FULL_r{N} is
+    already committed, comparing against it would be a vacuous
+    self-vs-self diff (r4 verdict item 1) — the guard must compare
+    against the last round that actually shipped.
     """
     import re
 
+    cur = current_round()
     best: tuple[int, str, dict[str, float]] | None = None
     root = Path(__file__).resolve().parent
     # FULL first: at equal round number the strict > keeps the first seen
     for p in list(root.glob("BENCH_FULL_r*.json")) + list(root.glob("BENCH_r*.json")):
         m = re.match(r"BENCH(?:_FULL)?_r(\d+)\.json", p.name)
         if not m:
+            continue
+        if cur is not None and int(m.group(1)) >= cur:
             continue
         try:
             data = json.loads(p.read_text())

@@ -109,15 +109,20 @@ LAND_AUDIT_SCHEMA = T.StructType(
 )
 
 
+FETCH_TIMEOUT_S = 60
+
+
 def _default_opener(url: str) -> bytes:
     """Fetch one URL to bytes with stdlib urllib (handles http/https/file).
 
     Module-level so it pickles cleanly to executors; tests inject
-    ``file://`` URLs and this opener stays fully offline.
+    ``file://`` URLs and this opener stays fully offline. The timeout
+    turns a hung server into an ``ok=false`` audit row instead of an
+    indefinitely stalled executor task (and with it, a stalled stage).
     """
     from urllib.request import urlopen
 
-    with urlopen(url) as resp:  # noqa: S310 - scheme chosen by caller
+    with urlopen(url, timeout=FETCH_TIMEOUT_S) as resp:  # noqa: S310 - scheme chosen by caller
         return resp.read()
 
 
@@ -129,6 +134,30 @@ def _sanitize_url_name(url: str) -> str:
     for ch in ("=", "?", ".", "-", "&", "%"):
         tail = tail.replace(ch, "_")
     return tail or "download"
+
+
+def _dest_names(urls: list[str]) -> list[str]:
+    """One filesystem-safe dest name PER URL, collision-free.
+
+    ``_sanitize_url_name`` keys on the URL's last segment only, so two
+    URLs differing only in directory (``.../a/data.zip`` vs
+    ``.../b/data.zip``) would land on the same dest file — parallel
+    tasks clobbering each other while both audit rows report ``ok=true``
+    with md5s that no longer describe what's on disk. Names that would
+    collide get an 8-hex md5 of the FULL url appended; unique names keep
+    the reference-compatible bare form (so existing fixtures/paths are
+    unchanged). Driver-side, O(n) over the url list.
+    """
+    bare = [_sanitize_url_name(u) for u in urls]
+    seen: dict[str, int] = {}
+    for b in bare:
+        seen[b] = seen.get(b, 0) + 1
+    return [
+        b
+        if seen[b] == 1
+        else f"{b}_{hashlib.md5(str(u).encode('utf-8')).hexdigest()[:8]}"
+        for u, b in zip(urls, bare)
+    ]
 
 
 def fetch_urls(
@@ -158,11 +187,12 @@ def fetch_urls(
     """
     fetch = opener or _default_opener
     n = partitions or min(len(urls), 32) or 1
+    tagged = list(zip(urls, _dest_names(list(urls))))
 
-    def _fetch_partition(it: Iterator[str]) -> Iterator[tuple]:
+    def _fetch_partition(it: Iterator[tuple]) -> Iterator[tuple]:
         os.makedirs(dest_dir, exist_ok=True)
-        for url in it:
-            dest = os.path.join(dest_dir, _sanitize_url_name(url))
+        for url, name in it:
+            dest = os.path.join(dest_dir, name)
             try:
                 data = fetch(url)
                 with open(dest, "wb") as f:
@@ -178,7 +208,7 @@ def fetch_urls(
             except Exception as exc:  # audit row, not task failure
                 yield (url, None, None, None, False, f"{type(exc).__name__}: {exc}")
 
-    rdd = spark.sparkContext.parallelize(list(urls), n).mapPartitions(
+    rdd = spark.sparkContext.parallelize(tagged, n).mapPartitions(
         _fetch_partition
     )
     return spark.createDataFrame(rdd, FETCH_AUDIT_SCHEMA)
@@ -209,10 +239,10 @@ def fetch_and_land_zips(
     """
     fetch = opener or _default_opener
     n = partitions or min(len(urls), 32) or 1
+    tagged = list(zip(urls, _dest_names(list(urls))))
 
-    def _land_partition(it: Iterator[str]) -> Iterator[tuple]:
-        for url in it:
-            stem = _sanitize_url_name(url)
+    def _land_partition(it: Iterator[tuple]) -> Iterator[tuple]:
+        for url, stem in it:
             out_dir = os.path.join(landing_dir, stem)
             dest = os.path.join(out_dir, f"{stem}{member_suffix}")
             try:
@@ -253,9 +283,16 @@ def fetch_and_land_zips(
                         out.write(f"</{root_tag}>\n")
                 yield (url, dest, members, total, digest.hexdigest(), True, None)
             except Exception as exc:
+                # a mid-write failure must not leave a partial landed file:
+                # consumers read the landing dir by glob, so anything on
+                # disk is treated as successfully landed
+                try:
+                    os.remove(dest)
+                except OSError:
+                    pass
                 yield (url, None, None, None, None, False, f"{type(exc).__name__}: {exc}")
 
-    rdd = spark.sparkContext.parallelize(list(urls), n).mapPartitions(
+    rdd = spark.sparkContext.parallelize(tagged, n).mapPartitions(
         _land_partition
     )
     return spark.createDataFrame(rdd, LAND_AUDIT_SCHEMA)

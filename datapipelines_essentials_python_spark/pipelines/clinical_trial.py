@@ -145,16 +145,26 @@ def ingest_from_urls(
         fetch_and_land_zips,
     )
 
+    import os
+
     audit = fetch_and_land_zips(
         spark, urls, landing_dir, member_suffix=".xml", opener=opener
     )
-    # materialize the fetch (foreachPartition semantics) before reading
-    landed = [r["landed_path"] for r in audit.collect() if r["ok"]]
-    if not landed:
+    # Materialize the side-effecting fetch EXACTLY ONCE: the audit DF is
+    # RDD-backed, so any later action on a lazy handle would re-run the
+    # whole download/land job. localCheckpoint(eager) both triggers it
+    # and pins the results, so the returned audit is re-action-safe.
+    audit = audit.localCheckpoint(eager=True)
+    # Success check and the read path are both count-independent of the
+    # URL list: one scalar aggregate, then a glob over the landing dir
+    # (each archive lands at landing_dir/<stem>/<stem>.xml) — a 10M-URL
+    # backfill never materializes a Python path list on the driver.
+    n_ok = audit.filter(F.col("ok")).limit(1).count()
+    if n_ok == 0:
         raise ValueError("no archive landed successfully; see audit output")
     studies = (
         spark.read.format("xml")
         .option("rowTag", "clinical_study")
-        .load(landed)
+        .load(os.path.join(landing_dir, "*", "*.xml"))
     )
     return with_study_audit(studies, ts), audit

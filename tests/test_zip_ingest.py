@@ -134,6 +134,152 @@ def test_fetch_and_land_zips_decorate_hook(spark, tmp_path):
         assert f.read() == "<!--a.xml--><r/>"
 
 
+def test_fetch_urls_colliding_basenames_land_separately(spark, tmp_path):
+    """Two URLs differing only in directory must NOT clobber one dest file;
+    each audit md5 must describe the bytes actually on disk."""
+    src = tmp_path / "src"
+    (src / "a").mkdir(parents=True)
+    (src / "b").mkdir()
+    (src / "a" / "data.bin").write_bytes(b"from-a")
+    (src / "b" / "data.bin").write_bytes(b"from-b-longer")
+    urls = [f"file://{src}/a/data.bin", f"file://{src}/b/data.bin"]
+    audit = fetch_urls(spark, urls, str(tmp_path / "d")).collect()
+    by_url = {r["url"]: r for r in audit}
+    dests = {r["dest_path"] for r in audit}
+    assert len(dests) == 2, "colliding basenames must get distinct dest files"
+    for url, payload in zip(urls, [b"from-a", b"from-b-longer"]):
+        row = by_url[url]
+        with open(row["dest_path"], "rb") as f:
+            on_disk = f.read()
+        assert on_disk == payload
+        assert row["content_md5"] == _hl.md5(on_disk).hexdigest()
+
+
+def test_fetch_and_land_zips_flaky_transport(spark, tmp_path):
+    """One URL raising mid-fetch yields an ok=false audit row WITHOUT
+    failing the partition; the healthy archive lands and proceeds, and the
+    failure leaves no partial file behind (glob consumers must not see it)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    _make_zip(src / "good.zip", {"a.xml": b"<doc>ok</doc>"})
+    good_url = f"file://{src}/good.zip"
+    bad_url = "flaky://server/bad.zip"
+
+    def opener(url):
+        if url == bad_url:
+            raise TimeoutError("simulated hung server")
+        with open(url.removeprefix("file://"), "rb") as f:
+            return f.read()
+
+    landing = tmp_path / "landing"
+    audit = fetch_and_land_zips(
+        spark, [good_url, bad_url], str(landing), opener=opener, root_tag=None
+    ).collect()
+    by_url = {r["url"]: r for r in audit}
+    assert by_url[good_url]["ok"] is True
+    bad = by_url[bad_url]
+    assert bad["ok"] is False and "TimeoutError" in bad["error"]
+    assert bad["landed_path"] is None
+    # only the healthy archive's file exists under the landing dir
+    landed_files = [
+        os.path.join(r, f) for r, _, fs in os.walk(landing) for f in fs
+    ]
+    assert len(landed_files) == 1 and landed_files[0].endswith("good_zip.xml")
+
+
+def test_fetch_and_land_zips_corrupt_archive_no_partial_file(spark, tmp_path):
+    """A payload that fails AFTER the dest file is opened (not a zip) must
+    remove the partial file so directory-glob readers skip it."""
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "notazip.zip").write_bytes(b"this is not a zip archive")
+    landing = tmp_path / "landing"
+    audit = fetch_and_land_zips(
+        spark, [f"file://{src}/notazip.zip"], str(landing), root_tag=None
+    ).collect()
+    assert audit[0]["ok"] is False and "BadZipFile" in audit[0]["error"]
+    leftover = [f for _, _, fs in os.walk(landing) for f in fs]
+    assert leftover == []
+
+
+def test_fetch_and_land_zips_midwrite_failure_removes_partial(spark, tmp_path):
+    """Failure AFTER some members are already written (second member is
+    invalid UTF-8) must remove the half-written landed file."""
+    src = tmp_path / "src"
+    src.mkdir()
+    _make_zip(src / "half.zip", {"a.xml": b"<ok/>", "b.xml": b"\xff\xfe\x00bad"})
+    landing = tmp_path / "landing"
+    audit = fetch_and_land_zips(
+        spark, [f"file://{src}/half.zip"], str(landing), root_tag=None
+    ).collect()
+    assert audit[0]["ok"] is False and "UnicodeDecodeError" in audit[0]["error"]
+    leftover = [f for _, _, fs in os.walk(landing) for f in fs]
+    assert leftover == []
+
+
+def test_ingest_from_urls_fetch_runs_exactly_once(spark, tmp_path):
+    """The returned audit DF is materialized (localCheckpoint) inside
+    ingest_from_urls: re-collecting it, or acting on the studies DF, must
+    NOT re-run the side-effecting download job (ADVICE r4). Fetch calls
+    are counted via an on-disk ledger visible across executor workers."""
+    from datapipelines_essentials_python_spark.pipelines import clinical_trial as ct
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _make_zip(src / "c1.zip", {"a.xml": b"<clinical_study><id_info><nct_id>N1</nct_id></id_info></clinical_study>"})
+    _make_zip(src / "c2.zip", {"b.xml": b"<clinical_study><id_info><nct_id>N2</nct_id></id_info></clinical_study>"})
+    ledger = tmp_path / "calls"
+    ledger.mkdir()
+
+    def opener(url):
+        # one ledger file per call; unique name per (url, attempt)
+        import uuid
+
+        (ledger / f"{uuid.uuid4().hex}").write_text(url)
+        with open(url.removeprefix("file://"), "rb") as f:
+            return f.read()
+
+    urls = [f"file://{src}/c1.zip", f"file://{src}/c2.zip"]
+    studies, audit = ct.ingest_from_urls(
+        spark, urls, str(tmp_path / "landing"), "2020-04-03 00:00:00", opener=opener
+    )
+    calls_after_ingest = len(list(ledger.iterdir()))
+    assert calls_after_ingest == 2  # one fetch per URL, already materialized
+    audit.collect()
+    audit.collect()
+    assert studies.count() == 2
+    assert len(list(ledger.iterdir())) == calls_after_ingest, (
+        "later actions on audit/studies must not re-download"
+    )
+
+
+def test_ingest_from_urls_partial_failure_proceeds(spark, tmp_path):
+    """One failing URL: landed subset is read, audit carries the failure."""
+    from datapipelines_essentials_python_spark.pipelines import clinical_trial as ct
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _make_zip(src / "ok.zip", {"a.xml": b"<clinical_study><id_info><nct_id>N1</nct_id></id_info></clinical_study>"})
+
+    def opener(url):
+        if "missing" in url:
+            raise ConnectionError("refused")
+        with open(url.removeprefix("file://"), "rb") as f:
+            return f.read()
+
+    studies, audit = ct.ingest_from_urls(
+        spark,
+        [f"file://{src}/ok.zip", "http://host/missing.zip"],
+        str(tmp_path / "landing"),
+        "2020-04-03 00:00:00",
+        opener=opener,
+    )
+    assert studies.count() == 1
+    rows = {r["url"]: r for r in audit.collect()}
+    assert rows[f"file://{src}/ok.zip"]["ok"] is True
+    assert rows["http://host/missing.zip"]["ok"] is False
+
+
 @pytest.mark.skipif(not os.path.isfile(CHUNK_ZIP), reason="reference fixtures absent")
 def test_fetch_and_land_reference_chunk_readable_as_xml(spark, tmp_path):
     """E2E over the reference's real archive: executor-side fetch of
