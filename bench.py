@@ -81,9 +81,9 @@ HEADLINE = [
     "training_pipeline_e2e",
     "ols_fit",
     # round 2: the SRP-bucketed near-dup path, multi-probe IVF, and the
-    # rule-1013 completeness check. ngram_jaccard stays out: even blocked
-    # by language its exact-Jaccard verification is quadratic per block —
-    # minhash_lsh (in the set above) is the sub-quadratic scale path.
+    # rule-1013 completeness check. (ngram_jaccard joined the set in
+    # round 5 once the inverted-index rewrite removed its per-block
+    # quadratic verification; see the round-5 block at the end.)
     "embedding_neardup",
     "ivf_ann_nprobe2",
     "dq_file_completeness",
@@ -192,6 +192,12 @@ HEADLINE = [
     "time_rollup",
     "sliding_count_1h",
     "funnel_within_1h",
+    # round 5: ngram_jaccard joins the set — the inverted-index rewrite
+    # removed the per-block quadratic array-compare (intersections come
+    # from a posting-join count), so it now has a benchable scale shape;
+    # pq_ann_refined adds the k-means-refined codebook variant.
+    "ngram_jaccard",
+    "pq_ann_refined",
 ]
 
 

@@ -32,6 +32,8 @@ def as_of_join(
     value_cols: list[str],
     tolerance_seconds: float | None = None,
     direction: str = "backward",
+    tie_break: str | None = None,
+    assert_unique: bool = False,
 ) -> DataFrame:
     """For each left row, attach the nearest right row on the same key:
     ``direction='backward'`` (default) → most recent with
@@ -40,14 +42,55 @@ def as_of_join(
     DuckDB ASOF semantics). Either way it is ONE key shuffle + one
     in-partition sorted window, not a per-row range probe.
 
-    ``right`` must be unique per (key, ts) — pre-aggregate if not (ties
-    would otherwise be nondeterministic). Matched value columns come back
-    as ``asof_<col>`` plus ``asof_ts``; unmatched rows keep NULLs.
-    ``tolerance_seconds`` nulls out matches farther than the tolerance in
-    the chosen direction.
+    ``right`` must be unique per (key, ts): duplicate (key, ts) right rows
+    make the match nondeterministic (whichever duplicate the in-partition
+    sort happens to place last wins). Two opt-in guards enforce the
+    contract instead of just documenting it:
+
+    - ``tie_break='col'`` — resolve duplicates DETERMINISTICALLY by
+      keeping, per (key, ts), the right row with the greatest value of
+      that column (further ties broken by the value columns in order, via
+      a single struct-max aggregation — one extra keyed agg on the right
+      side, no window);
+    - ``assert_unique=True`` — fail fast with ``ValueError`` if any
+      (key, ts) group has more than one right row (one cheap aggregate
+      job over the right side; use in pipelines where duplicates indicate
+      an upstream bug rather than data to be resolved).
+
+    Matched value columns come back as ``asof_<col>`` plus ``asof_ts``;
+    unmatched rows keep NULLs. ``tolerance_seconds`` nulls out matches
+    farther than the tolerance in the chosen direction.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
+    if assert_unique:
+        n_dup = (
+            right.groupBy(*key_cols, right_ts)
+            .count()
+            .where(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if n_dup:
+            raise ValueError(
+                "as_of_join: right side has duplicate (key, ts) rows; "
+                "pre-aggregate or pass tie_break= to resolve them "
+                "deterministically"
+            )
+    if tie_break is not None:
+        ordered = [tie_break, *[c for c in value_cols if c != tie_break]]
+        best = F.max(
+            F.struct(*[F.col(c) for c in ordered])
+        ).alias("__best")
+        right = (
+            right.groupBy(*key_cols, right_ts)
+            .agg(best)
+            .select(
+                *key_cols,
+                right_ts,
+                *[F.col(f"__best.{c}").alias(c) for c in value_cols],
+            )
+        )
     val_struct = F.struct(
         F.col(right_ts).alias("__rts"), *[F.col(c) for c in value_cols]
     )

@@ -156,6 +156,77 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_indexed(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via an INVERTED INDEX — result-identical
+    to :func:`ngram_jaccard_pairs` for any ``threshold > 0``, without ever
+    scoring a pair that shares no shingle.
+
+    Shape: explode each document's (distinct) shingle set into postings,
+    equi-join postings on the shingle value (plus ``block_col`` when
+    given), and count co-occurrences per (id_a, id_b) — that count IS the
+    intersection size, and the union follows from the two set sizes
+    (``|A| + |B| - |A∩B|``), so no per-pair array intersection is ever
+    evaluated. One posting shuffle keyed on the shingle + one pair-keyed
+    count agg (map-side combined) replace the block-clique self-join:
+    cost is quadratic only in each shingle's posting list, not in the
+    block — at 100 TB the brute variant's O(block²) array-compare work is
+    the killer, while hot-shingle fan-out here is bounded by document
+    vocabulary overlap (and :func:`minhash_lsh_pairs` remains the
+    candidate-capped scale path when even that is too much).
+
+    Pairs with zero shared shingles (Jaccard 0) are structurally absent,
+    hence the ``threshold > 0`` requirement.
+    """
+    if threshold <= 0:
+        raise ValueError(
+            "ngram_jaccard_pairs_indexed requires threshold > 0 (zero-"
+            "overlap pairs are structurally absent from the index join)"
+        )
+    blk = [F.col(block_col).alias("blk")] if block_col else []
+    base = df.select(
+        F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"), *blk
+    ).withColumn("sz", F.size("sh"))
+    posting = base.select(
+        "id", "sz", *(["blk"] if block_col else []), F.explode("sh").alias("g")
+    )
+    a = posting.select(
+        F.col("id").alias("id_a"),
+        F.col("sz").alias("sz_a"),
+        *([F.col("blk").alias("blk_a")] if block_col else []),
+        F.col("g").alias("g_a"),
+    )
+    b = posting.select(
+        F.col("id").alias("id_b"),
+        F.col("sz").alias("sz_b"),
+        *([F.col("blk").alias("blk_b")] if block_col else []),
+        F.col("g").alias("g_b"),
+    )
+    cond = (F.col("g_a") == F.col("g_b")) & (F.col("id_a") < F.col("id_b"))
+    if block_col:
+        cond = cond & (F.col("blk_a") == F.col("blk_b"))
+    co = (
+        a.join(b, cond)
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.round(
+        F.col("inter").cast("double")
+        / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        6,
+    )
+    return (
+        co.select("id_a", "id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------
@@ -246,9 +317,12 @@ def minhash_lsh_pairs(
 
     1. shingle + sign per doc — narrow projection [0 shuffles]
     2. explode ``bands`` band-keys per doc (band key = md5 of its slice of
-       the signature) and self-join on the band key → candidate pairs
-       [1 shuffle, keyed on band hash]; buckets larger than ``max_bucket``
-       docs are dropped (degenerate bands) to bound the pair blow-up;
+       the signature) and group on the band key → candidate pairs
+       [1 corpus-sized shuffle keyed on band hash, plus a KB-sized
+       post-partial-agg count shuffle]; buckets larger than ``max_bucket``
+       docs are dropped (degenerate bands) row-level BEFORE any bucket
+       array or pair materializes, bounding both the pair blow-up and the
+       collect buffer;
     3. verify candidates with exact Jaccard on the shingle sets and keep
        pairs ≥ ``threshold`` [1 shuffle, keyed on doc id].
 
@@ -290,18 +364,29 @@ def minhash_lsh_pairs(
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
 
-    # Candidate pairs straight off ONE (band, bucket) exchange: collect the
-    # bucket's ids (map-side combined), drop degenerate buckets larger than
-    # ``max_bucket`` BEFORE any pair exists, and expand the strict upper
-    # triangle with JVM array expressions. This replaces the previous
-    # bucket-size window + bucket self-join (two exchanges of the banded
-    # table) with a single groupBy — at scale the banded table is
-    # bands×corpus rows, so the saved exchange is the big one. Sorting the
-    # bucket makes (id_a < id_b) positional and the output deterministic.
-    bucketed = (
+    # Candidate pairs off the (band, bucket) exchange: collect each
+    # bucket's ids, drop degenerate buckets larger than ``max_bucket``
+    # BEFORE any pair exists, and expand the strict upper triangle with
+    # JVM array expressions. The degenerate-bucket filter must run BEFORE
+    # collect_list, not after: collect_list's aggregation buffer grows in
+    # executor memory (it doesn't spill like a window), so one hot bucket
+    # — millions of identical/empty docs hashing to the same band key —
+    # would OOM a task even though its array is ultimately discarded. The
+    # count pre-pass rides a map-side-combined partial agg (its shuffle is
+    # one row per distinct bucket per task, KBs), and the join back on the
+    # shuffle keys co-partitions with the groupBy, so surviving-bucket
+    # collection adds no corpus-sized exchange. Sorting the bucket makes
+    # (id_a < id_b) positional and the output deterministic.
+    bucket_ok = (
         banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("__bsz"))
+        .where((F.col("__bsz") >= 2) & (F.col("__bsz") <= max_bucket))
+        .drop("__bsz")
+    )
+    bucketed = (
+        banded.join(bucket_ok, ["band", "bucket"])
+        .groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))
-        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
     triangle = F.flatten(
         F.transform(

@@ -379,6 +379,86 @@ def _sqdist(a: Column, b: Column) -> Column:
     )
 
 
+def _pq_refine_once(
+    corpus: DataFrame,
+    cb_row: DataFrame,
+    vec_col: str,
+    n_sub: int,
+    sub_dim: int,
+) -> DataFrame:
+    """One per-subspace Lloyd iteration over the PQ codebook: every corpus
+    subvector is assigned to its nearest code (squared distance, first-code
+    tie-break — the same rule :func:`pq_topk` encodes with), then each
+    (sub, code) centroid becomes the DECIMAL-exact per-dimension mean of
+    its members, rounded to 6 dp (the :func:`clustering.kmeans_update`
+    recipe, so the SQL oracle replays the iteration bit-for-bit). Codes
+    that attract no members keep their previous centroid.
+
+    Scale shape: one broadcast of the KB codebook over the corpus scan
+    (narrow), one (sub, code, dim)-keyed agg whose map-side combine caps
+    the shuffle at ``n_sub · n_codes · sub_dim`` rows per task — corpus-
+    size-independent, same as a k-means round.
+    """
+    cb = F.col("cb")
+    sv = F.transform(
+        F.slice(F.col("__v"), F.col("sub") * sub_dim + 1, sub_dim),
+        lambda x: x.cast("double"),
+    )
+    subv = (
+        corpus.crossJoin(F.broadcast(cb_row))
+        .select(
+            cb.alias("cb"),
+            F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("sub"),
+            F.col(vec_col).alias("__v"),
+        )
+        .select("cb", "sub", sv.alias("sv"))
+    )
+    dists = F.transform(
+        F.element_at(F.col("cb"), F.col("sub") + 1),
+        lambda c: _sqdist(F.col("sv"), c),
+    )
+    assigned = subv.select(
+        "sub",
+        "sv",
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("code"),
+    )
+    ex = assigned.select("sub", "code", F.posexplode("sv").alias("dim", "val"))
+    means = ex.groupBy("sub", "code", "dim").agg(
+        F.round(
+            F.sum(F.col("val").cast("decimal(27,10)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("m")
+    )
+    new_vecs = (
+        means.groupBy("sub", "code")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("s"))
+        .select(
+            "sub",
+            "code",
+            F.expr("transform(s, x -> cast(x.m as double))").alias("cvec_new"),
+        )
+    )
+    grid = cb_row.select(F.posexplode("cb").alias("sub", "arr")).select(
+        "sub", F.posexplode("arr").alias("code", "cvec_old")
+    )
+    merged = grid.join(new_vecs, ["sub", "code"], "left").select(
+        "sub", "code", F.coalesce("cvec_new", "cvec_old").alias("cvec")
+    )
+    by_sub = merged.groupBy("sub").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("code", "cvec"))),
+            lambda s: s["cvec"],
+        ).alias("arr")
+    )
+    return by_sub.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "arr"))),
+            lambda s: s["arr"],
+        ).alias("cb")
+    )
+
+
 def pq_codebook(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -386,15 +466,19 @@ def pq_codebook(
     n_sub: int = 4,
     sub_dim: int = 16,
     n_codes: int = 16,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """Product-quantization codebook as ONE nested-array row:
     ``cb[sub][code] = centroid subvector`` (``n_sub · n_codes`` subvectors,
     ≈ KBs — broadcastable at any corpus size).
 
     Centroids default to the ``n_codes`` lowest-id corpus vectors sliced
-    per subspace — deterministic, the same convention as :func:`ivf_topk`;
-    refine with per-subspace k-means (``clustering.kmeans_step`` over
-    exploded subvectors) in production.
+    per subspace — deterministic, the same convention as :func:`ivf_topk`.
+    ``refine_iters > 0`` runs that many per-subspace k-means (Lloyd)
+    iterations over the seeds (:func:`_pq_refine_once`): centroids move to
+    the DECIMAL-exact rounded mean of their assigned subvectors, which
+    tightens quantization error and top-k recall while staying fully
+    oracle-replayable.
     """
     w = Window.orderBy(id_col)
     seeds = (
@@ -420,12 +504,15 @@ def pq_codebook(
             lambda s: s["cvec"],
         ).alias("arr")
     )
-    return by_sub.agg(
+    cb_row = by_sub.agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("sub", "arr"))),
             lambda s: s["arr"],
         ).alias("cb")
     )
+    for _ in range(refine_iters):
+        cb_row = _pq_refine_once(corpus, cb_row, vec_col, n_sub, sub_dim)
+    return cb_row
 
 
 def pq_topk(
@@ -437,6 +524,7 @@ def pq_topk(
     n_sub: int = 4,
     sub_dim: int = 16,
     n_codes: int = 16,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """Product-quantization ANN: encode every corpus vector as ``n_sub``
     codebook codes (argmin subvector distance, first-code tie-break), then
@@ -454,7 +542,9 @@ def pq_topk(
     and summed as DECIMAL — order-independent, so the SQL oracle replays
     the identical estimate. → (query_id, neighbor_id, rank, dist_est).
     """
-    cb_row = pq_codebook(corpus, id_col, vec_col, n_sub, sub_dim, n_codes)
+    cb_row = pq_codebook(
+        corpus, id_col, vec_col, n_sub, sub_dim, n_codes, refine_iters
+    )
     cb = F.col("cb")
 
     def sub_slice(vec: Column, s: int) -> Column:

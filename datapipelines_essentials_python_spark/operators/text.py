@@ -511,6 +511,7 @@ def build_vocab(
     text_col: str = "text",
     top_k: int | None = None,
     rank_partitions: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Corpus vocabulary with coverage accounting: token → count, frequency
     rank (count desc, token asc — a total order), cumulative count, and
@@ -540,9 +541,25 @@ def build_vocab(
     n_part = rank_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
+    # MATERIALIZED before branching: both the local-rank branch and the
+    # per-range-totals branch below consume `ranged`, and their agreement
+    # on __pid assignments is load-bearing for correctness. The
+    # repartitionByRange boundaries come from nondeterministic sampling,
+    # so if the exchange were ever evaluated twice (exchange reuse
+    # disabled, a planner change, or partition recompute after executor
+    # loss), the two branches could see DIFFERENT partitionings and the
+    # broadcast offsets would silently produce wrong global ranks. The
+    # eager localCheckpoint pins one partitioning and truncates lineage,
+    # making recompute-divergence impossible rather than merely unlikely
+    # (on executor loss the job fails loudly instead of silently
+    # re-sampling new boundaries). ``materialize=False`` skips the pin so
+    # plan-shape tests can inspect the pre-checkpoint logical plan — the
+    # checkpoint hides the range exchange from explain() by design.
     ranged = counts.repartitionByRange(
         n_part, F.col("cnt").desc(), F.col("token")
     ).withColumn("__pid", F.spark_partition_id())
+    if materialize:
+        ranged = ranged.localCheckpoint(eager=True)
     lw = Window.partitionBy("__pid").orderBy(F.col("cnt").desc(), F.col("token"))
     local = ranged.select(
         "token",
@@ -556,8 +573,8 @@ def build_vocab(
     # offsets: per-range totals (exactly n_part rows) prefix-summed with a
     # triangular broadcast self-join — no window at all, so nothing ever
     # moves "all data to a single partition", and the per-range totals are
-    # aggregated straight off the range exchange (local's lineage is not
-    # recomputed)
+    # aggregated straight off the checkpointed range partitioning (the
+    # word-count shuffle runs exactly once)
     per_range = ranged.groupBy("__pid").agg(
         F.count(F.lit(1)).alias("__n"), F.sum("cnt").cast("long").alias("__s")
     )

@@ -477,11 +477,17 @@ FROM s LEFT JOIN hits h ON s.doc_id = h.doc_id
 
 ORACLES["ngram_jaccard"] = f"""
 WITH t AS (SELECT doc_id, lang, {TOKS} AS toks FROM documents),
-s AS (SELECT doc_id, lang, {SHINGLES} AS sh FROM t)
-SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
-  {_JACCARD} AS jaccard
-FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
-WHERE {_JACCARD} >= 0.5
+s AS (SELECT doc_id, lang, {SHINGLES} AS sh FROM t),
+ex AS (SELECT doc_id, lang, len(sh) AS sz, unnest(sh) AS g FROM s),
+co AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+    count(*) AS inter
+  FROM ex a JOIN ex b ON a.lang = b.lang AND a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+  round(CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE), 6) AS jaccard
+FROM co
+WHERE round(CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE), 6) >= 0.5
 """
 
 ORACLES["minhash_lsh"] = f"""
@@ -2168,6 +2174,77 @@ cb AS (
   SELECT s.sub, seeds.code,
     [CAST(x AS DOUBLE) for x in sv[s.sub * 16 + 1 : s.sub * 16 + 16]] AS cvec
   FROM seeds, unnest([0, 1, 2, 3]) AS s(sub)),
+dists AS (
+  SELECT e.vec_id, cb.sub, cb.code,
+    {_PQ_SQ('e.embedding[cb.sub * 16 + i]', 'cb.cvec[i]')} AS d
+  FROM embeddings e CROSS JOIN cb),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+    FROM dists) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id % 97 = 0),
+parts AS (
+  SELECT q.query_id, co.vec_id AS neighbor_id,
+    CAST(round({_PQ_SQ('q.qv[co.sub * 16 + i]', 'cb.cvec[i]')}, 6)
+         AS DECIMAL(18,6)) AS d
+  FROM codes co
+  JOIN cb ON cb.sub = co.sub AND cb.code = co.code
+  CROSS JOIN q
+  WHERE q.query_id <> co.vec_id),
+est AS (
+  SELECT query_id, neighbor_id, SUM(d) AS dist
+  FROM parts GROUP BY query_id, neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, CAST(dist AS DOUBLE) AS dist_est,
+    row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+  FROM est)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dist_est
+FROM ranked WHERE rank <= 5
+"""
+
+# pq_ann_refined: same contract as pq_ann, but the codebook is refined by
+# ONE per-subspace k-means (Lloyd) iteration before encoding/scoring —
+# assignment to the seed codebook (first-min tie-break), then per-
+# (sub, code, dim) DECIMAL-exact mean rounded to 6 dp (the kmeans_update
+# recipe), empty codes keeping their seed centroid. Replays
+# similarity._pq_refine_once exactly.
+ORACLES["pq_ann_refined"] = f"""
+WITH seeds AS (
+  SELECT embedding AS sv, row_number() OVER (ORDER BY vec_id) - 1 AS code
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+cb0 AS (
+  SELECT s.sub, seeds.code,
+    [CAST(x AS DOUBLE) for x in sv[s.sub * 16 + 1 : s.sub * 16 + 16]] AS cvec
+  FROM seeds, unnest([0, 1, 2, 3]) AS s(sub)),
+sv AS (
+  SELECT e.vec_id, s.sub,
+    [CAST(x AS DOUBLE) for x in e.embedding[s.sub * 16 + 1 : s.sub * 16 + 16]] AS sv
+  FROM embeddings e, unnest([0, 1, 2, 3]) AS s(sub)),
+d0 AS (
+  SELECT sv.vec_id, sv.sub, cb0.code,
+    list_sum([(sv.sv[i] - cb0.cvec[i]) * (sv.sv[i] - cb0.cvec[i])
+              for i in range(1, 17)]) AS d
+  FROM sv JOIN cb0 ON cb0.sub = sv.sub),
+a0 AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+    FROM d0) WHERE rn = 1),
+mex AS (
+  SELECT a0.sub, a0.code, unnest(range(1, 17)) AS dim1, sv.sv AS msv
+  FROM a0 JOIN sv ON sv.vec_id = a0.vec_id AND sv.sub = a0.sub),
+means AS (
+  SELECT sub, code, dim1,
+    round(CAST(SUM(CAST(msv[dim1] AS DECIMAL(27,10))) AS DOUBLE)
+          / CAST(count(*) AS DOUBLE), 6) AS m
+  FROM mex GROUP BY 1, 2, 3),
+newv AS (
+  SELECT sub, code, list(m ORDER BY dim1) AS cvec FROM means GROUP BY 1, 2),
+cb AS (
+  SELECT cb0.sub, cb0.code, coalesce(n.cvec, cb0.cvec) AS cvec
+  FROM cb0 LEFT JOIN newv n ON n.sub = cb0.sub AND n.code = cb0.code),
 dists AS (
   SELECT e.vec_id, cb.sub, cb.code,
     {_PQ_SQ('e.embedding[cb.sub * 16 + i]', 'cb.cvec[i]')} AS d

@@ -136,3 +136,52 @@ def test_as_of_join_forward_direction(spark):
         ).collect()
     }
     assert tol[5.0]["asof_v"] == 1 and tol[10.0]["asof_v"] == 2
+
+
+@pytest.fixture
+def dup_quotes(spark):
+    """Two right rows at the SAME (key, ts) — violates the uniqueness
+    contract; values chosen so max-resolution is distinguishable."""
+    return spark.createDataFrame(
+        [
+            ("A", ts("2024-01-01 09:00:00"), 100.0, "stale"),
+            ("A", ts("2024-01-01 09:00:00"), 120.0, "fresh"),
+            ("B", ts("2024-01-01 09:30:00"), 50.0, "only"),
+        ],
+        "k string, qts timestamp, price double, src string",
+    )
+
+
+def test_as_of_join_assert_unique_raises(spark, trades, dup_quotes):
+    with pytest.raises(ValueError, match="duplicate"):
+        as_of_join(
+            trades, dup_quotes, ["k"], "tts", "qts", ["price"],
+            assert_unique=True,
+        )
+
+
+def test_as_of_join_assert_unique_passes_on_clean_input(spark, trades, quotes):
+    out = as_of_join(
+        trades, quotes, ["k"], "tts", "qts", ["price"], assert_unique=True
+    )
+    got = {r["id"]: r["asof_price"] for r in out.collect()}
+    assert got == {1: 100.0, 2: 110.0, 3: None, 4: 50.0, 5: None}
+
+
+def test_as_of_join_tie_break_resolves_deterministically(
+    spark, trades, dup_quotes
+):
+    """tie_break keeps the (key, ts)-duplicate with the max tie column, so
+    duplicated right input yields ONE deterministic answer, not whichever
+    duplicate the sort left last."""
+    out = as_of_join(
+        trades, dup_quotes, ["k"], "tts", "qts", ["price", "src"],
+        tie_break="price",
+    )
+    got = {r["id"]: (r["asof_price"], r["asof_src"]) for r in out.collect()}
+    assert got[1] == (120.0, "fresh")  # max price wins, its src rides along
+    assert got[4] == (50.0, "only")
+    assert got[3] == (None, None)
+    # stable across repeated evaluation (re-collect the same plan)
+    again = {r["id"]: (r["asof_price"], r["asof_src"]) for r in out.collect()}
+    assert again == got

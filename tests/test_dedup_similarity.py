@@ -44,6 +44,34 @@ def test_jaccard_pairs_exact(spark, docs):
     assert not any(3 in p for p in pairs)  # unrelated doc in no pair
 
 
+def test_jaccard_indexed_equals_brute(spark, docs):
+    """The inverted-index variant must be result-identical to the brute
+    block self-join — pairs, values, rounding — for threshold > 0, with
+    and without blocking."""
+    extra = spark.createDataFrame(
+        [(5, ""), (6, "the quick brown fox jumps over the lazy dog again and again today")],
+        "doc_id long, text string",
+    )
+    both = docs.unionByName(extra)
+    for blk in (None, "lang"):
+        d = both.withColumn("lang", (F.col("doc_id") % 2).cast("string")) \
+            if blk else both
+        brute = dedup.ngram_jaccard_pairs(
+            d, "doc_id", "text", n=3, threshold=0.4, block_col=blk
+        )
+        indexed = dedup.ngram_jaccard_pairs_indexed(
+            d, "doc_id", "text", n=3, threshold=0.4, block_col=blk
+        )
+        bx = {(r["id_a"], r["id_b"]): r["jaccard"] for r in brute.collect()}
+        ix = {(r["id_a"], r["id_b"]): r["jaccard"] for r in indexed.collect()}
+        assert bx == ix and bx, f"mismatch with block_col={blk}"
+
+
+def test_jaccard_indexed_rejects_nonpositive_threshold(spark, docs):
+    with pytest.raises(ValueError, match="threshold > 0"):
+        dedup.ngram_jaccard_pairs_indexed(docs, "doc_id", "text", threshold=0.0)
+
+
 def test_minhash_lsh_finds_planted_dups(spark, docs):
     out = dedup.minhash_lsh_pairs(
         docs, "doc_id", "text", n=3, num_hashes=16, bands=8, threshold=0.5
@@ -259,3 +287,65 @@ def test_keep_best_per_cluster(spark):
     assert out[100]["keeper_id"] == 2 and out[100]["keeper_score"] == 0.9
     assert out[100]["n_members"] == 3
     assert out[200]["keeper_id"] == 7 and out[200]["n_members"] == 1
+
+
+def test_pq_refined_codebook_reduces_distortion_and_recall(spark):
+    """One Lloyd iteration must not worsen quantization: total squared
+    distance of subvectors to their assigned centroid is non-increasing
+    (Lloyd's monotonicity, up to the 6-dp centroid rounding), and top-k
+    recall vs brute force on CLUSTERED data must not degrade. Empty codes
+    keep their seed centroid (codebook shape is unchanged)."""
+    import random
+
+    from datapipelines_essentials_python_spark.operators.similarity import (
+        brute_force_topk,
+        pq_codebook,
+        pq_topk,
+        recall_at_k,
+        _sqdist,
+    )
+
+    random.seed(11)
+    # 16 well-separated cluster centers + small noise: refinement has
+    # real structure to find, unlike uniform noise
+    centers = [[random.uniform(-1, 1) for _ in range(64)] for _ in range(16)]
+    rows = [
+        (i, [c + random.uniform(-0.05, 0.05) for c in centers[i % 16]])
+        for i in range(160)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.where(F.col("vec_id") < 3)
+
+    def distortion(cb_row):
+        cb = F.col("cb")
+        total = 0.0
+        sub_dim = 16
+        for s in range(4):
+            sv = F.transform(
+                F.slice(F.col("embedding"), s * sub_dim + 1, sub_dim),
+                lambda x: x.cast("double"),
+            )
+            dists = F.transform(
+                F.element_at(cb, s + 1), lambda c: _sqdist(sv, c)
+            )
+            total += (
+                df.crossJoin(F.broadcast(cb_row))
+                .agg(F.sum(F.array_min(dists)))
+                .collect()[0][0]
+            )
+        return total
+
+    seed_cb = pq_codebook(df)
+    refined_cb = pq_codebook(df, refine_iters=1)
+    r = refined_cb.collect()[0]["cb"]
+    assert len(r) == 4 and len(r[0]) == 16 and len(r[0][0]) == 16
+    assert distortion(refined_cb) <= distortion(seed_cb) + 1e-3
+
+    bf = brute_force_topk(df, queries, k=5)
+
+    def mean_recall(refine_iters):
+        approx = pq_topk(df, queries, k=5, refine_iters=refine_iters)
+        rec = recall_at_k(approx, bf).agg(F.avg("recall")).collect()[0][0]
+        return rec
+
+    assert mean_recall(1) >= mean_recall(0) - 1e-9

@@ -402,14 +402,31 @@ def test_asof_forward_uses_running_frame(spark):
 def test_build_vocab_two_level_rank(spark):
     """Vocabulary ranking is range-partitioned two-level: every window spec
     is partitioned (by the range-partition id), never a single-partition
-    global window over the vocabulary."""
-    plan = plan_of(entry_mod.queries()["vocab_coverage"](spark, SF_DIR))
-    assert "rangepartitioning(cnt" in plan
+    global window over the vocabulary. The range exchange itself is only
+    visible pre-materialization (the production path eagerly
+    localCheckpoints it so both consumers provably share ONE partitioning
+    — ADVICE r04), so the shape is asserted via the inspection hook and
+    the checkpoint's presence via the production plan."""
     import re
 
-    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    from datapipelines_essentials_python_spark.operators.text import build_vocab
+    from datapipelines_essentials_python_spark.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    lazy_plan = plan_of(build_vocab(docs, "text", top_k=50, materialize=False))
+    assert "rangepartitioning(cnt" in lazy_plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", lazy_plan)
     assert specs, "expected ranking window specs in the vocab plan"
     for spec in specs:
+        assert "__pid" in spec, f"unpartitioned window spec: {spec}"
+
+    # production path: the ranked stage reads a pinned (checkpointed) RDD,
+    # and its windows stay __pid-partitioned
+    prod_plan = plan_of(entry_mod.queries()["vocab_coverage"](spark, SF_DIR))
+    assert "existingrdd" in prod_plan.lower()
+    prod_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", prod_plan)
+    assert prod_specs
+    for spec in prod_specs:
         assert "__pid" in spec, f"unpartitioned window spec: {spec}"
 
 
