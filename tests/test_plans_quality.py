@@ -431,9 +431,43 @@ def test_build_vocab_two_level_rank(spark):
 
 
 def test_minhash_candidates_single_exchange(spark):
-    """LSH candidate generation runs off ONE exchange of the banded table
-    (groupBy collect_list + JVM triangle expansion) — no bucket-size window
-    and no bucket self-join re-exchange."""
-    plan = plan_of(entry_mod.queries()["minhash_lsh"](spark, SF_DIR))
+    """LSH candidate generation runs off the (band, bucket) exchange
+    (count pre-filter + join + groupBy collect_list + JVM triangle
+    expansion) — no bucket-size window. Asserted on the operator directly:
+    the registry query returns the session-cached pairs table, whose plan
+    is an InMemoryTableScan by design."""
+    from datapipelines_essentials_python_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from datapipelines_essentials_python_spark.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    plan = plan_of(out)
     # the old shape had windowspecdefinition(band, bucket ...) for the cap
     assert "windowspecdefinition" not in plan
+    from datapipelines_essentials_python_spark.operators import dedup
+
+    dedup.release(out)
+
+
+def test_ngram_indexed_join_is_equi_not_cartesian(spark):
+    """The inverted-index Jaccard must reach the corpus through an
+    equi-join on the shingle posting key — never a cartesian/nested-loop
+    pair enumeration (the shape that made the brute variant unbenchable at
+    the 10x tier)."""
+    from datapipelines_essentials_python_spark.operators.dedup import (
+        ngram_jaccard_pairs_indexed,
+    )
+    from datapipelines_essentials_python_spark.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = plan_of(
+        ngram_jaccard_pairs_indexed(
+            docs, "doc_id", "text", n=3, threshold=0.5, block_col="lang"
+        )
+    )
+    low = plan.lower()
+    assert "cartesianproduct" not in low
+    assert "broadcastnestedloopjoin" not in low
+    assert "g_a" in plan and "g_b" in plan  # posting key is a join key
