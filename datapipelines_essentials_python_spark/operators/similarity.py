@@ -104,6 +104,47 @@ def brute_force_topk(
     )
 
 
+def brute_force_l2_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact squared-L2 top-k neighbors for every query vector — the exact
+    twin of the PQ path's metric (:func:`pq_topk` estimates squared L2, so
+    its recall must be gauged against an L2 baseline, not the cosine one;
+    unnormalized embeddings order differently under the two metrics).
+
+    → (query_id, neighbor_id, rank, dist), self-matches excluded, distance
+    rounded to 6 dp before ranking and ties broken by neighbor id, so the
+    ordering is deterministic and engine-portable. Same scale shape as
+    :func:`brute_force_topk`: broadcast queries, narrow distance
+    projection over the corpus scan, one window shuffle keyed on query_id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(_sqdist(F.col("q_vec"), F.col("c_vec")), 6).alias("dist"),
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.asc("dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dist")
+    )
+
+
 def _plane_coeff(plane: int | Column, dim: Column) -> Column:
     """Deterministic pseudo-random hyperplane coefficient in [-1, 1]:
     derived from md5(plane:dim), so every engine/run agrees without a

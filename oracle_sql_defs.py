@@ -2275,6 +2275,41 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dist_est
 FROM ranked WHERE rank <= 5
 """
 
+_L2 = lambda q, c: (  # noqa: E731 — full-vector in-order squared-L2 fold
+    f"list_sum([(CAST({q}[i] AS DOUBLE) - CAST({c}[i] AS DOUBLE)) "
+    f"* (CAST({q}[i] AS DOUBLE) - CAST({c}[i] AS DOUBLE)) "
+    "for i in range(1, 65)])"
+)
+# ann_recall_pq: recall@5 of the refined PQ path vs the EXACT squared-L2
+# top-5 (PQ estimates L2; a cosine baseline would gauge metric mismatch,
+# not quantization error). The approx side nests the pq_ann_refined oracle
+# verbatim as a derived table, so the two stay definitionally in lockstep.
+ORACLES["ann_recall_pq"] = f"""
+WITH approx AS (
+  SELECT query_id, neighbor_id FROM ({ORACLES["pq_ann_refined"]}) pq),
+q AS (SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id % 97 = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+es AS (
+  SELECT q.query_id, c.neighbor_id, round({_L2('q.qv', 'c.cv')}, 6) AS d
+  FROM c, q WHERE q.query_id <> c.neighbor_id),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rn
+    FROM es) WHERE rn <= 5)
+SELECT e.query_id,
+  CAST(count(*) AS BIGINT) AS n_exact,
+  CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_hit,
+  round(CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall
+FROM exact e
+LEFT JOIN approx a
+  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+"""
+
 # merged-halves HLL must equal the full-corpus estimate (lossless merge) —
 # the oracle computes directly over all events
 ORACLES["hll_incremental"] = f"""

@@ -349,3 +349,15 @@ def test_pq_refined_codebook_reduces_distortion_and_recall(spark):
         return rec
 
     assert mean_recall(1) >= mean_recall(0) - 1e-9
+
+
+def test_brute_force_l2_topk(spark, vectors):
+    out = similarity.brute_force_l2_topk(
+        vectors, vectors.where(F.col("vec_id") == 1), k=3
+    )
+    got = [(r["neighbor_id"], r["rank"], r["dist"]) for r in out.collect()]
+    got.sort(key=lambda t: t[1])
+    assert [(n, r) for n, r, _ in got] == [(4, 1), (2, 2), (3, 3)]
+    assert got[0][2] == 0.0              # identical vector at distance 0
+    assert abs(got[1][2] - 0.02) < 1e-9  # (0.1^2 + 0.1^2)
+    assert abs(got[2][2] - 2.0) < 1e-9   # orthogonal unit vectors
