@@ -1746,6 +1746,26 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pack_chunk_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing WITH document splitting (the GPT-style
+    pretraining layout): documents laid end-to-end per language and cut
+    into 512-token context windows; a document crossing a cut contributes
+    a span to each window it overlaps. Per-chunk accounting: documents
+    touching the chunk, tokens in the chunk (== 512 except the last chunk
+    per shard), and carried-in continuation spans. Two-level running
+    offsets — no per-shard single-partition window (see
+    ``text.pack_chunk_spans``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = text_ops.pack_chunk_spans(
+        docs, "doc_id", "text", budget_tokens=512, shard_col="lang"
+    )
+    return spans.groupBy("lang", "chunk_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("chunk_tokens").cast("long").alias("chunk_tokens"),
+        F.sum(F.col("carried_in").cast("long")).cast("long").alias("n_carryover"),
+    )
+
+
 def hopping_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time hopping windows (1h length, 30min slide) over the event
     stream — Structured Streaming's windowed-aggregation semantics run in
@@ -3932,6 +3952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": embedding_topk,
         "media_chunks": media_chunks,
         "pack_sequences": pack_sequences,
+        "pack_chunk_spans": pack_chunk_spans_q,
         "snapshot_diff": snapshot_diff_orders,
         "lang_id": lang_id,
         "text_quality": text_quality,

@@ -302,6 +302,132 @@ def pack_documents(
     )
 
 
+def pack_chunk_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    budget_tokens: int = 2048,
+    shard_col: str | None = None,
+    rank_partitions: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Concat-and-chunk packing with document SPLITTING — the span table a
+    pretraining-data writer materializes. Documents are laid end-to-end in
+    deterministic ``id_col`` order (per shard) and the stream is cut into
+    fixed ``budget_tokens`` context windows; a document crossing a cut is
+    emitted once per window it overlaps. → one row per (document, chunk):
+
+    ``(shard, id, n_tokens, chunk_id, chunk_tokens, carried_in)``
+
+    where ``chunk_tokens`` is how many of the document's tokens land in
+    that chunk and ``carried_in`` marks continuation spans (the document
+    started in an earlier chunk — where a document-boundary attention mask
+    resets). Invariant: every chunk except the last per shard holds
+    exactly ``budget_tokens`` tokens.
+
+    Scale shape (contrast :func:`pack_documents`, which uses one window
+    per shard and therefore funnels each shard through one partition):
+    the running token offset is computed with the same TWO-LEVEL ranking
+    as :func:`build_vocab` — ``repartitionByRange`` over (shard, id),
+    per-partition running sums in parallel, then per-(shard, partition)
+    totals prefix-summed via a broadcast triangular join. No partition
+    ever holds more than 1/``rank_partitions`` of the corpus regardless
+    of shard skew. The range exchange is pinned with an eager
+    localCheckpoint before fan-out for the same recompute-divergence
+    reason documented in :func:`build_vocab` (``materialize=False`` only
+    for plan-shape tests). Chunk fan-out is a per-row ``sequence`` +
+    ``explode`` — a document with n tokens yields at most
+    ``n/budget + 1`` spans, so the explode is bounded and local.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    n_part = rank_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    shard_out = shard_col or "shard"
+    shard = (F.col(shard_col) if shard_col else F.lit("__all__")).alias("__shard")
+    toks = df.select(
+        shard,
+        F.col(id_col).alias("__id"),
+        token_count(text_col).cast("long").alias("n_tokens"),
+    ).where(F.col("n_tokens") > 0)
+    # Range partitioning on (shard, id) guarantees that within a shard,
+    # every row in an earlier partition precedes every row in a later one
+    # — so local running sums + earlier-partition offsets compose into the
+    # exact global offset.
+    ranged = toks.repartitionByRange(
+        n_part, F.col("__shard"), F.col("__id")
+    ).withColumn("__pid", F.spark_partition_id())
+    if materialize:
+        ranged = ranged.localCheckpoint(eager=True)
+    lw = (
+        Window.partitionBy("__pid", "__shard")
+        .orderBy("__id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.select(
+        "__shard",
+        "__id",
+        "n_tokens",
+        "__pid",
+        F.sum("n_tokens").over(lw).cast("long").alias("__lcum"),
+    )
+    per_range = ranged.groupBy("__shard", "__pid").agg(
+        F.sum("n_tokens").cast("long").alias("__s")
+    )
+    earlier = per_range.select(
+        F.col("__shard").alias("__eshard"),
+        F.col("__pid").alias("__epid"),
+        F.col("__s").alias("__es"),
+    )
+    offsets = (
+        per_range.join(
+            F.broadcast(earlier),
+            (F.col("__eshard") == F.col("__shard"))
+            & (F.col("__epid") < F.col("__pid")),
+            "left",
+        )
+        .groupBy("__shard", "__pid")
+        .agg(F.coalesce(F.sum("__es"), F.lit(0)).cast("long").alias("__off"))
+    )
+    budget = F.lit(int(budget_tokens))
+    spans = local.join(F.broadcast(offsets), ["__shard", "__pid"]).select(
+        "__shard",
+        "__id",
+        "n_tokens",
+        (F.col("__lcum") + F.col("__off") - F.col("n_tokens")).alias("__cstart"),
+        (F.col("__lcum") + F.col("__off")).alias("__cend"),
+    )
+    # floor over a double division is exact while total tokens < 2^53 —
+    # ~9e15 tokens, far beyond a 100 TB corpus.
+    first_chunk = F.floor(F.col("__cstart") / budget).cast("long")
+    last_chunk = F.floor((F.col("__cend") - 1) / budget).cast("long")
+    return (
+        spans.select(
+            F.col("__shard").alias(shard_out),
+            F.col("__id").alias(id_col),
+            "n_tokens",
+            "__cstart",
+            "__cend",
+            F.explode(F.sequence(first_chunk, last_chunk)).alias("chunk_id"),
+        )
+        .select(
+            shard_out,
+            id_col,
+            "n_tokens",
+            "chunk_id",
+            (
+                F.least(F.col("__cend"), (F.col("chunk_id") + 1) * budget)
+                - F.greatest(F.col("__cstart"), F.col("chunk_id") * budget)
+            )
+            .cast("long")
+            .alias("chunk_tokens"),
+            (F.col("__cstart") < F.col("chunk_id") * budget).alias("carried_in"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # PII redaction
 # --------------------------------------------------------------------------

@@ -1231,6 +1231,31 @@ SELECT lang, pack_id,
 FROM packed GROUP BY lang, pack_id
 """
 
+ORACLES["pack_chunk_spans"] = f"""
+WITH toks AS (
+  SELECT doc_id, lang, len({TOKS}) AS n_tokens FROM documents),
+nz AS (SELECT * FROM toks WHERE n_tokens > 0),
+cum AS (
+  SELECT doc_id, lang, n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS cend
+  FROM nz),
+spans AS (
+  SELECT doc_id, lang, n_tokens, cend - n_tokens AS cstart, cend FROM cum),
+ch AS (
+  SELECT lang, doc_id, cstart, cend,
+    unnest(generate_series(
+      CAST(cstart // 512 AS BIGINT),
+      CAST((cend - 1) // 512 AS BIGINT))) AS chunk_id
+  FROM spans)
+SELECT lang, CAST(chunk_id AS BIGINT) AS chunk_id,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(LEAST(cend, (chunk_id + 1) * 512)
+         - GREATEST(cstart, chunk_id * 512)) AS BIGINT) AS chunk_tokens,
+  CAST(SUM(CASE WHEN cstart < chunk_id * 512 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_carryover
+FROM ch GROUP BY lang, chunk_id
+"""
+
 ORACLES["hopping_window_agg"] = """
 WITH cand AS (
   SELECT event_type, value,

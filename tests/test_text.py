@@ -97,6 +97,92 @@ def test_pack_documents_sharded_independent(spark):
     assert packs[("fr", 2)] == 0 and packs[("fr", 4)] == 0
 
 
+def test_pack_chunk_spans_splits_straddlers(spark):
+    from datapipelines_essentials_python_spark.operators.text import (
+        pack_chunk_spans,
+    )
+
+    # tokens: doc0=3, doc1=4, doc2=2; budget 5 → stream of 9 tokens cut at
+    # 5: doc1 straddles (2 tokens in chunk 0, 2 carried into chunk 1).
+    df = spark.createDataFrame(
+        [(0, "w w w", "en"), (1, "w w w w", "en"), (2, "w w", "en")],
+        "doc_id long, text string, lang string",
+    )
+    rows = pack_chunk_spans(
+        df, "doc_id", budget_tokens=5, shard_col="lang"
+    ).collect()
+    spans = {(r["doc_id"], r["chunk_id"]): r for r in rows}
+    assert len(rows) == 4  # doc1 emitted twice
+    assert spans[(0, 0)]["chunk_tokens"] == 3 and not spans[(0, 0)]["carried_in"]
+    assert spans[(1, 0)]["chunk_tokens"] == 2 and not spans[(1, 0)]["carried_in"]
+    assert spans[(1, 1)]["chunk_tokens"] == 2 and spans[(1, 1)]["carried_in"]
+    assert spans[(2, 1)]["chunk_tokens"] == 2 and not spans[(2, 1)]["carried_in"]
+
+
+def test_pack_chunk_spans_full_chunk_invariant(spark):
+    from datapipelines_essentials_python_spark.operators.text import (
+        pack_chunk_spans,
+    )
+
+    # ragged doc lengths over two shards; every non-final chunk per shard
+    # must hold exactly `budget` tokens, and per-doc span tokens must sum
+    # to the doc's token count. rank_partitions=3 exercises the two-level
+    # offset path with multiple range partitions.
+    rows_in = [
+        (i, " ".join(["w"] * (1 + (i * 7) % 13)), "en" if i % 3 else "fr")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows_in, "doc_id long, text string, lang string")
+    out = pack_chunk_spans(
+        df, "doc_id", budget_tokens=16, shard_col="lang", rank_partitions=3
+    ).collect()
+    by_chunk: dict = {}
+    by_doc: dict = {}
+    for r in out:
+        by_chunk.setdefault((r["lang"], r["chunk_id"]), 0)
+        by_chunk[(r["lang"], r["chunk_id"])] += r["chunk_tokens"]
+        by_doc.setdefault(r["doc_id"], 0)
+        by_doc[r["doc_id"]] += r["chunk_tokens"]
+    expected_tokens = {i: 1 + (i * 7) % 13 for i in range(40)}
+    assert by_doc == expected_tokens
+    for lang in ("en", "fr"):
+        chunks = sorted(k[1] for k in by_chunk if k[0] == lang)
+        assert chunks == list(range(len(chunks)))  # contiguous from 0
+        total = sum(expected_tokens[i] for i in range(40)
+                    if (("en" if i % 3 else "fr") == lang))
+        for c in chunks[:-1]:
+            assert by_chunk[(lang, c)] == 16
+        assert by_chunk[(lang, chunks[-1])] == total - 16 * (len(chunks) - 1)
+
+
+def test_pack_chunk_spans_head_matches_pack_documents(spark):
+    from datapipelines_essentials_python_spark.operators.text import (
+        pack_chunk_spans,
+        pack_documents,
+    )
+
+    # the head span's chunk_id is exactly pack_documents' pack_id (same
+    # budget): both are floor(tokens_before / budget).
+    df = spark.createDataFrame(
+        [(i, " ".join(["w"] * (2 + i % 5)), "en") for i in range(25)],
+        "doc_id long, text string, lang string",
+    )
+    heads = {
+        r["doc_id"]: r["chunk_id"]
+        for r in pack_chunk_spans(
+            df, "doc_id", budget_tokens=7, shard_col="lang"
+        ).collect()
+        if not r["carried_in"]
+    }
+    packs = {
+        r["doc_id"]: r["pack_id"]
+        for r in pack_documents(
+            df, "doc_id", budget_tokens=7, shard_col="lang"
+        ).collect()
+    }
+    assert heads == packs
+
+
 def test_pii_redact_sequential_counts(spark):
     from datapipelines_essentials_python_spark.operators.text import pii_redact
 
