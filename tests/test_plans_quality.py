@@ -430,6 +430,37 @@ def test_build_vocab_two_level_rank(spark):
         assert "__pid" in spec, f"unpartitioned window spec: {spec}"
 
 
+def test_pack_chunk_spans_two_level_offsets(spark):
+    """Chunk-span packing never funnels a shard through one partition:
+    the running token offset is range-partitioned two-level (same scheme
+    as build_vocab), so every window spec is partitioned by the range
+    partition id, and the production path pins the range exchange with an
+    eager localCheckpoint before the two consumers branch."""
+    import re
+
+    from datapipelines_essentials_python_spark.operators.text import (
+        pack_chunk_spans,
+    )
+    from datapipelines_essentials_python_spark.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    lazy_plan = plan_of(
+        pack_chunk_spans(docs, "doc_id", shard_col="lang", materialize=False)
+    )
+    assert "rangepartitioning(__shard" in lazy_plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", lazy_plan)
+    assert specs, "expected running-sum window specs in the packing plan"
+    for spec in specs:
+        assert "__pid" in spec, f"unpartitioned window spec: {spec}"
+
+    prod_plan = plan_of(entry_mod.queries()["pack_chunk_spans"](spark, SF_DIR))
+    assert "existingrdd" in prod_plan.lower()
+    prod_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", prod_plan)
+    assert prod_specs
+    for spec in prod_specs:
+        assert "__pid" in spec, f"unpartitioned window spec: {spec}"
+
+
 def test_minhash_candidates_single_exchange(spark):
     """LSH candidate generation runs off the (band, bucket) exchange
     (count pre-filter + join + groupBy collect_list + JVM triangle
