@@ -612,6 +612,42 @@ def ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF ANN path at nprobe=1 AND nprobe=2 against the
+    exact cosine top-k, per query — the gauge that prices the multi-probe
+    recall/cost knob before committing a 100 TB index layout (nprobe=2
+    scans ~2x the cells; this query shows exactly what that buys).
+    Completes the recall-gauge family: ``ann_recall_lsh`` (SRP buckets),
+    ``ann_recall_pq`` (codebook quantization), this (cell pruning).
+    Deterministic centroids (every 31st vector), so even the recall
+    numbers hash-match the oracle's replay. Invariant (tested, and
+    implied by cell-superset candidates): recall_p2 >= recall_p1."""
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
+    queries = emb.where(F.col("vec_id") < 8)
+    centroids = emb.where(F.col("vec_id") % 31 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    exact = sim_ops.brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+    p1 = sim_ops.ivf_topk(
+        emb, queries, "vec_id", "embedding", k=5, centroids=centroids
+    )
+    p2 = sim_ops.ivf_topk(
+        emb, queries, "vec_id", "embedding", k=5, centroids=centroids, nprobe=2
+    )
+    r1 = sim_ops.recall_at_k(p1, exact).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "n_exact",
+        F.col("n_hit").alias("n_hit_p1"),
+        F.col("recall").alias("recall_p1"),
+    )
+    r2 = sim_ops.recall_at_k(p2, exact).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("n_hit").alias("n_hit_p2"),
+        F.col("recall").alias("recall_p2"),
+    )
+    return r1.join(r2, "query_id")
+
+
 def quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine top-k over int8-quantized embeddings — the memory-bound ANN
     variant (4-8x smaller index payload; per-vector scales cancel in the
@@ -3941,6 +3977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": dedup_keep_best,
         "embedding_neardup": embedding_neardup,
         "ann_recall_lsh": ann_recall_lsh,
+        "ann_recall_ivf": ann_recall_ivf,
         "quantized_topk": quantized_topk,
         "ivf_ann_nprobe2": ivf_ann_nprobe2,
         "salted_join_events": salted_join_events,

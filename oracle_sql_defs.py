@@ -2305,6 +2305,42 @@ _L2 = lambda q, c: (  # noqa: E731 — full-vector in-order squared-L2 fold
     f"* (CAST({q}[i] AS DOUBLE) - CAST({c}[i] AS DOUBLE)) "
     "for i in range(1, 65)])"
 )
+# ann_recall_ivf: recall@5 of the IVF path at nprobe=1 and nprobe=2 vs the
+# exact cosine top-5, per query. Both approx sides nest the ivf_ann /
+# ivf_ann_nprobe2 oracles verbatim as derived tables, so the gauge and the
+# gated ANN queries stay definitionally in lockstep.
+ORACLES["ann_recall_ivf"] = f"""
+WITH p1 AS (
+  SELECT query_id, neighbor_id FROM ({ORACLES["ivf_ann"]}) iv1),
+p2 AS (
+  SELECT query_id, neighbor_id FROM ({ORACLES["ivf_ann_nprobe2"]}) iv2),
+q AS (SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+es AS (
+  SELECT q.query_id, c.neighbor_id, {_IVF_COS('q.qv', 'c.cv')} AS cosine
+  FROM c, q WHERE q.query_id <> c.neighbor_id),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+    FROM es) WHERE rn <= 5)
+SELECT CAST(e.query_id AS BIGINT) AS query_id,
+  CAST(COUNT(*) AS BIGINT) AS n_exact,
+  CAST(SUM(CASE WHEN a1.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_hit_p1,
+  round(CAST(SUM(CASE WHEN a1.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE), 6) AS recall_p1,
+  CAST(SUM(CASE WHEN a2.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_hit_p2,
+  round(CAST(SUM(CASE WHEN a2.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE), 6) AS recall_p2
+FROM exact e
+LEFT JOIN p1 a1 ON e.query_id = a1.query_id AND e.neighbor_id = a1.neighbor_id
+LEFT JOIN p2 a2 ON e.query_id = a2.query_id AND e.neighbor_id = a2.neighbor_id
+GROUP BY e.query_id
+"""
+
 # ann_recall_pq: recall@5 of the refined PQ path vs the EXACT squared-L2
 # top-5 (PQ estimates L2; a cosine baseline would gauge metric mismatch,
 # not quantization error). The approx side nests the pq_ann_refined oracle

@@ -361,3 +361,19 @@ def test_brute_force_l2_topk(spark, vectors):
     assert got[0][2] == 0.0              # identical vector at distance 0
     assert abs(got[1][2] - 0.02) < 1e-9  # (0.1^2 + 0.1^2)
     assert abs(got[2][2] - 2.0) < 1e-9   # orthogonal unit vectors
+
+
+def test_ivf_recall_monotone_in_nprobe(spark):
+    """Registry gauge invariant: nprobe=2 candidates are a superset of
+    nprobe=1's (same cells plus one more per query), so per-query
+    recall_p2 >= recall_p1 everywhere."""
+    import __spark_entry__ as entry_mod
+
+    rows = entry_mod.queries()["ann_recall_ivf"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows, "gauge returned no queries"
+    for r in rows:
+        assert r["recall_p2"] >= r["recall_p1"], r
+        assert 0.0 <= r["recall_p1"] <= 1.0 and 0.0 <= r["recall_p2"] <= 1.0
+        assert r["n_exact"] == 5
