@@ -3915,8 +3915,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- check_parity runs until now. This round's block loads up on
         # ---- the queries CHANGED this round (ngram_jaccard's inverted-
         # ---- index rewrite, pq_ann_refined, vocab_coverage's checkpointed
-        # ---- ranking, dup_cluster_histogram's shared label stage) plus
-        # ---- float-heavy TPC-H and statistics queries.
+        # ---- ranking, dup_cluster_histogram's shared label stage, and the
+        # ---- two NEW round-5 queries pack_chunk_spans + ann_recall_ivf)
+        # ---- plus float-heavy TPC-H and statistics queries.
         "ngram_jaccard": ngram_jaccard,
         "pq_ann": pq_ann,
         "pq_ann_refined": pq_ann_refined,
@@ -3928,10 +3929,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_incremental": hll_incremental,
         "rag_retrieval": rag_retrieval,
         "knn_label_accuracy": knn_label_accuracy,
-        "q8_market_share": q8_market_share,
+        "pack_chunk_spans": pack_chunk_spans_q,
+        "ann_recall_ivf": ann_recall_ivf,
         "q9_product_profit": q9_product_profit,
         "q19_disjunctive": q19_disjunctive,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
         "tfidf_top_terms": tfidf_top_terms_q,
         "mixture_weights": mixture_weights,
         "drift_chi2": drift_chi2,
@@ -3977,7 +3978,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": dedup_keep_best,
         "embedding_neardup": embedding_neardup,
         "ann_recall_lsh": ann_recall_lsh,
-        "ann_recall_ivf": ann_recall_ivf,
         "quantized_topk": quantized_topk,
         "ivf_ann_nprobe2": ivf_ann_nprobe2,
         "salted_join_events": salted_join_events,
@@ -3989,7 +3989,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": embedding_topk,
         "media_chunks": media_chunks,
         "pack_sequences": pack_sequences,
-        "pack_chunk_spans": pack_chunk_spans_q,
+        "q8_market_share": q8_market_share,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
         "snapshot_diff": snapshot_diff_orders,
         "lang_id": lang_id,
         "text_quality": text_quality,

@@ -198,6 +198,10 @@ HEADLINE = [
     # pq_ann_refined adds the k-means-refined codebook variant.
     "ngram_jaccard",
     "pq_ann_refined",
+    # round 5: concat-and-chunk packing (two-level offsets) and the IVF
+    # multi-probe recall gauge.
+    "pack_chunk_spans",
+    "ann_recall_ivf",
 ]
 
 
