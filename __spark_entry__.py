@@ -2709,9 +2709,14 @@ def pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs reconstructed corpus subvector) in a narrow projection over the
     corpus scan — the memory-bound ANN path alongside IVF
     (compute-bound) and SRP-LSH (bucket-bound). Decimal-quantized partial
-    distances make the estimate exactly oracle-checkable."""
+    distances make the estimate exactly oracle-checkable.
+
+    Query sample bounded by construction (vec_id % 97 == 0 AND < 97000:
+    at most 1000 queries at ANY corpus size), so the gauge stays
+    O(corpus) — a linear %-only sample would make it quadratic overall.
+    """
     emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
-    queries = emb.where(F.col("vec_id") % 97 == 0)
+    queries = emb.where((F.col("vec_id") % 97 == 0) & (F.col("vec_id") < 97000))
     return sim_ops.pq_topk(emb, queries, k=5)
 
 
@@ -2722,9 +2727,14 @@ def pq_ann_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     tighter quantization cells, better recall, still bit-exact against
     the SQL oracle (which replays the iteration). The refinement pass is
     one broadcast over the corpus plus a (sub, code, dim)-keyed agg whose
-    shuffle is corpus-size-independent."""
+    shuffle is corpus-size-independent.
+
+    Query sample bounded by construction (vec_id % 97 == 0 AND < 97000:
+    at most 1000 queries at ANY corpus size), so the gauge stays
+    O(corpus) — a linear %-only sample would make it quadratic overall.
+    """
     emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
-    queries = emb.where(F.col("vec_id") % 97 == 0)
+    queries = emb.where((F.col("vec_id") % 97 == 0) & (F.col("vec_id") < 97000))
     return sim_ops.pq_topk(emb, queries, k=5, refine_iters=1)
 
 
@@ -2739,9 +2749,14 @@ def ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     worst case, so the ABSOLUTE recall here is low by construction (the
     refinement's real effect is the monotone distortion drop asserted in
     tests, 529→381 on this table after one iteration); this query is the
-    measurement harness a real corpus would run, oracle-pinned."""
+    measurement harness a real corpus would run, oracle-pinned.
+
+    Query sample bounded by construction (vec_id % 97 == 0 AND < 97000:
+    at most 1000 queries at ANY corpus size), so the gauge stays
+    O(corpus) — a linear %-only sample would make it quadratic overall.
+    """
     emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
-    queries = emb.where(F.col("vec_id") % 97 == 0)
+    queries = emb.where((F.col("vec_id") % 97 == 0) & (F.col("vec_id") < 97000))
     exact = sim_ops.brute_force_l2_topk(emb, queries, "vec_id", "embedding", k=5)
     approx = sim_ops.pq_topk(emb, queries, k=5, refine_iters=1)
     return sim_ops.recall_at_k(approx, exact).select(
@@ -2945,9 +2960,14 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive-pair mining: for each sampled query vector, the 5 most
     cosine-similar vectors with a DIFFERENT label — the hard negatives a
     contrastive loss learns most from. Broadcast query side, narrow
-    map-side cosine, one top-k window."""
+    map-side cosine, one top-k window.
+
+    Query sample bounded by construction (vec_id % 25 == 0 AND < 25000:
+    at most 1000 queries at ANY corpus size), so the brute-force gauge
+    stays O(corpus) — a linear %-only sample would make it quadratic.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") % 25 == 0)
+    queries = emb.where((F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 25000))
     return sim_ops.labeled_topk(emb, queries, k=5, same_label=False)
 
 
@@ -2997,9 +3017,14 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-quality gauge: 5-NN majority-vote label agreement per true
     label over a deterministic query sample — the label-noise/cluster-
-    entanglement triage signal for labeled embedding datasets."""
+    entanglement triage signal for labeled embedding datasets.
+
+    Query sample bounded by construction (vec_id % 25 == 0 AND < 25000:
+    at most 1000 queries at ANY corpus size), so the brute-force gauge
+    stays O(corpus) — a linear %-only sample would make it quadratic.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") % 25 == 0)
+    queries = emb.where((F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 25000))
     return sim_ops.knn_label_agreement(emb, queries, k=5)
 
 

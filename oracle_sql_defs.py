@@ -2209,7 +2209,7 @@ codes AS (
       row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
     FROM dists) WHERE rn = 1),
 q AS (SELECT vec_id AS query_id, embedding AS qv
-      FROM embeddings WHERE vec_id % 97 = 0),
+      FROM embeddings WHERE vec_id % 97 = 0 AND vec_id < 97000),
 parts AS (
   SELECT q.query_id, co.vec_id AS neighbor_id,
     CAST(round({_PQ_SQ('q.qv[co.sub * 16 + i]', 'cb.cvec[i]')}, 6)
@@ -2280,7 +2280,7 @@ codes AS (
       row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
     FROM dists) WHERE rn = 1),
 q AS (SELECT vec_id AS query_id, embedding AS qv
-      FROM embeddings WHERE vec_id % 97 = 0),
+      FROM embeddings WHERE vec_id % 97 = 0 AND vec_id < 97000),
 parts AS (
   SELECT q.query_id, co.vec_id AS neighbor_id,
     CAST(round({_PQ_SQ('q.qv[co.sub * 16 + i]', 'cb.cvec[i]')}, 6)
@@ -2349,7 +2349,7 @@ ORACLES["ann_recall_pq"] = f"""
 WITH approx AS (
   SELECT query_id, neighbor_id FROM ({ORACLES["pq_ann_refined"]}) pq),
 q AS (SELECT vec_id AS query_id, embedding AS qv
-      FROM embeddings WHERE vec_id % 97 = 0),
+      FROM embeddings WHERE vec_id % 97 = 0 AND vec_id < 97000),
 c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
 es AS (
   SELECT q.query_id, c.neighbor_id, round({_L2('q.qv', 'c.cv')}, 6) AS d
@@ -2598,7 +2598,7 @@ _LBL_COS = (
 
 ORACLES["hard_negatives"] = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS query_label
-           FROM embeddings WHERE vec_id % 25 = 0),
+           FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 25000),
 c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS neighbor_label
       FROM embeddings),
 scored AS (
@@ -2619,7 +2619,7 @@ WHERE rn <= 5
 
 ORACLES["knn_label_accuracy"] = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS true_label
-           FROM embeddings WHERE vec_id % 25 = 0),
+           FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 25000),
 c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS neighbor_label
       FROM embeddings),
 scored AS (
