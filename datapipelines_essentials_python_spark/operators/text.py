@@ -338,9 +338,14 @@ def pack_chunk_spans(
     for plan-shape tests). Chunk fan-out is a per-row ``sequence`` +
     ``explode`` — a document with n tokens yields at most
     ``n/budget + 1`` spans, so the explode is bounded and local.
+    Zero-token documents (empty/whitespace-only text) occupy no stream
+    positions and are omitted from the span table, same as the SQL
+    oracle's ``n_tokens > 0`` filter.
     """
     from pyspark.sql import Window
 
+    if budget_tokens < 1:
+        raise ValueError(f"budget_tokens must be >= 1, got {budget_tokens}")
     spark = df.sparkSession
     n_part = rank_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")

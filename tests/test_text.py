@@ -389,3 +389,15 @@ def test_logit_quality_rejects_unknown_feature(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_pack_chunk_spans_rejects_nonpositive_budget(spark):
+    import pytest as _pytest
+
+    from datapipelines_essentials_python_spark.operators.text import (
+        pack_chunk_spans,
+    )
+
+    df = spark.createDataFrame([(0, "w", "en")], "doc_id long, text string, lang string")
+    with _pytest.raises(ValueError, match="budget_tokens"):
+        pack_chunk_spans(df, "doc_id", budget_tokens=0)
