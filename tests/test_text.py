@@ -401,3 +401,32 @@ def test_pack_chunk_spans_rejects_nonpositive_budget(spark):
     df = spark.createDataFrame([(0, "w", "en")], "doc_id long, text string, lang string")
     with _pytest.raises(ValueError, match="budget_tokens"):
         pack_chunk_spans(df, "doc_id", budget_tokens=0)
+
+
+def test_build_vocab_correct_with_exchange_reuse_disabled(spark):
+    """Regression for the round-4 advice item: the two-level ranking must
+    not depend on Catalyst exchange reuse for its two branches to see one
+    __pid assignment — the eager localCheckpoint pins the partitioning.
+    Verified by disabling reuse outright and checking exact global ranks
+    over a vocab spread across several range partitions."""
+    from datapipelines_essentials_python_spark.operators.text import build_vocab
+
+    words = [f"w{i:03d}" for i in range(60)]
+    # w000 appears 61 times, w001 60, ... -> distinct counts, known order
+    rows = [(i, " ".join([w] * (61 - i))) for i, w in enumerate(words)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    prev = spark.conf.get("spark.sql.exchangeReuseEnabled", "true")
+    try:
+        spark.conf.set("spark.sql.exchangeReuseEnabled", "false")
+        got = build_vocab(df, "text", rank_partitions=7).orderBy("rank").collect()
+    finally:
+        spark.conf.set("spark.sql.exchangeReuseEnabled", prev)
+    assert [r["token"] for r in got] == words
+    assert [r["rank"] for r in got] == list(range(1, 61))
+    counts = [61 - i for i in range(60)]
+    assert [r["cnt"] for r in got] == counts
+    cum = 0
+    for r, c in zip(got, counts):
+        cum += c
+        assert r["cum_cnt"] == cum
+    assert all(r["total_cnt"] == sum(counts) for r in got)
