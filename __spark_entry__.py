@@ -3469,6 +3469,35 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_join_tiebreak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join over a right side with DUPLICATE (key, ts) rows,
+    resolved inside the operator by ``tie_break='price'`` (one struct-max
+    aggregation per (k, date) — the round-5 determinism guard on
+    ``operators/asof.py``) instead of a caller-side pre-aggregation.
+    Result is identical to :func:`asof_join_query`'s pre-aggregated form,
+    which is exactly what the oracle replays — proving the in-operator
+    tie-break matches the documented keep-greatest contract."""
+    from datapipelines_essentials_python_spark.operators.asof import as_of_join
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", (F.col("user_id") % 20).alias("k"), "ts"
+    )
+    quotes = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 20).alias("k"),
+        "o_orderdate",
+        F.col("o_totalprice").alias("price"),
+    )
+    out = as_of_join(
+        events, quotes, ["k"], "ts", "o_orderdate", ["price"], tie_break="price"
+    )
+    return out.select(
+        "event_id",
+        F.col("k").cast("long").alias("k"),
+        "asof_ts",
+        F.col("asof_price").alias("price"),
+    )
+
+
 def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time (leakage-safe) dimension lookup: every order probes
     the SCD2 dimension AS OF its own order date — the feature-store join
@@ -4086,6 +4115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_metrics": unpivot_metrics,
         "event_lift": event_lift,
         "asof_join_tolerance": asof_join_tolerance,
+        "asof_join_tiebreak": asof_join_tiebreak,
         "scd2_point_in_time": scd2_point_in_time,
         "dau_wau": dau_wau,
         "first_touch_attribution": first_touch_attribution,

@@ -3221,6 +3221,16 @@ SELECT ev.event_id, CAST(ev.k AS BIGINT) AS k,
 FROM ev ASOF LEFT JOIN q ON ev.k = q.k AND ev.ts <= q.o_orderdate
 """
 
+ORACLES["asof_join_tiebreak"] = """
+WITH ev AS (SELECT event_id, user_id % 20 AS k, ts FROM events),
+q AS (
+  SELECT o_orderkey % 20 AS k, o_orderdate, max(o_totalprice) AS price
+  FROM orders GROUP BY 1, 2)
+SELECT ev.event_id, CAST(ev.k AS BIGINT) AS k,
+       q.o_orderdate AS asof_ts, q.price AS price
+FROM ev ASOF LEFT JOIN q ON ev.k = q.k AND ev.ts >= q.o_orderdate
+"""
+
 ORACLES["asof_join_tolerance"] = """
 WITH ev AS (SELECT event_id, user_id % 20 AS k, ts FROM events),
 q AS (
