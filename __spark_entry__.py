@@ -2639,6 +2639,47 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(est, "event_type").select("event_type", "n_exact", "hll_est")
 
 
+def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state quantile sketch: per-event-type p50/p90/p99 of
+    `value` via a 256-bin fixed-range histogram (sketches.value_histogram
+    — shuffled state is bins x groups rows, independent of input size;
+    linear, so per-batch histograms merge by counter addition), gauged
+    against the exact interpolated quantile in the same row. The scalable
+    companion of ``quantile_profile``, whose exact `percentile` agg
+    buffers every group value — the thing you cannot do to a 100 TB
+    column. All binning arithmetic is replayed verbatim by the oracle, so
+    even the estimates hash-match."""
+    ev = load_table(spark, sf_dir, "events")
+    bins = sk_ops.value_histogram(
+        ev, ["event_type"], "value", n_bins=256, lo=0.0, hi=640.0
+    )
+    est = sk_ops.histogram_quantile(
+        bins, ["event_type"], [0.5, 0.9, 0.99], n_bins=256, lo=0.0, hi=640.0
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("e50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("e90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("e99"),
+    )
+    exact_long = exact.select(
+        "event_type",
+        F.explode(
+            F.map_from_arrays(
+                F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
+                F.array("e50", "e90", "e99"),
+            )
+        ).alias("q", "exact_q"),
+    )
+    return est.join(exact_long, ["event_type", "q"]).select(
+        "event_type",
+        "q",
+        "n",
+        "est",
+        "exact_q",
+        F.round(F.abs(F.col("est") - F.col("exact_q")), 6).alias("err"),
+    )
+
+
 def grouped_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-proof train/val/test assignment: the split is a hash of the
     SOURCE (not the row), so near-duplicates clustered within a source can
@@ -4016,6 +4057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination_bloom": decontamination_bloom,
         "semantic_dedup": semantic_dedup,
         "hll_distinct": hll_distinct,
+        "histogram_quantiles": histogram_quantiles,
         "cms_topk": cms_topk,
         "gap_fill_events": gap_fill_events,
         "rolling_events_7d": rolling_events_7d,

@@ -193,3 +193,93 @@ def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
         .groupBy("row_idx", "bucket")
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-range histogram quantile sketch
+# ---------------------------------------------------------------------------
+# Exact per-group quantiles (Spark's `percentile`, the `quantile_profile`
+# query) buffer every group value in one aggregation buffer — fine for
+# small groups, not for a 100 TB column. The scalable shape is the same
+# one CMS/HLL use: reduce to a FIXED key space. A fixed-range histogram
+# bins the column into `n_bins` counters per group (map-side combined,
+# shuffled state = bins x groups rows, independent of input size), and a
+# quantile estimate reads the cumulative bin counts. Error is bounded by
+# one bin width; histograms are linear, so per-day/per-batch sketches
+# merge by counter addition (histogram_merge). All binning arithmetic is
+# written identically in the SQL oracle, so estimates hash-match.
+
+
+def value_histogram(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    n_bins: int = 256,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """(group, bin) -> cnt over a fixed [lo, hi) range; out-of-range
+    values clamp into the edge bins. One map-side-combined groupBy whose
+    shuffled state is at most ``n_bins`` rows per group."""
+    span = hi - lo
+    raw = F.floor(
+        (F.col(value_col) - F.lit(lo)) / F.lit(span) * F.lit(n_bins)
+    )
+    b = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), raw)).cast("int")
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, b.alias("bin"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def histogram_quantile(
+    bins: DataFrame,
+    group_cols: list[str],
+    qs: list[float],
+    n_bins: int = 256,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Per-group quantile estimates off a :func:`value_histogram` table:
+    for each q, the right edge of the first bin whose cumulative count
+    reaches ``ceil(q * n)`` (type-1 rank). True quantile lies inside that
+    bin, so |est - exact| <= bin width + the gap to the interpolated
+    order statistic. Windows run over <= ``n_bins`` rows per group —
+    bounded whatever the corpus size. → (group, q, n, est)."""
+    from pyspark.sql import Window
+
+    span = hi - lo
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy(*group_cols)
+    c = bins.select(
+        *group_cols,
+        "bin",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wt).alias("tot"),
+    )
+    qlit = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    hit = (
+        c.select(*group_cols, "bin", "cum", "tot", qlit)
+        .where(F.col("cum") >= F.ceil(F.col("q") * F.col("tot")))
+        .groupBy(*group_cols, "q")
+        .agg(F.min("bin").alias("bin"), F.max("tot").cast("long").alias("n"))
+    )
+    est = F.round(
+        F.lit(lo) + (F.col("bin") + 1) * F.lit(span) / F.lit(n_bins), 6
+    )
+    return hit.select(*group_cols, "q", "n", est.alias("est"))
+
+
+def histogram_merge(a: DataFrame, b: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge two histogram tables (same binning required): counter-wise
+    SUM — histograms are linear sketches, like CMS."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "bin")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )

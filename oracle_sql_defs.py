@@ -925,6 +925,41 @@ SELECT event_type,
 FROM events GROUP BY 1
 """
 
+ORACLES["histogram_quantiles"] = """
+WITH b AS (
+  SELECT event_type,
+    CAST(least(255, greatest(0, floor((value - 0.0) / 640.0 * 256))) AS INT) AS bin,
+    count(*) AS cnt
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+c AS (
+  SELECT event_type, bin, cnt,
+    sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+    sum(cnt) OVER (PARTITION BY event_type) AS tot
+  FROM b),
+qs(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+                 (CAST(0.99 AS DOUBLE))),
+hit AS (
+  SELECT event_type, q, min(bin) AS bin, max(tot) AS n
+  FROM c CROSS JOIN qs
+  WHERE cum >= ceil(q * tot)
+  GROUP BY 1, 2),
+ex AS (
+  SELECT event_type,
+    round(quantile_cont(value, 0.5), 6) AS e50,
+    round(quantile_cont(value, 0.9), 6) AS e90,
+    round(quantile_cont(value, 0.99), 6) AS e99
+  FROM events GROUP BY 1),
+exl AS (
+  SELECT event_type, CAST(0.5 AS DOUBLE) AS q, e50 AS exact_q FROM ex
+  UNION ALL SELECT event_type, CAST(0.9 AS DOUBLE), e90 FROM ex
+  UNION ALL SELECT event_type, CAST(0.99 AS DOUBLE), e99 FROM ex)
+SELECT h.event_type, h.q, CAST(h.n AS BIGINT) AS n,
+  round(0.0 + (h.bin + 1) * 640.0 / 256, 6) AS est,
+  exl.exact_q,
+  round(abs(round(0.0 + (h.bin + 1) * 640.0 / 256, 6) - exl.exact_q), 6) AS err
+FROM hit h JOIN exl ON h.event_type = exl.event_type AND h.q = exl.q
+"""
+
 ORACLES["histogram_profile"] = """
 SELECT event_type,
   CAST(floor(value / 25.0) AS BIGINT) AS bucket,

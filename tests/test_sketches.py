@@ -86,3 +86,50 @@ def test_cms_merge_is_linear(spark):
     m = {(r["row_idx"], r["bucket"]): r["cnt"] for r in merged.collect()}
     f = {(r["row_idx"], r["bucket"]): r["cnt"] for r in full.collect()}
     assert m == f
+
+
+def test_histogram_merge_is_linear_and_quantiles_bounded(spark):
+    """Histogram sketches are linear (per-split sketches sum to the full
+    sketch) and the quantile estimate sits within one bin width above the
+    type-1 exact quantile."""
+    import random
+
+    rng = random.Random(7)
+    vals = [(i, rng.uniform(0.0, 100.0)) for i in range(2000)]
+    df = spark.createDataFrame(vals, "id long, v double")
+    a = df.where(F.col("id") < 900)
+    b = df.where(F.col("id") >= 900)
+    grp = df.withColumn("g", F.lit("all"))
+    bins_full = sketches.value_histogram(grp, ["g"], "v", 128, 0.0, 100.0)
+    merged = sketches.histogram_merge(
+        sketches.value_histogram(a.withColumn("g", F.lit("all")), ["g"], "v", 128, 0.0, 100.0),
+        sketches.value_histogram(b.withColumn("g", F.lit("all")), ["g"], "v", 128, 0.0, 100.0),
+        ["g"],
+    )
+    m = {r["bin"]: r["cnt"] for r in merged.collect()}
+    f = {r["bin"]: r["cnt"] for r in bins_full.collect()}
+    assert m == f
+    qs = [0.1, 0.5, 0.9, 0.99]
+    est = {
+        r["q"]: r["est"]
+        for r in sketches.histogram_quantile(
+            bins_full, ["g"], qs, 128, 0.0, 100.0
+        ).collect()
+    }
+    ordered = sorted(v for _, v in vals)
+    width = 100.0 / 128
+    for q in qs:
+        exact = ordered[max(0, -(-int(q * 2000) // 1) - 1)]  # type-1 rank
+        assert exact <= est[q] <= exact + width + 1e-9, (q, exact, est[q])
+
+
+def test_value_histogram_clamps_out_of_range(spark):
+    df = spark.createDataFrame(
+        [(1, -5.0), (2, 0.0), (3, 99.9), (4, 250.0), (5, None)],
+        "id long, v double",
+    ).withColumn("g", F.lit("all"))
+    rows = {
+        r["bin"]: r["cnt"]
+        for r in sketches.value_histogram(df, ["g"], "v", 10, 0.0, 100.0).collect()
+    }
+    assert rows == {0: 2, 9: 2}  # -5 and 0 clamp low; 99.9 and 250 clamp high
