@@ -2827,6 +2827,34 @@ def hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 lexical retrieval: doc 0's distinct tokens as the query,
+    top-10 documents by BM25 score (k1=1.2, b=0.75) over the full-corpus
+    statistics. Per-term contributions are 6-dp-rounded and summed in
+    decimal micro-units (``operators/text.py bm25_scores``), so the
+    ranking integer is order-independent and the oracle replays the libm
+    ``ln`` identically. Complements ``rag_retrieval`` (hashed-TF cosine
+    over chunks) with the classic sparse scoring function."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    qterms = (
+        docs.where(F.col("doc_id") == 0)
+        .select(F.explode(text_ops.tokens("text")).alias("term"))
+        .distinct()
+    )
+    scores = text_ops.bm25_scores(docs, "doc_id", qterms)
+    return (
+        scores.where(F.col("id") != 0)
+        .orderBy(F.col("score_micro").desc(), F.col("id"))
+        .limit(10)
+        .select(
+            F.col("id").cast("long").alias("doc_id"),
+            "n_terms",
+            "dl",
+            "score_micro",
+        )
+    )
+
+
 def rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end RAG indexing/retrieval over the round-3 ops: documents →
     overlapping token-window chunks → hashing-trick TF vectors (64
@@ -4023,6 +4051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm_quality": bigram_lm_quality,
         "hll_incremental": hll_incremental,
         "rag_retrieval": rag_retrieval,
+        "bm25_retrieval": bm25_retrieval,
         "knn_label_accuracy": knn_label_accuracy,
         "pack_chunk_spans": pack_chunk_spans_q,
         "ann_recall_ivf": ann_recall_ivf,

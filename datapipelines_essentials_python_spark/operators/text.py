@@ -777,6 +777,76 @@ def tfidf_top_terms(
     )
 
 
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    query: DataFrame,
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Okapi BM25 document scores against one query term set — the
+    lexical-retrieval companion of :func:`tfidf_top_terms` and the hashed
+    cosine :mod:`chunking` RAG stack. ``query`` is a DataFrame with a
+    single ``term`` column (deduplicated here; broadcast).
+
+    Per matched (doc, term):
+    ``idf = ln((N - df + 0.5) / (df + 0.5) + 1)`` (Robertson +1 form,
+    always positive) and
+    ``tfn = tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl))``.
+
+    → (id, n_terms, dl, score_micro): per-term contributions are rounded
+    to ``round_dp`` and summed in DECIMAL space, emitted as integer
+    MICRO-units (the bigram-LM discipline) — the output carries no float,
+    so it hash-matches across engines despite the libm ``ln``, and the
+    decimal sum is order-independent at any parallelism.
+
+    Scale shape: tf table = one explode + count shuffle (map-side
+    combined); document frequency aggregates the vocabulary-sized term
+    table; query join and corpus stats (N, avgdl — a 1-row aggregate) are
+    broadcast; final score = one keyed agg on the doc id. No window, no
+    global sort.
+    """
+    tf_tbl = (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dl_tbl = df.select(
+        F.col(id_col).alias("id"), token_count(text_col).cast("long").alias("dl")
+    )
+    stats = dl_tbl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avgdl"
+        ),
+    )
+    dfreq = tf_tbl.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    qt = query.select("term").distinct().join(dfreq, "term")
+    scored = (
+        tf_tbl.join(F.broadcast(qt), "term")
+        .join(dl_tbl, "id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tfn = (F.col("tf").cast("double") * F.lit(k1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    contrib = F.round(idf * tfn, round_dp).cast("decimal(18,6)")
+    return scored.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.max("dl").cast("long").alias("dl"),
+        (F.sum(contrib) * F.lit(1000000)).cast("long").alias("score_micro"),
+    )
+
+
 # --------------------------------------------------------------------------
 # logistic quality classifier (portable inference)
 # --------------------------------------------------------------------------

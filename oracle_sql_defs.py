@@ -2443,6 +2443,41 @@ FROM fin
 """
 
 _RAG_BUCKET = _hex_to_long("md5(t)", 8) + " % 64"
+ORACLES["bm25_retrieval"] = f"""
+WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+tft AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tk) GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(toks) AS dl FROM tk),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+       FROM dl),
+dfreq AS (SELECT term, count(*) AS df FROM tft GROUP BY 1),
+q AS (SELECT DISTINCT unnest(toks) AS term FROM tk WHERE doc_id = 0),
+contrib AS (
+  SELECT t.doc_id, d.dl,
+    CAST(round(
+      ln((CAST(st.n_docs AS DOUBLE) - fr.df + 0.5) / (fr.df + 0.5) + 1.0)
+      * ((CAST(t.tf AS DOUBLE) * 2.2)
+         / (CAST(t.tf AS DOUBLE)
+            + 1.2 * (0.25 + 0.75 * CAST(d.dl AS DOUBLE) / st.avgdl))),
+      6) AS DECIMAL(18,6)) AS c
+  FROM tft t
+  JOIN q USING (term)
+  JOIN dfreq fr USING (term)
+  JOIN dl d ON d.doc_id = t.doc_id
+  CROSS JOIN st)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(count(*) AS BIGINT) AS n_terms,
+  CAST(max(dl) AS BIGINT) AS dl,
+  CAST(sum(c) * 1000000 AS BIGINT) AS score_micro
+FROM contrib
+WHERE doc_id <> 0
+GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id
+LIMIT 10
+"""
+
 ORACLES["rag_retrieval"] = f"""
 WITH toks AS (SELECT doc_id, {TOKS} AS tk FROM documents),
 st0 AS (

@@ -430,3 +430,47 @@ def test_build_vocab_correct_with_exchange_reuse_disabled(spark):
         cum += c
         assert r["cum_cnt"] == cum
     assert all(r["total_cnt"] == sum(counts) for r in got)
+
+
+def test_bm25_scores_match_python_reference(spark):
+    """BM25 micro-unit scores equal a driver-side Okapi computation on a
+    tiny corpus (k1=1.2, b=0.75, Robertson +1 idf, 6-dp per-term round)."""
+    import math
+
+    from datapipelines_essentials_python_spark.operators.text import bm25_scores
+
+    corpus = {
+        1: "the cat sat on the mat",
+        2: "the dog sat",
+        3: "cats and dogs",
+    }
+    df = spark.createDataFrame(list(corpus.items()), "id long, text string")
+    q = spark.createDataFrame([("the",), ("sat",), ("cat",)], "term string")
+    got = {
+        r["id"]: (r["n_terms"], r["dl"], r["score_micro"])
+        for r in bm25_scores(df, "id", q).collect()
+    }
+
+    docs = {i: t.split() for i, t in corpus.items()}
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    dfreq = {}
+    for toks in docs.values():
+        for t in set(toks):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    want = {}
+    for i, toks in docs.items():
+        dl = len(toks)
+        total = 0
+        n_terms = 0
+        for term in ("the", "sat", "cat"):
+            tf = toks.count(term)
+            if tf == 0:
+                continue
+            n_terms += 1
+            idf = math.log((n - dfreq[term] + 0.5) / (dfreq[term] + 0.5) + 1.0)
+            tfn = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+            total += round(idf * tfn, 6)
+        if n_terms:
+            want[i] = (n_terms, dl, int(round(total * 1000000)))
+    assert got == want
