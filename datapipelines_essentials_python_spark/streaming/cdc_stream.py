@@ -352,6 +352,54 @@ def streaming_cms_topk(
     return writer.start()
 
 
+def streaming_histogram_profile(
+    stream: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    load_bins: Callable[[], DataFrame | None],
+    sink: Callable[[DataFrame, int], None],
+    n_bins: int = 256,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    checkpoint_dir: str | None = None,
+    query_name: str = "histogram_profile",
+) -> StreamingQuery:
+    """Keep a quantile profile fresh from a stream: each micro-batch is
+    binned (``sketches.value_histogram``) and ADDED into the served bin
+    table (``sketches.histogram_merge`` — histograms are linear, so
+    per-batch sketches sum to the full-history sketch exactly). Per-epoch
+    cost is O(batch + bins·groups), never O(history); read quantiles off
+    the served table with ``sketches.histogram_quantile``. The batch
+    twin is the ``histogram_quantiles`` registry query.
+
+    ``load_bins`` returns the current bin table (or None on first batch);
+    ``sink`` persists the merged bins per epoch.
+    """
+    from datapipelines_essentials_python_spark.operators.sketches import (
+        histogram_merge,
+        value_histogram,
+    )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_bins = value_histogram(
+            batch_df, group_cols, value_col, n_bins=n_bins, lo=lo, hi=hi
+        )
+        served = load_bins()
+        merged = (
+            batch_bins
+            if served is None
+            else histogram_merge(served, batch_bins, group_cols)
+        )
+        sink(merged, epoch_id)
+
+    writer = stream.writeStream.queryName(query_name).foreachBatch(_process)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def idempotent_sink(
     process: Callable[[DataFrame, int], None],
     load_committed: Callable[[], set[int]],

@@ -427,3 +427,64 @@ def test_streaming_quality_admission_matches_batch_gate(spark, tmp_path):
     )
     want = {r["doc_id"]: r["quality_score"] for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_streaming_histogram_profile_matches_full_rescan(spark, tmp_path):
+    from datapipelines_essentials_python_spark.operators.sketches import (
+        histogram_quantile,
+        value_histogram,
+    )
+    from datapipelines_essentials_python_spark.streaming.cdc_stream import (
+        streaming_histogram_profile,
+    )
+
+    src = str(tmp_path / "hist_src")
+    schema = "g string, v double"
+    batch1 = [("a", float(i)) for i in range(50)] + [("b", 5.0)] * 10
+    batch2 = [("a", float(i)) for i in range(50, 100)] + [("b", 95.0)] * 10
+    spark.createDataFrame(batch1, schema).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(src)
+
+    state = {"bins": None}
+
+    def sink(merged, epoch_id):
+        state["bins"] = spark.createDataFrame(
+            merged.collect(), "g string, bin int, cnt long"
+        )
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = streaming_histogram_profile(
+        stream,
+        value_col="v",
+        group_cols=["g"],
+        load_bins=lambda: state["bins"],
+        sink=sink,
+        n_bins=64,
+        lo=0.0,
+        hi=100.0,
+        checkpoint_dir=str(tmp_path / "hist_ckpt"),
+        query_name="t_hist",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # streaming-maintained bins must equal a full-rescan histogram
+    # (linearity), and therefore yield identical quantile estimates
+    full = spark.createDataFrame(batch1 + batch2, schema)
+    full_bins = value_histogram(full, ["g"], "v", 64, 0.0, 100.0)
+    got = {(r["g"], r["bin"]): r["cnt"] for r in state["bins"].collect()}
+    want = {(r["g"], r["bin"]): r["cnt"] for r in full_bins.collect()}
+    assert got == want
+    est_s = {
+        (r["g"], r["q"]): r["est"]
+        for r in histogram_quantile(state["bins"], ["g"], [0.5, 0.9], 64, 0.0, 100.0).collect()
+    }
+    est_f = {
+        (r["g"], r["q"]): r["est"]
+        for r in histogram_quantile(full_bins, ["g"], [0.5, 0.9], 64, 0.0, 100.0).collect()
+    }
+    assert est_s == est_f
