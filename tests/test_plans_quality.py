@@ -502,3 +502,29 @@ def test_ngram_indexed_join_is_equi_not_cartesian(spark):
     assert "cartesianproduct" not in low
     assert "broadcastnestedloopjoin" not in low
     assert "g_a" in plan and "g_b" in plan  # posting key is a join key
+
+
+def test_bm25_broadcasts_stats_and_has_no_window(spark):
+    """BM25 scoring is pure keyed aggregation: the corpus stats (1-row)
+    and query-term table arrive via broadcast, and the plan contains no
+    window at all (no global sort, no per-doc ranking inside the
+    operator)."""
+    plan = plan_of(entry_mod.queries()["bm25_retrieval"](spark, SF_DIR))
+    low = plan.lower()
+    assert "broadcast" in low
+    assert "windowspecdefinition" not in low
+    # the only global sort is the final top-10 TakeOrdered, not a full sort
+    assert "takeordered" in low or "sort" not in low.split("limit")[0]
+
+
+def test_histogram_quantiles_windows_are_group_partitioned(spark):
+    """Histogram-quantile windows run over the bin table (<= n_bins rows
+    per group), partitioned by the group column — never a partition-less
+    window over raw events."""
+    import re
+
+    plan = plan_of(entry_mod.queries()["histogram_quantiles"](spark, SF_DIR))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected cumulative-count window specs"
+    for spec in specs:
+        assert "event_type" in spec, f"unpartitioned window spec: {spec}"
