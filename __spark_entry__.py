@@ -4039,8 +4039,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- the queries CHANGED this round (ngram_jaccard's inverted-
         # ---- index rewrite, pq_ann_refined, vocab_coverage's checkpointed
         # ---- ranking, dup_cluster_histogram's shared label stage, and the
-        # ---- two NEW round-5 queries pack_chunk_spans + ann_recall_ivf)
-        # ---- plus float-heavy TPC-H and statistics queries.
+        # ---- five NEW round-5 queries pack_chunk_spans, ann_recall_ivf,
+        # ---- asof_join_tiebreak, histogram_quantiles, bm25_retrieval)
+        # ---- plus float-heavy statistics queries. q9/q19/tfidf rotated
+        # ---- to the tail to make room — structurally covered by the
+        # ---- spine's q1/q3/q5 and still dual-scale parity-checked.
         "ngram_jaccard": ngram_jaccard,
         "pq_ann": pq_ann,
         "pq_ann_refined": pq_ann_refined,
@@ -4055,9 +4058,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_label_accuracy": knn_label_accuracy,
         "pack_chunk_spans": pack_chunk_spans_q,
         "ann_recall_ivf": ann_recall_ivf,
-        "q9_product_profit": q9_product_profit,
-        "q19_disjunctive": q19_disjunctive,
-        "tfidf_top_terms": tfidf_top_terms_q,
+        "asof_join_tiebreak": asof_join_tiebreak,
+        "histogram_quantiles": histogram_quantiles,
         "mixture_weights": mixture_weights,
         "drift_chi2": drift_chi2,
         "ols_fit": ols_fit,
@@ -4086,7 +4088,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination_bloom": decontamination_bloom,
         "semantic_dedup": semantic_dedup,
         "hll_distinct": hll_distinct,
-        "histogram_quantiles": histogram_quantiles,
+        "q9_product_profit": q9_product_profit,
+        "q19_disjunctive": q19_disjunctive,
+        "tfidf_top_terms": tfidf_top_terms_q,
         "cms_topk": cms_topk,
         "gap_fill_events": gap_fill_events,
         "rolling_events_7d": rolling_events_7d,
@@ -4186,7 +4190,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_metrics": unpivot_metrics,
         "event_lift": event_lift,
         "asof_join_tolerance": asof_join_tolerance,
-        "asof_join_tiebreak": asof_join_tiebreak,
         "scd2_point_in_time": scd2_point_in_time,
         "dau_wau": dau_wau,
         "first_touch_attribution": first_touch_attribution,
