@@ -1055,6 +1055,28 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fixed_size_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-20-per-language deterministic quota sample
+    (``sampling.fixed_size_sample``): smallest-md5-hash-rank rows per
+    group, selected with the two-phase shape — broadcast group counts set
+    a hash pre-filter admitting ~4n survivors per group, then the ranking
+    window runs on survivors only, so no partition ever holds a
+    group-sized row set. The oracle replays threshold, hash, and ranking
+    verbatim."""
+    from datapipelines_essentials_python_spark.operators.sampling import (
+        fixed_size_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = fixed_size_sample(docs, ["lang"], "doc_id", 20)
+    return out.select(
+        "lang",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("h").cast("long").alias("h"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def train_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic disjoint train/holdout split, reported as per-split
     per-language counts (provably stable across reruns and engines)."""
@@ -4138,6 +4160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join_returned": semi_join_returned,
         "anti_join_dormant": anti_join_dormant,
         "stratified_sample_docs": stratified_sample_docs,
+        "fixed_size_sample_docs": fixed_size_sample_docs,
         "train_holdout_split": train_holdout_split,
         "unigram_lm_quality": unigram_lm_quality,
         "quantile_profile": quantile_profile,

@@ -336,3 +336,67 @@ def temperature_mixture(
             ).alias("sample_factor"),
         )
     )
+
+
+def fixed_size_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    n: int,
+    oversample: float = 4.0,
+    salt: str = "",
+) -> DataFrame:
+    """EXACTLY-n-per-group deterministic sample (the quota companion of
+    :func:`stratified_sample`, which keeps a *fraction*): per group, the n
+    rows with the smallest md5 hash-rank — reproducible across runs,
+    engines, and cluster sizes, like every sampler here.
+
+    Scale shape — a naive per-group ``row_number`` funnels each group
+    through one partition, so a 10-billion-row group becomes one task.
+    Instead, two phases:
+
+    1. group counts (one map-side-combined agg, group-cardinality-sized,
+       broadcast back) set a hash PRE-FILTER admitting ~``oversample*n``
+       rows per group — the survivor set is ``n``-sized, not group-sized;
+    2. the ranking window runs on survivors only, so no partition ever
+       holds more than ~``oversample*n`` rows per group.
+
+    The pre-filter admits fewer than n rows with probability
+    ``exp(-n*(oversample-1)^2 / (2*oversample))`` per group (Chernoff) —
+    ~1e-22 per group at n=100, oversample=4. Determinism is unconditional
+    either way: the SQL twin replays the same threshold and hash, so both
+    engines produce the identical sample even in the unlucky tail.
+    → input columns + (h, rank), rank in [1, n] by (h, id).
+    """
+    from pyspark.sql import Window
+
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt), F.lit("|"), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h")
+    )
+    counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__gcnt"))
+    cut = F.lit(4294967296.0) * F.lit(float(oversample) * n) / F.col("__gcnt")
+    survivors = (
+        df.select("*", h)
+        .join(F.broadcast(counts), group_cols)
+        .where(F.col("h").cast("double") < cut)
+        .drop("__gcnt")
+    )
+    w = Window.partitionBy(*group_cols).orderBy("h", id_col)
+    return (
+        survivors.select("*", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= n)
+    )

@@ -737,6 +737,25 @@ _HASH_FRAC = lambda salt: (  # noqa: E731 — md5-derived uniform [0,1) keyed on
     + " / 4294967296.0"
 )
 
+_SAMPLE_H = _hex_to_long("md5('' || '|' || CAST(doc_id AS VARCHAR))", 8)
+
+ORACLES["fixed_size_sample_docs"] = f"""
+WITH c AS (SELECT lang, count(*) AS gcnt FROM documents GROUP BY 1),
+s AS (
+  SELECT d.lang, d.doc_id, {_SAMPLE_H} AS h, c.gcnt
+  FROM documents d JOIN c USING (lang)),
+f AS (
+  SELECT lang, doc_id, h FROM s
+  WHERE CAST(h AS DOUBLE) < 4294967296.0 * 80.0 / gcnt),
+r AS (
+  SELECT lang, doc_id, h,
+    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+  FROM f)
+SELECT lang, CAST(doc_id AS BIGINT) AS doc_id, CAST(h AS BIGINT) AS h,
+       CAST(rn AS INT) AS rank
+FROM r WHERE rn <= 20
+"""
+
 ORACLES["stratified_sample_docs"] = f"""
 SELECT doc_id, lang FROM documents
 WHERE {_HASH_FRAC('')} <

@@ -778,3 +778,40 @@ def test_temperature_mixture(spark):
         for r in temperature_mixture(df, "dom", sqrt_passes=2).collect()
     }
     assert out2["small"]["q_temp"] > out["small"]["q_temp"]
+
+
+def test_fixed_size_sample_exact_n_and_partition_invariant(spark):
+    """Each group yields exactly n rows (when the group has >= n), the
+    same rows regardless of input partitioning, and they are the n
+    smallest by (hash, id) — the full brute-force ranking's prefix."""
+    rows = [(i, "g%d" % (i % 3)) for i in range(600)]
+    df = spark.createDataFrame(rows, "id long, g string")
+    out1 = sampling.fixed_size_sample(df, ["g"], "id", 15)
+    out2 = sampling.fixed_size_sample(df.repartition(13), ["g"], "id", 15)
+    got1 = sorted((r["g"], r["id"], r["rank"]) for r in out1.collect())
+    got2 = sorted((r["g"], r["id"], r["rank"]) for r in out2.collect())
+    assert got1 == got2
+    per_group = {}
+    for g, _, _ in got1:
+        per_group[g] = per_group.get(g, 0) + 1
+    assert per_group == {"g0": 15, "g1": 15, "g2": 15}
+    # prefix-of-full-ranking: equals the n smallest by (h, id) per group
+    full = df.select(
+        "g", "id", sampling.hash_fraction("id").alias("frac")
+    ).collect()
+    for g in ("g0", "g1", "g2"):
+        ordered = sorted(
+            (r["frac"], r["id"]) for r in full if r["g"] == g
+        )[:15]
+        want_ids = {i for _, i in ordered}
+        got_ids = {i for gg, i, _ in got1 if gg == g}
+        assert got_ids == want_ids
+
+
+def test_fixed_size_sample_small_group_keeps_all(spark):
+    df = spark.createDataFrame(
+        [(i, "tiny") for i in range(5)], "id long, g string"
+    )
+    out = sampling.fixed_size_sample(df, ["g"], "id", 20).collect()
+    assert sorted(r["id"] for r in out) == [0, 1, 2, 3, 4]
+    assert sorted(r["rank"] for r in out) == [1, 2, 3, 4, 5]
