@@ -202,6 +202,10 @@ HEADLINE = [
     # multi-probe recall gauge.
     "pack_chunk_spans",
     "ann_recall_ivf",
+    "asof_join_tiebreak",
+    "histogram_quantiles",
+    "bm25_retrieval",
+    "fixed_size_sample_docs",
 ]
 
 
