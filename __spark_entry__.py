@@ -330,6 +330,18 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-edge debounce per (user, event_type) at a 300 s gap
+    (``relational.debounce``): keeps the first event of every burst, the
+    telemetry/alert-storm dedupe. Whole-second epoch comparison, id
+    tie-break — fully deterministic, oracle replays the lag filter."""
+    events = load_table(spark, sf_dir, "events")
+    out = rel_ops.debounce(
+        events, ["user_id", "event_type"], "ts", 300, tie_cols=["event_id"]
+    )
+    return out.select("event_id", "user_id", "event_type", "ts")
+
+
 def duration_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ISO-8601 duration formatting + difficulty bucketing (SURVEY §2.8
     F5/F6) over events.value (interpreted as minutes → seconds)."""
@@ -4092,6 +4104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- rows are driver-green in CORRECTNESS_r04.json.
         "fuzzy_join_suppliers": fuzzy_join_suppliers,
         "sessionize": sessionize,
+        "debounce_events": debounce_events,
         "session_window_agg": session_window_agg,
         "funnel_conversion": funnel_conversion,
         "asof_join": asof_join_query,

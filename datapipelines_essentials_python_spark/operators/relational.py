@@ -564,3 +564,34 @@ def grid_nearby_join(
         .where((F.col("id_a") < F.col("id_b")) & (dist_sq <= F.lit(radius * radius)))
         .select("id_a", "id_b", F.round(dist_sq, 6).alias("dist_sq"))
     )
+
+
+def debounce(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    gap_seconds: int,
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Leading-edge event debounce: per key, keep an event iff the
+    previous RAW event is more than ``gap_seconds`` older (or absent) —
+    i.e. the first event of every gap-delimited burst, with suppression
+    holding through a dense burst of any length (events 0s, 4s, 8s, 12s
+    at gap=5 keep only the first: each row's predecessor is 4s away).
+    The telemetry/alert-storm/duplicate-webhook filter.
+
+    ``tie_cols`` breaks equal-timestamp order deterministically (pass
+    the id column). Timestamps compare at WHOLE-second granularity
+    (epoch seconds, matching the SQL twin's ``epoch_us // 1_000_000``).
+
+    Scale shape: one keyed window (same partitioning as sessionization);
+    per-key partitions, no global sort. → input rows, filtered.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, *(tie_cols or []))
+    prev = F.lag(F.col(ts_col).cast("long")).over(w)
+    keep = prev.isNull() | (
+        (F.col(ts_col).cast("long") - prev) > F.lit(int(gap_seconds))
+    )
+    return (
+        df.withColumn("__keep", keep).where(F.col("__keep")).drop("__keep")
+    )

@@ -320,6 +320,17 @@ SELECT user_id,
 FROM marked GROUP BY user_id
 """
 
+ORACLES["debounce_events"] = """
+WITH w AS (
+  SELECT event_id, user_id, event_type, ts,
+    lag(epoch_us(ts) // 1000000) OVER (
+      PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev
+  FROM events)
+SELECT event_id, user_id, event_type, ts
+FROM w
+WHERE prev IS NULL OR (epoch_us(ts) // 1000000) - prev > 300
+"""
+
 ORACLES["duration_buckets"] = """
 WITH base AS (
   SELECT event_id,

@@ -815,3 +815,23 @@ def test_fixed_size_sample_small_group_keeps_all(spark):
     out = sampling.fixed_size_sample(df, ["g"], "id", 20).collect()
     assert sorted(r["id"] for r in out) == [0, 1, 2, 3, 4]
     assert sorted(r["rank"] for r in out) == [1, 2, 3, 4, 5]
+
+
+def test_debounce_suppresses_through_dense_burst(spark):
+    """Leading-edge semantics: suppression holds through a burst whose
+    individual gaps are all below the threshold (0,4,8,12s @ gap 5 keeps
+    only t=0), and a gap above it starts a new burst."""
+    from datetime import datetime
+
+    from datapipelines_essentials_python_spark.operators import relational
+
+    rows = [
+        (i, "u1", datetime(2024, 1, 1, 0, 0, s))
+        for i, s in enumerate([0, 4, 8, 12, 30, 33])
+    ]
+    df = spark.createDataFrame(rows, "id long, k string, ts timestamp")
+    kept = sorted(
+        r["id"]
+        for r in relational.debounce(df, ["k"], "ts", 5, tie_cols=["id"]).collect()
+    )
+    assert kept == [0, 4]  # t=0 starts burst 1; t=30 (gap 18) starts burst 2
