@@ -206,6 +206,7 @@ HEADLINE = [
     "histogram_quantiles",
     "bm25_retrieval",
     "fixed_size_sample_docs",
+    "debounce_events",
 ]
 
 
