@@ -71,3 +71,11 @@ def test_oracle_sql_strings_are_nonempty_selects():
     for name, sql in entry_mod.oracle_sql().items():
         s = sql.strip().lower()
         assert s.startswith(("select", "with")), name
+
+
+def test_bench_headline_is_subset_of_registry():
+    import bench
+
+    missing = [n for n in bench.HEADLINE if n not in entry_mod.queries()]
+    assert not missing, missing
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
