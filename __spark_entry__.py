@@ -4028,6 +4028,116 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
+def transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences
+    (``relational.transition_counts``): for consecutive events of each
+    user, count (from_type → to_type) pairs and normalize each row —
+    the next-event distribution behind journey analysis and predictive
+    prefetch. One keyed window + a vocabulary-bounded matrix agg."""
+    events = load_table(spark, sf_dir, "events")
+    return rel_ops.transition_counts(
+        events, "user_id", ["ts", "event_id"], "event_type"
+    )
+
+
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-weighted mean of ``value`` per event type
+    (``relational.time_weighted_mean``): each observation holds until the
+    user's next event (LOCF weighting, Timescale's ``time_weight``), so
+    irregular sampling doesn't over-weight chatty periods. Decimal-exact
+    accumulation, one IEEE division, round 6."""
+    events = load_table(spark, sf_dir, "events")
+    return rel_ops.time_weighted_mean(
+        events, "user_id", "ts", "value", "event_type", tie_cols=["event_id"]
+    )
+
+
+def interpolate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily LINEAR interpolation per event type
+    (``relational.interpolate_linear``): the same deterministic day-of-
+    month%5 gap injection as ``gap_fill_events``, but missing days take
+    the straight line between surrounding observations instead of the
+    last value — the other half of the Timescale gap-fill pair."""
+    events = load_table(spark, sf_dir, "events")
+    gappy = events.where(F.dayofmonth(F.to_date("ts")) % 5 != 0)
+    out = rel_ops.interpolate_linear(gappy, "event_type", "ts", "value")
+    return out.select(
+        F.col("key").alias("event_type"), "day", "value", "filled"
+    )
+
+
+def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier of parts — cheapest price for every size level
+    that no other part dominates (``relational.pareto_frontier_2d``, the
+    O(n log n) two-level prefix-max sweep; the oracle replays the
+    NOT-EXISTS dominance definition over the per-cost maxima)."""
+    part = load_table(spark, sf_dir, "part")
+    return rel_ops.pareto_frontier_2d(
+        part.select("p_partkey", "p_retailprice", "p_size"),
+        "p_retailprice",
+        "p_size",
+    )
+
+
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocations: PMI lift for every adjacent token bigram with
+    joint count ≥ 5 (``text.bigram_pmi``) — multi-word-expression and
+    tokenizer-merge discovery. Exact counts; the lift ratio is a fixed
+    shape of IEEE divisions, no transcendental functions."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.bigram_pmi(docs, "text", min_count=5)
+
+
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer RFM quartile segmentation over orders
+    (``relational.rfm_segments``): recency/frequency/monetary scored 1–4
+    against exact broadcast quartile boundaries — no global ranking
+    window anywhere in the plan."""
+    orders = load_table(spark, sf_dir, "orders")
+    return rel_ops.rfm_segments(
+        orders, "o_custkey", "o_orderdate", "o_totalprice"
+    )
+
+
+def autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each event type's daily value series
+    (``relational.autocorr_lag1``) — the seasonality/momentum probe run
+    before forecasting. Keyed daily agg → keyed lag → Pearson corr."""
+    events = load_table(spark, sf_dir, "events")
+    return rel_ops.autocorr_lag1(events, "event_type", "ts", "value")
+
+
+def benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals vs Benford's
+    law (``relational.benford_profile``) — fraud / synthetic-data smell
+    test. Digits extracted lexically; expectations are shared literals,
+    so no transcendental is evaluated by either engine."""
+    orders = load_table(spark, sf_dir, "orders")
+    return rel_ops.benford_profile(
+        orders.select(F.col("o_totalprice").cast("decimal(18,2)").alias("amt")),
+        "amt",
+    )
+
+
+def event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-3 sequential patterns over per-user event journeys
+    (``relational.ngram_paths``): the funnel-discovery generalization of
+    the transition matrix — every (s1→s2→s3) path seen ≥ 5 times."""
+    events = load_table(spark, sf_dir, "events")
+    return rel_ops.ngram_paths(
+        events, "user_id", ["ts", "event_id"], "event_type", n=3, min_count=5
+    )
+
+
+def ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated EWMA (α=0.5, k=7) of each event type's daily value series
+    (``relational.ewma_smooth``) — bounded-state trend smoothing whose
+    weights are exact binary doubles, so the engine and oracle agree
+    bit-for-bit before the final round."""
+    events = load_table(spark, sf_dir, "events")
+    return rel_ops.ewma_smooth(events, "event_type", "ts", "value")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # The driver's CORRECTNESS gate records only the first 50 entries.
@@ -4100,7 +4210,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_agg": grouping_sets_agg,
         # ---- entries below are covered by tools/check_parity.py
         # ---- (full-suite log committed per round as PARITY_r{N}.txt);
-        # ---- the r4 risky-pipeline block starts the tail — all 20 of its
+        # ---- the five queries added late in round 5 lead the tail as
+        # ---- next-round rotation candidates (the 50-row window above was
+        # ---- already fully loaded with this round's earlier additions).
+        "transition_matrix": transition_matrix,
+        "time_weighted_avg": time_weighted_avg,
+        "interpolate_daily": interpolate_daily,
+        "pareto_frontier": pareto_frontier,
+        "pmi_collocations": pmi_collocations,
+        "rfm_segmentation": rfm_segmentation,
+        "autocorr_daily": autocorr_daily,
+        "benford_prices": benford_prices,
+        "event_trigrams": event_trigrams,
+        "ewma_daily": ewma_daily,
+        # ---- the r4 risky-pipeline block continues — all 20 of its
         # ---- rows are driver-green in CORRECTNESS_r04.json.
         "fuzzy_join_suppliers": fuzzy_join_suppliers,
         "sessionize": sessionize,

@@ -207,6 +207,20 @@ HEADLINE = [
     "bm25_retrieval",
     "fixed_size_sample_docs",
     "debounce_events",
+    # round 5 (late block): Markov transitions, time-weighted mean,
+    # linear gap fill, Pareto frontier sweep, PMI collocations.
+    "transition_matrix",
+    "time_weighted_avg",
+    "interpolate_daily",
+    "pareto_frontier",
+    "pmi_collocations",
+    # round 5 (final block): RFM segmentation, autocorrelation, Benford
+    # profiling, trigram paths, truncated EWMA.
+    "rfm_segmentation",
+    "autocorr_daily",
+    "benford_prices",
+    "event_trigrams",
+    "ewma_daily",
 ]
 
 

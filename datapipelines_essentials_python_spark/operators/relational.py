@@ -595,3 +595,487 @@ def debounce(
     return (
         df.withColumn("__keep", keep).where(F.col("__keep")).drop("__keep")
     )
+
+
+def transition_counts(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    state_col: str,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event sequences.
+
+    For every key's events in ``order_cols`` order, count consecutive
+    (from_state → to_state) pairs and normalize each row of the matrix:
+    ``p = n / Σ n over from_state`` — the empirical next-event
+    distribution behind sequence mining, predictive prefetch, and
+    user-journey analysis (the reference's closest surface is the
+    window-ordered CDC snapshot; this generalizes the lag pattern to
+    transitions).
+
+    Scale shape: one keyed window (``lag`` partitioned by ``key_col`` —
+    same partitioning as sessionization, no global sort), then a
+    partial-aggregated groupBy onto a |states|² matrix. The normalizing
+    window runs on that matrix, whose size is vocabulary-bounded and
+    independent of the event volume, so the plan at 100 TB is one event
+    shuffle + one tiny window. The ratio is a single IEEE division of
+    exact BIGINT counts, rounded to 6 — bit-identical across engines.
+
+    → ``(from_state, to_state, n, p)``.
+    """
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    prev = F.lag(F.col(state_col)).over(w)
+    pairs = (
+        df.select(
+            prev.alias("from_state"), F.col(state_col).alias("to_state")
+        )
+        .where(F.col("from_state").isNotNull())
+    )
+    counts = pairs.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    row_w = Window.partitionBy("from_state")
+    return counts.select(
+        "from_state",
+        "to_state",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(row_w).cast("double"), 6
+        ).alias("p"),
+    )
+
+
+def time_weighted_mean(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    group_col: str,
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Interval-weighted (time-weighted) average of an irregular series.
+
+    Each observation holds until the key's NEXT observation (LOCF
+    weighting, the TimescaleDB ``time_weight('LOCF')`` convention): its
+    weight is the gap in whole seconds to the next event, and the key's
+    final observation carries no weight. Aggregated per ``group_col``:
+    ``twa = Σ(value·dt) / Σ(dt)`` — the correct mean for sensor /
+    price / telemetry streams where sampling density varies, where a
+    plain AVG over-weights chatty periods.
+
+    Numeric contract: values accumulate as DECIMAL(18,4) × BIGINT
+    seconds (exact), the final ratio is one IEEE double division,
+    rounded to 6 — replays bit-identically in the SQL oracle.
+
+    Scale shape: one keyed window (``lead`` over ``key_col`` — no global
+    sort), then a partial-aggregated groupBy onto |groups| rows.
+
+    → ``(group, n_intervals, total_seconds, twa)``.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, *(tie_cols or []))
+    dt = F.lead(F.col(ts_col).cast("long")).over(w) - F.col(ts_col).cast("long")
+    weighted = (
+        df.select(
+            F.col(group_col).alias("group"),
+            F.col(value_col).cast("decimal(18,4)").alias("v"),
+            dt.alias("dt"),
+        )
+        .where(F.col("dt").isNotNull())
+    )
+    return weighted.groupBy("group").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum("dt").cast("long").alias("total_seconds"),
+        F.round(
+            F.sum(F.col("v") * F.col("dt")).cast("double")
+            / F.sum("dt").cast("double"),
+            6,
+        ).alias("twa"),
+    )
+
+
+def interpolate_linear(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+) -> DataFrame:
+    """Daily gap filling with LINEAR interpolation (the companion to
+    :func:`gap_fill_daily`'s forward fill, TimescaleDB's
+    ``interpolate()``): missing days between a key's first and last
+    observed day take the straight line between the surrounding
+    observations, ``v = prev + (next − prev) · elapsed/span``.
+
+    Same grid construction as :func:`gap_fill_daily` (per-key daily
+    decimal-exact aggregate, ``sequence``-exploded calendar, keyed
+    left join), then two keyed windows find the nearest observed value
+    and day on each side. Grid endpoints are observed by construction,
+    so the interpolation expression never sees a null neighbor. The
+    arithmetic is a fixed chain of IEEE double ops (sub, div, mul, add
+    in one shape), rounded to 6 — deterministic across engines.
+
+    Scale shape: identical to ``gap_fill_daily`` — daily pre-aggregate
+    shuffle, calendar join on the same key, two keyed windows; grid size
+    is keys × day-span, independent of raw event volume.
+
+    → ``(key, day, value, filled)``.
+    """
+    daily = df.groupBy(
+        F.col(key_col).alias("key"), F.to_date(ts_col).alias("day")
+    ).agg(F.sum(F.col(val_col).cast("decimal(18,4)")).cast("double").alias("v"))
+    cal = (
+        daily.groupBy("key")
+        .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select("key", F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    joined = cal.join(daily, ["key", "day"], "left")
+    back = Window.partitionBy("key").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    fwd = Window.partitionBy("key").orderBy("day").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    prev_v = F.last("v", ignorenulls=True).over(back)
+    prev_d = F.last(obs_day, ignorenulls=True).over(back)
+    next_v = F.first("v", ignorenulls=True).over(fwd)
+    next_d = F.first(obs_day, ignorenulls=True).over(fwd)
+    frac = F.datediff(F.col("day"), prev_d).cast("double") / F.datediff(
+        next_d, prev_d
+    ).cast("double")
+    interp = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+        prev_v + (next_v - prev_v) * frac
+    )
+    return joined.select(
+        "key",
+        "day",
+        F.round(interp, 6).alias("value"),
+        F.col("v").isNull().alias("filled"),
+    )
+
+
+def pareto_frontier_2d(
+    df: DataFrame,
+    cost_col: str,
+    gain_col: str,
+    rank_partitions: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """2-D Pareto frontier (skyline): rows not dominated by any other —
+    no row with ``cost ≤`` AND ``gain ≥`` that is strictly better on at
+    least one axis. Classic price/quality shortlisting; the naive
+    formulation is an O(n²) NOT EXISTS self-join (that IS the oracle
+    twin), this is the O(n log n) distributed sweep.
+
+    Algorithm: collapse to the best gain per distinct cost (one keyed
+    agg), then a TWO-LEVEL prefix-max over the cost order — the same
+    shape as ``build_vocab``'s ranking: ``repartitionByRange`` on cost,
+    per-range running max in parallel, per-range totals prefix-maxed via
+    a triangular broadcast self-join and added back as offsets. A cost
+    survives iff its best gain strictly beats the running max over all
+    strictly-lower costs; the original rows then rejoin on
+    (cost, gain == best). Never a single-partition window, whatever the
+    distinct-cost cardinality.
+
+    The range partitioning is ``localCheckpoint``-pinned before the two
+    consuming branches for the same reason documented in
+    ``build_vocab``: both branches must provably see one partitioning.
+    ``materialize=False`` skips the pin for plan-shape tests.
+
+    Ties: equal (cost, gain) duplicates are mutually non-dominating and
+    all survive — matching the NOT EXISTS oracle exactly.
+    """
+    spark = df.sparkSession
+    n_part = rank_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    per_cost = df.groupBy(F.col(cost_col).alias("__cost")).agg(
+        F.max(F.col(gain_col)).alias("__best")
+    )
+    ranged = per_cost.repartitionByRange(
+        n_part, F.col("__cost")
+    ).withColumn("__pid", F.spark_partition_id())
+    if materialize:
+        ranged = ranged.localCheckpoint(eager=True)
+    lw = (
+        Window.partitionBy("__pid")
+        .orderBy("__cost")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn("__lmax", F.max("__best").over(lw))
+    per_range = ranged.groupBy("__pid").agg(F.max("__best").alias("__m"))
+    earlier = per_range.select(
+        F.col("__pid").alias("__epid"), F.col("__m").alias("__em")
+    )
+    offsets = (
+        per_range.join(
+            F.broadcast(earlier), F.col("__epid") < F.col("__pid"), "left"
+        )
+        .groupBy("__pid")
+        .agg(F.max("__em").alias("__omax"))
+    )
+    prev_max = F.greatest(
+        F.coalesce("__lmax", F.lit(None)), F.coalesce("__omax", F.lit(None))
+    )
+    frontier = (
+        local.join(F.broadcast(offsets), "__pid")
+        .where(prev_max.isNull() | (F.col("__best") > prev_max))
+        .select("__cost", "__best")
+    )
+    return df.join(
+        frontier,
+        (F.col(cost_col) == F.col("__cost")) & (F.col(gain_col) == F.col("__best")),
+    ).drop("__cost", "__best")
+
+
+def rfm_segments(
+    df: DataFrame,
+    cust_col: str,
+    date_col: str,
+    amount_col: str,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) quartile segmentation — the
+    classic customer-value model: score each customer 1–4 on how recently
+    they ordered, how often, and how much, then label the segment.
+
+    Scale shape — deliberately NO global ranking window (an ``ntile``
+    over all customers would be a single-task sort at 100 TB): one keyed
+    shuffle builds the per-customer (recency, frequency, monetary)
+    aggregate, exact quartile BOUNDARIES come from one ``percentile``
+    aggregation over that table, and both the corpus max-date and the
+    boundary row arrive as broadcast 1-row cross joins. Scores are three
+    boundary comparisons per row — embarrassingly parallel.
+
+    Numeric contract: recency is whole days (BIGINT), frequency BIGINT,
+    monetary in exact CENTS (decimal sum × 100 → BIGINT), so the
+    quarter-fraction linear interpolation inside ``percentile`` /
+    ``quantile_cont`` is exact in binary and the boundary doubles are
+    bit-identical across engines (same argument as ``group_quantiles``).
+    Higher score = better: recency scores on the NEGATED day count.
+
+    → ``(cust, recency_days, frequency, monetary_cents, r, f, m,
+    segment)`` with segment the 3-digit string ``rfm``.
+    """
+    per_cust = df.groupBy(F.col(cust_col).alias("cust")).agg(
+        F.max(F.col(date_col)).alias("__last"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        (F.sum(F.col(amount_col).cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("monetary_cents"),
+    )
+    corpus_max = df.agg(F.max(F.col(date_col)).alias("__gmax"))
+    base = (
+        per_cust.crossJoin(F.broadcast(corpus_max))
+        .withColumn(
+            "recency_days", F.datediff(F.col("__gmax"), F.col("__last")).cast("long")
+        )
+        .drop("__last", "__gmax")
+    )
+    qs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    bounds = base.agg(
+        F.percentile(-F.col("recency_days"), qs).alias("__rb"),
+        F.percentile(F.col("frequency"), qs).alias("__fb"),
+        F.percentile(F.col("monetary_cents"), qs).alias("__mb"),
+    )
+
+    def score(value: Column, bound_arr: str) -> Column:
+        b = F.col(bound_arr)
+        return (
+            F.lit(1)
+            + (value > F.element_at(b, 1)).cast("int")
+            + (value > F.element_at(b, 2)).cast("int")
+            + (value > F.element_at(b, 3)).cast("int")
+        )
+
+    scored = base.crossJoin(F.broadcast(bounds)).select(
+        "cust",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        score(-F.col("recency_days"), "__rb").alias("r"),
+        score(F.col("frequency"), "__fb").alias("f"),
+        score(F.col("monetary_cents"), "__mb").alias("m"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat(
+            F.col("r").cast("string"),
+            F.col("f").cast("string"),
+            F.col("m").cast("string"),
+        ),
+    )
+
+
+def autocorr_lag1(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    min_days: int = 3,
+) -> DataFrame:
+    """Lag-1 autocorrelation of each key's DAILY series — the standard
+    seasonality / momentum probe (is today's volume predictive of
+    tomorrow's?) run per segment before forecasting or anomaly scoring.
+
+    Pipeline: decimal-exact daily sums per key (one keyed shuffle), a
+    keyed ``lag`` window pairs each day with its predecessor IN OBSERVED
+    ORDER, then Pearson ``corr`` per key — Spark's and DuckDB's sample
+    correlation replay identically on the same pairs (established by the
+    ``corr_stats`` oracle), rounded to 6. Keys with fewer than
+    ``min_days`` observed days are dropped (corr of <2 pairs is null /
+    degenerate).
+
+    Scale shape: everything is keyed — daily agg, lag window, final agg —
+    no global sort; state per key is one day-row per observed day.
+
+    → ``(key, n_days, acf1)``.
+    """
+    daily = df.groupBy(
+        F.col(key_col).alias("key"), F.to_date(ts_col).alias("day")
+    ).agg(F.sum(F.col(val_col).cast("decimal(18,4)")).cast("double").alias("v"))
+    w = Window.partitionBy("key").orderBy("day")
+    paired = daily.select(
+        "key", "v", F.lag("v").over(w).alias("v_prev")
+    )
+    return (
+        paired.groupBy("key")
+        .agg(
+            (F.count(F.lit(1))).cast("long").alias("n_days"),
+            F.round(F.corr("v", "v_prev"), 6).alias("acf1"),
+        )
+        .where(F.col("n_days") >= min_days)
+    )
+
+
+#: log10(1 + 1/d) for d = 1..9 — Benford's law first-digit expectation,
+#: precomputed to full double precision so neither engine evaluates a
+#: transcendental at query time (shared literals replay bit-identically).
+BENFORD_P = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829993,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+def benford_profile(df: DataFrame, amount_col: str) -> DataFrame:
+    """First-significant-digit distribution of a positive amount column
+    against Benford's law — the standard fraud / synthetic-data smell
+    test for financial and telemetry feeds.
+
+    The leading digit is extracted LEXICALLY (first ``[1-9]`` in the
+    canonical decimal string), so no logarithm touches the data and
+    boundary values can't flip buckets to float rounding; the expected
+    shares are precomputed literals (:data:`BENFORD_P`). Share and
+    deviation are single IEEE divisions/subtractions of exact counts.
+
+    Scale shape: one projection + one 9-row groupBy (partial agg does all
+    the work map-side) + a broadcast 1-row total.
+
+    → ``(digit, n, share, benford_p, deviation)``, digit 1–9.
+    """
+    digit = F.regexp_extract(F.col(amount_col).cast("string"), "([1-9])", 1)
+    counts = (
+        df.select(digit.alias("d"))
+        .where(F.col("d") != "")
+        .groupBy(F.col("d").cast("int").alias("digit"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    total = counts.agg(F.sum("n").cast("double").alias("__tot"))
+    expected = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in BENFORD_P.items() for x in kv]
+        ),
+        F.col("digit"),
+    )
+    return counts.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("__tot"), 6).alias("share"),
+        F.round(expected, 6).alias("benford_p"),
+        F.round(
+            F.col("n").cast("double") / F.col("__tot") - expected, 6
+        ).alias("deviation"),
+    )
+
+
+def ngram_paths(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    state_col: str,
+    n: int = 3,
+    min_count: int = 1,
+) -> DataFrame:
+    """Order-n sequential pattern counts over per-key event sequences —
+    the generalization of :func:`transition_counts` to longer journeys
+    ("view → cart → purchase"), the workhorse of funnel discovery and
+    next-action mining.
+
+    One keyed window computes the n−1 lags in a single pass (same
+    partitioning, Spark evaluates all lag frames in one WindowExec), a
+    complete n-gram requires every lag non-null (windows never cross
+    keys), and the count aggregates onto a vocabulary^n-bounded table.
+
+    → ``(s1 … sn, cnt)`` with ``cnt ≥ min_count``.
+    """
+    if n < 2:
+        raise ValueError(f"ngram_paths needs n >= 2, got {n}")
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    cols = [
+        F.lag(F.col(state_col), n - 1 - i).over(w).alias(f"s{i + 1}")
+        for i in range(n - 1)
+    ] + [F.col(state_col).alias(f"s{n}")]
+    grams = df.select(*cols).where(F.col("s1").isNotNull())
+    out = grams.groupBy(*[f"s{i + 1}" for i in range(n)]).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    return out.where(F.col("cnt") >= min_count)
+
+
+def ewma_smooth(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    alpha: float = 0.5,
+    k: int = 7,
+) -> DataFrame:
+    """Exponentially-weighted moving average over each key's last ``k``
+    daily observations — trend smoothing for dashboards and drift
+    baselines, computed as a FIXED-DEPTH window (truncated EWMA) so the
+    state is bounded and the arithmetic replays exactly.
+
+    ``ewma_t = Σ_{j<k} αʲ·v_{t−j} / Σ_{j<k, observed} αʲ`` — weights
+    renormalize over the observations actually present, so the series
+    head isn't biased toward zero. With the default ``alpha = 0.5`` every
+    weight is an exact binary double; values are decimal-exact daily sums
+    cast once to double; numerator and denominator are built as the SAME
+    left-associated addition chain in both engines, so results are
+    bit-identical before the final round(…, 6).
+
+    Scale shape: one keyed daily agg + one keyed window evaluating the k
+    lags in a single WindowExec pass. No global sort, no unbounded state.
+
+    → ``(key, day, v, ewma)``.
+    """
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    daily = df.groupBy(
+        F.col(key_col).alias("key"), F.to_date(ts_col).alias("day")
+    ).agg(F.sum(F.col(val_col).cast("decimal(18,4)")).cast("double").alias("v"))
+    w = Window.partitionBy("key").orderBy("day")
+    num: Column = F.col("v")
+    den: Column = F.lit(1.0)
+    for j in range(1, k):
+        lagged = F.lag("v", j).over(w)
+        weight = F.lit(alpha**j)
+        num = num + F.coalesce(lagged * weight, F.lit(0.0))
+        den = den + F.when(lagged.isNotNull(), weight).otherwise(F.lit(0.0))
+    return daily.select(
+        "key", "day", "v", F.round(num / den, 6).alias("ewma")
+    )

@@ -940,3 +940,78 @@ def strip_markup(col: Column | str) -> Column:
         c = F.replace(c, F.lit(entity), F.lit(repl))
     c = F.regexp_replace(c, r"\s+", " ")
     return F.trim(c)
+
+
+def bigram_pmi(
+    df: DataFrame, text_col: str = "text", min_count: int = 5
+) -> DataFrame:
+    """Collocation mining: pointwise-mutual-information lift for every
+    adjacent token bigram in the corpus — the signal behind multi-word
+    expression detection ("new york"), tokenizer merge candidates, and
+    boilerplate phrase discovery in training-data pipelines.
+
+    ``lift = P(xy) / (P(x)·P(y))`` with ``P(xy) = c_xy/M`` over the M
+    adjacent pairs and ``P(x) = c_x/N`` over the N unigram tokens; PMI is
+    ``log2(lift)`` — monotone in the lift, so the lift itself is emitted
+    and the cross-engine contract stays in exact-count + fixed-shape IEEE
+    division territory (no transcendental functions): the expression is
+    evaluated as ``(c_xy/M) / ((c_x/N)·(c_y/N))``, every operand an exact
+    BIGINT-valued double, each step a correctly-rounded IEEE op in both
+    engines, then rounded to 6.
+
+    Scale shape: two explode→partial-agg→shuffle word counts (unigrams
+    and bigrams — the bigram array is built with ``slice``+``transform``
+    inside the row, no self-join), then the surviving ``min_count``-
+    filtered bigram table joins the unigram vocabulary twice on its two
+    words (keyed shuffles; AQE broadcasts the vocab side when it fits)
+    and the two corpus totals arrive as broadcast 1-row aggregates.
+    Nothing in the plan holds more than the vocabulary.
+
+    → ``(w1, w2, n_joint, n_w1, n_w2, lift)``, bigrams with
+    ``n_joint ≥ min_count``.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
+    base = df.select(toks.alias("t"))
+    uni = (
+        base.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    n_total = uni.agg(F.sum("c").cast("double").alias("n_tokens"))
+    bi = (
+        base.select(
+            F.explode(
+                F.transform(
+                    F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                    lambda x, i: F.struct(
+                        x.alias("w1"), F.element_at(F.col("t"), i + 2).alias("w2")
+                    ),
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_joint"))
+    )
+    m_total = bi.agg(F.sum("n_joint").cast("double").alias("m_pairs"))
+    surviving = bi.where(F.col("n_joint") >= min_count)
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("n_w1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("n_w2"))
+    n, m = F.col("n_tokens"), F.col("m_pairs")
+    p_xy = F.col("n_joint").cast("double") / m
+    p_x = F.col("n_w1").cast("double") / n
+    p_y = F.col("n_w2").cast("double") / n
+    return (
+        surviving.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n_total))
+        .crossJoin(F.broadcast(m_total))
+        .select(
+            "w1",
+            "w2",
+            "n_joint",
+            "n_w1",
+            "n_w2",
+            F.round(p_xy / (p_x * p_y), 6).alias("lift"),
+        )
+    )

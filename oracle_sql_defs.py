@@ -3448,3 +3448,223 @@ ranked AS (
 SELECT doc_id, source, quality_score, pr AS quality_pct_rank
 FROM ranked WHERE pr >= CAST(0.4 AS DOUBLE)
 """
+
+ORACLES["transition_matrix"] = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS from_state,
+         event_type AS to_state
+  FROM events),
+c AS (
+  SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n
+  FROM pairs WHERE from_state IS NOT NULL GROUP BY 1, 2)
+SELECT from_state, to_state, n,
+  round(CAST(n AS DOUBLE)
+    / CAST(sum(n) OVER (PARTITION BY from_state) AS DOUBLE), 6) AS p
+FROM c
+"""
+
+ORACLES["time_weighted_avg"] = """
+WITH gaps AS (
+  SELECT event_type,
+    CAST(value AS DECIMAL(18,4)) AS v,
+    lead(epoch_us(ts) // 1000000) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id)
+      - epoch_us(ts) // 1000000 AS dt
+  FROM events)
+SELECT event_type AS "group",
+  CAST(count(*) AS BIGINT) AS n_intervals,
+  CAST(sum(dt) AS BIGINT) AS total_seconds,
+  round(CAST(sum(v * dt) AS DOUBLE) / CAST(sum(dt) AS DOUBLE), 6) AS twa
+FROM gaps WHERE dt IS NOT NULL GROUP BY 1
+"""
+
+ORACLES["interpolate_daily"] = """
+WITH daily AS (
+  SELECT event_type AS key, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+  FROM events WHERE day(CAST(ts AS DATE)) % 5 <> 0 GROUP BY 1, 2),
+cal AS (
+  SELECT key, CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                          CAST(hi AS TIMESTAMP),
+                                          INTERVAL 1 DAY)) AS DATE) AS day
+  FROM (SELECT key, MIN(day) AS lo, MAX(day) AS hi FROM daily GROUP BY 1)),
+j AS (
+  SELECT c.key, c.day, d.v
+  FROM cal c LEFT JOIN daily d ON c.key = d.key AND c.day = d.day),
+nbr AS (
+  SELECT key, day, v,
+    last_value(v IGNORE NULLS) OVER (
+      PARTITION BY key ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER (
+      PARTITION BY key ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+    first_value(v IGNORE NULLS) OVER (
+      PARTITION BY key ORDER BY day
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER (
+      PARTITION BY key ORDER BY day
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+  FROM j)
+SELECT key AS event_type, day,
+  round(CASE WHEN v IS NOT NULL THEN v
+        ELSE pv + (nv - pv)
+          * (CAST(date_diff('day', pd, day) AS DOUBLE)
+             / CAST(date_diff('day', pd, nd) AS DOUBLE)) END, 6) AS value,
+  v IS NULL AS filled
+FROM nbr
+"""
+
+ORACLES["pareto_frontier"] = """
+WITH pc AS (
+  SELECT p_retailprice AS c, max(p_size) AS b FROM part GROUP BY 1),
+surv AS (
+  SELECT c, b FROM pc p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pc q WHERE q.c < p.c AND q.b >= p.b))
+SELECT t.p_partkey, t.p_retailprice, t.p_size
+FROM part t JOIN surv s ON t.p_retailprice = s.c AND t.p_size = s.b
+"""
+
+ORACLES["pmi_collocations"] = f"""
+WITH base AS (SELECT {TOKS} AS t FROM documents),
+uni AS (SELECT unnest(t) AS w FROM base),
+uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uc),
+bi AS (
+  SELECT unnest(list_transform(
+    list_slice(t, 1, len(t) - 1),
+    (x, i) -> {{'w1': x, 'w2': t[i + 1]}})) AS s
+  FROM base WHERE len(t) >= 2),
+bc AS (
+  SELECT s.w1 AS w1, s.w2 AS w2, CAST(count(*) AS BIGINT) AS n_joint
+  FROM bi GROUP BY 1, 2),
+mtot AS (SELECT CAST(sum(n_joint) AS DOUBLE) AS m FROM bc)
+SELECT b.w1, b.w2, b.n_joint, u1.c AS n_w1, u2.c AS n_w2,
+  round((CAST(b.n_joint AS DOUBLE) / m)
+    / ((CAST(u1.c AS DOUBLE) / n) * (CAST(u2.c AS DOUBLE) / n)), 6) AS lift
+FROM bc b
+JOIN uc u1 ON b.w1 = u1.w
+JOIN uc u2 ON b.w2 = u2.w
+CROSS JOIN tot CROSS JOIN mtot
+WHERE b.n_joint >= 5
+"""
+
+ORACLES["rfm_segmentation"] = """
+WITH pc AS (
+  SELECT o_custkey AS cust, max(o_orderdate) AS last_d,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS monetary_cents
+  FROM orders GROUP BY 1),
+g AS (SELECT max(o_orderdate) AS gmax FROM orders),
+base AS (
+  SELECT cust,
+         CAST(date_diff('day', last_d, gmax) AS BIGINT) AS recency_days,
+         frequency, monetary_cents
+  FROM pc CROSS JOIN g),
+b AS (
+  SELECT quantile_cont(-recency_days, 0.25) AS r1,
+         quantile_cont(-recency_days, 0.5)  AS r2,
+         quantile_cont(-recency_days, 0.75) AS r3,
+         quantile_cont(frequency, 0.25) AS f1,
+         quantile_cont(frequency, 0.5)  AS f2,
+         quantile_cont(frequency, 0.75) AS f3,
+         quantile_cont(monetary_cents, 0.25) AS m1,
+         quantile_cont(monetary_cents, 0.5)  AS m2,
+         quantile_cont(monetary_cents, 0.75) AS m3
+  FROM base),
+s AS (
+  SELECT cust, recency_days, frequency, monetary_cents,
+    1 + CAST(-recency_days > r1 AS INT) + CAST(-recency_days > r2 AS INT)
+      + CAST(-recency_days > r3 AS INT) AS r,
+    1 + CAST(frequency > f1 AS INT) + CAST(frequency > f2 AS INT)
+      + CAST(frequency > f3 AS INT) AS f,
+    1 + CAST(monetary_cents > m1 AS INT) + CAST(monetary_cents > m2 AS INT)
+      + CAST(monetary_cents > m3 AS INT) AS m
+  FROM base CROSS JOIN b)
+SELECT cust, recency_days, frequency, monetary_cents, r, f, m,
+       CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+         AS segment
+FROM s
+"""
+
+ORACLES["autocorr_daily"] = """
+WITH daily AS (
+  SELECT event_type AS key, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2),
+p AS (
+  SELECT key, v,
+         lag(v) OVER (PARTITION BY key ORDER BY day) AS v_prev
+  FROM daily)
+SELECT key, CAST(count(*) AS BIGINT) AS n_days,
+       round(corr(v, v_prev), 6) AS acf1
+FROM p GROUP BY 1 HAVING count(*) >= 3
+"""
+
+# log10(1 + 1/d) literals shared with relational.BENFORD_P — neither
+# engine evaluates a transcendental at query time.
+_BENFORD_CASE = """CASE digit
+  WHEN 1 THEN 0.3010299956639812 WHEN 2 THEN 0.17609125905568124
+  WHEN 3 THEN 0.12493873660829993 WHEN 4 THEN 0.09691001300805642
+  WHEN 5 THEN 0.07918124604762482 WHEN 6 THEN 0.06694678963061322
+  WHEN 7 THEN 0.05799194697768673 WHEN 8 THEN 0.05115252244738129
+  WHEN 9 THEN 0.04575749056067514 END"""
+
+ORACLES["benford_prices"] = f"""
+WITH d AS (
+  SELECT regexp_extract(
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+           '([1-9])', 1) AS ds
+  FROM orders),
+c AS (
+  SELECT CAST(ds AS INT) AS digit, CAST(count(*) AS BIGINT) AS n
+  FROM d WHERE ds <> '' GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM c)
+SELECT digit, n,
+       round(CAST(n AS DOUBLE) / tot, 6) AS share,
+       round({_BENFORD_CASE}, 6) AS benford_p,
+       round(CAST(n AS DOUBLE) / tot - {_BENFORD_CASE}, 6) AS deviation
+FROM c CROSS JOIN t
+"""
+
+ORACLES["event_trigrams"] = """
+WITH g AS (
+  SELECT lag(event_type, 2) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS s1,
+         lag(event_type, 1) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS s2,
+         event_type AS s3
+  FROM events)
+SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS cnt
+FROM g WHERE s1 IS NOT NULL
+GROUP BY 1, 2, 3 HAVING count(*) >= 5
+"""
+
+ORACLES["ewma_daily"] = """
+WITH daily AS (
+  SELECT event_type AS key, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2),
+l AS (
+  SELECT key, day, v,
+         lag(v, 1) OVER w AS l1, lag(v, 2) OVER w AS l2,
+         lag(v, 3) OVER w AS l3, lag(v, 4) OVER w AS l4,
+         lag(v, 5) OVER w AS l5, lag(v, 6) OVER w AS l6
+  FROM daily WINDOW w AS (PARTITION BY key ORDER BY day))
+SELECT key, day, v,
+  round(
+    (v + coalesce(l1 * 0.5, 0.0) + coalesce(l2 * 0.25, 0.0)
+       + coalesce(l3 * 0.125, 0.0) + coalesce(l4 * 0.0625, 0.0)
+       + coalesce(l5 * 0.03125, 0.0) + coalesce(l6 * 0.015625, 0.0))
+    / (1.0 + CASE WHEN l1 IS NOT NULL THEN 0.5 ELSE 0.0 END
+           + CASE WHEN l2 IS NOT NULL THEN 0.25 ELSE 0.0 END
+           + CASE WHEN l3 IS NOT NULL THEN 0.125 ELSE 0.0 END
+           + CASE WHEN l4 IS NOT NULL THEN 0.0625 ELSE 0.0 END
+           + CASE WHEN l5 IS NOT NULL THEN 0.03125 ELSE 0.0 END
+           + CASE WHEN l6 IS NOT NULL THEN 0.015625 ELSE 0.0 END),
+    6) AS ewma
+FROM l
+"""
