@@ -528,3 +528,56 @@ def test_histogram_quantiles_windows_are_group_partitioned(spark):
     assert specs, "expected cumulative-count window specs"
     for spec in specs:
         assert "event_type" in spec, f"unpartitioned window spec: {spec}"
+
+
+def test_rfm_segmentation_has_no_window_and_broadcasts_bounds(spark):
+    """RFM scoring must never rank globally: the plan contains NO window
+    at all — quartile boundaries and the corpus max-date arrive as
+    broadcast 1-row joins, scores are per-row comparisons."""
+    plan = plan_of(entry_mod.queries()["rfm_segmentation"](spark, SF_DIR))
+    low = plan.lower()
+    assert "windowspecdefinition" not in low
+    assert low.count("broadcast") >= 2  # gmax row + boundary row
+
+
+def test_pareto_frontier_windows_are_range_partitioned(spark):
+    """The skyline sweep's prefix-max windows run per range partition
+    (__pid) — never a partition-less window over the distinct-cost set."""
+    import re
+
+    plan = plan_of(entry_mod.queries()["pareto_frontier"](spark, SF_DIR))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected the per-range prefix-max window"
+    for spec in specs:
+        assert "__pid" in spec, f"unpartitioned window spec: {spec}"
+
+
+def test_transition_and_trigram_windows_are_key_partitioned(spark):
+    """Sequence-mining lags partition by the journey key (user_id) and the
+    matrix normalizer by from_state (a vocabulary-bounded table) — no
+    window spec anywhere is partition-less."""
+    import re
+
+    for q in ("transition_matrix", "event_trigrams"):
+        plan = plan_of(entry_mod.queries()[q](spark, SF_DIR))
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        assert specs, f"{q}: expected lag window specs"
+        for spec in specs:
+            assert "user_id" in spec or "from_state" in spec, (
+                f"{q}: unpartitioned window: {spec}"
+            )
+
+
+def test_ewma_single_window_pass(spark):
+    """All k-1 lags evaluate in ONE WindowExec pass (same spec), keyed by
+    event_type — one shuffle for the daily agg, one sort per key group."""
+    import re
+
+    plan = plan_of(entry_mod.queries()["ewma_daily"](spark, SF_DIR))
+    # exactly one Window node in the details section (all lag frames
+    # share the spec and evaluate in one pass)
+    n_window_nodes = len(re.findall(r"^\(\d+\) Window\b", plan, re.M))
+    assert n_window_nodes == 1, plan
+    # and it is keyed, not global
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "key" in spec, f"unpartitioned window spec: {spec}"
