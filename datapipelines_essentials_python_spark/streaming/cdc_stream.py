@@ -459,3 +459,90 @@ def streaming_quality_admission(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def streaming_transition_profile(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    load_state: Callable[[], tuple[DataFrame | None, DataFrame | None]],
+    sink: Callable[[DataFrame, DataFrame, int], None],
+    tie_cols: list[str] | None = None,
+    checkpoint_dir: str | None = None,
+    query_name: str = "transition_profile",
+) -> StreamingQuery:
+    """Maintain the Markov transition-count matrix from an event stream —
+    the streaming twin of ``relational.transition_counts``.
+
+    Transition counts are NOT purely additive across micro-batches: the
+    last event a key emitted in batch N pairs with its first event in
+    batch N+1. So the served state is TWO tables — the (from_state,
+    to_state, n) count matrix and a per-key ``last_state`` row — and each
+    epoch adds (a) the in-batch lag pairs and (b) the boundary pairs from
+    joining the served last-state with each key's first in-batch event,
+    then replaces the key's last-state with its final in-batch event.
+
+    Per-epoch cost is O(batch + |states|² + |keys touched|) — never
+    O(history). Contract (same as the CDC/SCD2 streams): each key's
+    events arrive in event-time order across batches; in-batch order is
+    restored by the lag window. Under that contract, count maintenance
+    is rescan-equivalent (asserted in tests). The matrix stores raw
+    counts; row probabilities are a vocabulary-bounded window at read
+    time, exactly as the batch twin computes them.
+
+    ``load_state`` returns ``(counts_df | None, last_df | None)``;
+    ``sink`` persists ``(counts, last_state, epoch_id)``.
+    """
+    from pyspark.sql import Window
+
+    ties = tie_cols or []
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        w = Window.partitionBy(key_col).orderBy(ts_col, *ties)
+        in_batch = (
+            batch_df.select(
+                F.col(key_col).alias("__k"),
+                F.lag(F.col(state_col)).over(w).alias("from_state"),
+                F.col(state_col).alias("to_state"),
+            )
+            .where(F.col("from_state").isNotNull())
+            .groupBy("from_state", "to_state")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        order = F.struct(*[F.col(c) for c in (ts_col, *ties)], F.col(state_col))
+        ends = batch_df.groupBy(F.col(key_col).alias("key")).agg(
+            F.min(order).getField(state_col).alias("__first"),
+            F.max(order).getField(state_col).alias("__last"),
+        )
+        served_counts, served_last = load_state()
+        if served_last is not None:
+            boundary = (
+                served_last.join(ends, "key")
+                .select(
+                    F.col("last_state").alias("from_state"),
+                    F.col("__first").alias("to_state"),
+                )
+                .groupBy("from_state", "to_state")
+                .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            )
+            in_batch = in_batch.unionByName(boundary)
+        if served_counts is not None:
+            in_batch = in_batch.unionByName(served_counts)
+        counts = in_batch.groupBy("from_state", "to_state").agg(
+            F.sum("n").cast("long").alias("n")
+        )
+        new_last = ends.select("key", F.col("__last").alias("last_state"))
+        if served_last is not None:
+            new_last = (
+                served_last.join(ends, "key", "left_anti")
+                .unionByName(new_last)
+            )
+        sink(counts, new_last, epoch_id)
+
+    writer = stream.writeStream.queryName(query_name).foreachBatch(_process)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -488,3 +488,74 @@ def test_streaming_histogram_profile_matches_full_rescan(spark, tmp_path):
         for r in histogram_quantile(full_bins, ["g"], [0.5, 0.9], 64, 0.0, 100.0).collect()
     }
     assert est_s == est_f
+
+
+def test_streaming_transition_profile_matches_full_rescan(spark, tmp_path):
+    """Transition counts are NOT batch-additive: u1's sequence spans the
+    batch boundary (…→c | c→d→…), so the maintained matrix must add the
+    boundary pair from the served last-state table. The final counts must
+    equal the batch twin run over the full history."""
+    from datapipelines_essentials_python_spark.operators.relational import (
+        transition_counts,
+    )
+    from datapipelines_essentials_python_spark.streaming.cdc_stream import (
+        streaming_transition_profile,
+    )
+
+    src = str(tmp_path / "trans_src")
+    schema = "user string, seq long, state string"
+    batch1 = [("u1", 1, "a"), ("u1", 2, "b"), ("u1", 3, "c"), ("u2", 1, "a")]
+    batch2 = [("u1", 4, "d"), ("u1", 5, "b"), ("u2", 2, "b"), ("u3", 1, "x")]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    import time
+
+    time.sleep(1.1)  # distinct mtimes -> deterministic file-batch order
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    state = {"counts": None, "last": None}
+
+    def sink(counts, last, epoch_id):
+        state["counts"] = spark.createDataFrame(
+            counts.collect(), "from_state string, to_state string, n long"
+        )
+        state["last"] = spark.createDataFrame(
+            last.collect(), "key string, last_state string"
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_transition_profile(
+        stream,
+        key_col="user",
+        ts_col="seq",
+        state_col="state",
+        load_state=lambda: (state["counts"], state["last"]),
+        sink=sink,
+        checkpoint_dir=str(tmp_path / "trans_ckpt"),
+        query_name="t_trans",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    full = spark.createDataFrame(batch1 + batch2, schema)
+    want = {
+        (r["from_state"], r["to_state"]): r["n"]
+        for r in transition_counts(full, "user", ["seq"], "state").collect()
+    }
+    got = {
+        (r["from_state"], r["to_state"]): r["n"]
+        for r in state["counts"].collect()
+    }
+    assert got == want
+    assert ("c", "d") in got  # the cross-batch boundary pair specifically
+    last = {r["key"]: r["last_state"] for r in state["last"].collect()}
+    assert last == {"u1": "b", "u2": "b", "u3": "x"}
