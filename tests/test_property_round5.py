@@ -99,3 +99,118 @@ def test_asof_tie_break_is_input_order_invariant(spark, dup_vals, left_ts):
         results.append(out[0]["asof_v"])
     expected = max(dup_vals) if left_ts >= 5 else None
     assert results[0] == results[1] == expected
+
+
+def _brute_pareto(points):
+    return sorted(
+        (c, g)
+        for c, g in points
+        if not any(
+            c2 <= c and g2 >= g and (c2 < c or g2 > g) for c2, g2 in points
+        )
+    )
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    points=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),
+            st.integers(min_value=0, max_value=20),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    parts=st.integers(min_value=1, max_value=6),
+)
+def test_pareto_frontier_matches_not_exists_definition(spark, points, parts):
+    """The two-level prefix-max sweep equals the O(n²) dominance
+    definition for ANY point set (ties, duplicates, collinear runs) and
+    ANY range-partition count."""
+    from datapipelines_essentials_python_spark.operators.relational import (
+        pareto_frontier_2d,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(c), g) for i, (c, g) in enumerate(points)],
+        "id long, cost double, gain long",
+    )
+    got = sorted(
+        (r["cost"], r["gain"])
+        for r in pareto_frontier_2d(
+            df, "cost", "gain", rank_partitions=parts
+        ).collect()
+    )
+    want = [
+        (float(c), g)
+        for c, g in _brute_pareto(points)
+        for _ in range(points.count((c, g)))
+    ]
+    assert got == sorted(want)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    values=st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=15
+    ),
+    k=st.integers(min_value=1, max_value=9),
+)
+def test_ewma_matches_sequential_reference(spark, values, k):
+    """The windowed EWMA equals the driver-side truncated-EWMA recurrence
+    for any series length and window depth (head renormalization
+    included). Values are integer-valued doubles so the comparison is
+    exact up to the operator's 6-dp round."""
+    from datetime import datetime
+
+    from datapipelines_essentials_python_spark.operators.relational import (
+        ewma_smooth,
+    )
+
+    rows = [
+        ("k", datetime(2024, 1 + i // 28, 1 + i % 28), float(v))
+        for i, v in enumerate(values)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    got = {
+        str(r["day"]): r["ewma"]
+        for r in ewma_smooth(df, "k", "ts", "v", alpha=0.5, k=k).collect()
+    }
+    assert len(got) == len(values)
+    for t in range(len(values)):
+        num = den = 0.0
+        for j in range(min(k, t + 1)):
+            num += values[t - j] * 0.5**j
+            den += 0.5**j
+        day = rows[t][1].strftime("%Y-%m-%d")
+        assert got[day] == round(num / den, 6), (t, k)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    states=st.lists(
+        st.sampled_from("abc"), min_size=2, max_size=30
+    ),
+    n_keys=st.integers(min_value=1, max_value=3),
+)
+def test_transition_counts_match_sequential_reference(spark, states, n_keys):
+    """Pair counts equal a driver-side scan of each key's sequence, and
+    row probabilities sum to 1 per from_state."""
+    from datapipelines_essentials_python_spark.operators.relational import (
+        transition_counts,
+    )
+
+    rows = [(str(i % n_keys), i, s) for i, s in enumerate(states)]
+    df = spark.createDataFrame(rows, "u string, seq long, s string")
+    got = {
+        (r["from_state"], r["to_state"]): r["n"]
+        for r in transition_counts(df, "u", ["seq"], "s").collect()
+    }
+    want = {}
+    seqs = {}
+    for u, _, s in rows:
+        seqs.setdefault(u, []).append(s)
+    for seq in seqs.values():
+        for a, b in zip(seq, seq[1:]):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    assert got == want
