@@ -4138,6 +4138,26 @@ def ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel_ops.ewma_smooth(events, "event_type", "ts", "value")
 
 
+def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the symmetric part↔supplier bipartite graph from
+    lineitem (``operators.graph.pagerank``, 2 power iterations, d=0.85,
+    dangling-mass redistribution): within-graph importance scoring —
+    which parts/suppliers sit at the center of the supply network. The
+    oracle replays both iterations including the decimal-exact
+    contribution quantization."""
+    from datapipelines_essentials_python_spark.operators import graph as graph_ops
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("p"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+    ).distinct()
+    edges = base.select(
+        F.col("p").alias("src"), F.col("s").alias("dst")
+    ).unionByName(base.select(F.col("s").alias("src"), F.col("p").alias("dst")))
+    return graph_ops.pagerank(edges, iterations=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # The driver's CORRECTNESS gate records only the first 50 entries.
@@ -4223,6 +4243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_prices": benford_prices,
         "event_trigrams": event_trigrams,
         "ewma_daily": ewma_daily,
+        "pagerank_parts": pagerank_parts,
         # ---- the r4 risky-pipeline block continues — all 20 of its
         # ---- rows are driver-green in CORRECTNESS_r04.json.
         "fuzzy_join_suppliers": fuzzy_join_suppliers,

@@ -221,6 +221,7 @@ HEADLINE = [
     "benford_prices",
     "event_trigrams",
     "ewma_daily",
+    "pagerank_parts",
 ]
 
 

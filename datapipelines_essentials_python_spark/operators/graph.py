@@ -1,0 +1,142 @@
+"""Distributed graph ranking: PageRank power iteration on an edge list.
+
+Beyond-reference capability (the reference's closest surface is the
+pk/fk join graph it walks on the driver, ``SparkSQLHelper.py``'s
+metadata-driven joins — here the GRAPH IS THE DATA). Complements the
+connected-components family in ``operators.dedup``: components give
+cluster membership, PageRank gives within-graph importance — the signal
+behind seed-quality weighting, crawl prioritization, and influence
+scoring over interaction graphs.
+
+Spark-first shape: each iteration is two keyed shuffles (out-degree is
+precomputed once; contributions aggregate on the destination) plus one
+broadcast 1-row aggregate for the dangling mass — no driver-side
+adjacency, no RDDs. Iteration state is one (node, rank) row per node.
+Lineage is truncated per iteration with ``localCheckpoint`` (the same
+discipline as ``clustering.kmeans`` and the components loops).
+
+Numeric contract (the BM25 / k-means trick): per-edge contributions are
+quantized to DECIMAL(28,12) BEFORE the destination sum, so the only
+order-sensitive reduction is exact and the result is partitioning-
+invariant and bit-identical in the SQL oracle; the final blend is a
+fixed shape of IEEE ops rounded to 6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: quantization applied to per-edge rank contributions before the
+#: destination-side sum — exact decimal addition at any parallelism.
+_CONTRIB_DECIMAL = "decimal(28,12)"
+
+
+def out_degrees(edges: DataFrame) -> DataFrame:
+    """Out-degree per source node → ``(node, outdeg)``. One keyed,
+    map-side-combined count over the edge list."""
+    return edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("outdeg")
+    )
+
+
+def init_ranks(edges: DataFrame) -> DataFrame:
+    """Uniform starting vector over every node appearing as src OR dst:
+    ``(node, rank = 1/N)``. N arrives as a broadcast 1-row aggregate; the
+    division is one IEEE op replayed identically by the oracle."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    return nodes.crossJoin(F.broadcast(n)).select(
+        "node",
+        (F.lit(1.0) / F.col("__n").cast("double")).alias("rank"),
+        "__n",
+    )
+
+
+def pagerank_step(
+    ranks: DataFrame, edges: DataFrame, degrees: DataFrame, damping: float = 0.85
+) -> DataFrame:
+    """One PageRank power iteration with dangling-mass redistribution:
+
+    ``r'(v) = (1−d)/N + d·Σ_{u→v} q(r(u)/outdeg(u)) + d·D/N``
+
+    where ``q`` quantizes each contribution to :data:`_CONTRIB_DECIMAL`
+    (exact destination sums at any parallelism) and ``D`` is the summed
+    rank of dangling nodes (outdeg 0), redistributed uniformly — the
+    textbook stochastic-matrix fix, computed as one broadcast 1-row
+    aggregate off a left-anti join.
+
+    ``ranks`` must carry the ``__n`` column produced by
+    :func:`init_ranks` (node count, constant per row — no recount per
+    iteration). Plan per step: ranks⋈edges on src (one shuffle; AQE
+    broadcasts ranks when small), dst-keyed partial-agg sum (second
+    shuffle), plus the KB-sized dangling aggregate. → same schema as
+    ``ranks``.
+    """
+    contrib = (
+        edges.join(ranks, edges["src"] == ranks["node"])
+        .join(degrees, ranks["node"] == degrees["node"])
+        .select(
+            edges["dst"].alias("node"),
+            F.round(
+                F.col("rank") / F.col("outdeg").cast("double"), 12
+            ).cast(_CONTRIB_DECIMAL).alias("c"),
+        )
+        .groupBy("node")
+        .agg(F.sum("c").alias("__in"))
+    )
+    dangling = (
+        ranks.join(degrees, "node", "left_anti")
+        .agg(
+            F.coalesce(
+                F.sum(F.round(F.col("rank"), 12).cast(_CONTRIB_DECIMAL)),
+                F.lit(0).cast(_CONTRIB_DECIMAL),
+            ).alias("__d")
+        )
+    )
+    d = F.lit(damping)
+    return (
+        ranks.join(contrib, "node", "left")
+        .crossJoin(F.broadcast(dangling))
+        .select(
+            "node",
+            F.round(
+                (F.lit(1.0) - d) / F.col("__n").cast("double")
+                + d * F.coalesce(F.col("__in").cast("double"), F.lit(0.0))
+                + d * F.col("__d").cast("double") / F.col("__n").cast("double"),
+                6,
+            ).alias("rank"),
+            "__n",
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    materialize: bool = True,
+) -> DataFrame:
+    """Full PageRank: :func:`init_ranks` + ``iterations`` ×
+    :func:`pagerank_step`, out-degrees computed ONCE and reused.
+
+    ``materialize`` pins each iteration with an eager ``localCheckpoint``
+    — without it the lineage doubles per step and the final action
+    re-evaluates every iteration's joins (the components-loop lesson);
+    pass ``False`` only for plan-shape tests. → ``(node, rank)``.
+    """
+    if iterations < 1:
+        raise ValueError(f"pagerank needs iterations >= 1, got {iterations}")
+    degrees = out_degrees(edges)
+    if materialize:
+        degrees = degrees.localCheckpoint(eager=True)
+    ranks = init_ranks(edges)
+    for _ in range(iterations):
+        ranks = pagerank_step(ranks, edges, degrees, damping=damping)
+        if materialize:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", "rank")

@@ -3668,3 +3668,55 @@ SELECT key, day, v,
     6) AS ewma
 FROM l
 """
+
+# Two unrolled PageRank power iterations; contribution quantization
+# (round 12dp -> DECIMAL(28,12) -> exact sum) mirrors operators/graph.py
+# so destination sums are order-independent in both engines. Every
+# float literal is CAST to DOUBLE so the IEEE op shapes match Spark's
+# lit(double) arithmetic bit-for-bit.
+_PR_ITER = """
+c{i} AS (
+  SELECT e.dst AS node,
+         sum(CAST(round(r."rank" / CAST(o.outdeg AS DOUBLE), 12)
+                  AS DECIMAL(28,12))) AS inr
+  FROM e JOIN r{p} r ON e.src = r.node JOIN deg o ON r.node = o.node
+  GROUP BY 1),
+d{i} AS (
+  SELECT coalesce(sum(CAST(round("rank", 12) AS DECIMAL(28,12))),
+                  CAST(0 AS DECIMAL(28,12))) AS dm
+  FROM r{p} WHERE node NOT IN (SELECT node FROM deg)),
+r{i} AS (
+  SELECT r.node,
+         round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                 / CAST(n AS DOUBLE)
+               + CAST(0.85 AS DOUBLE)
+                 * coalesce(CAST(c.inr AS DOUBLE), CAST(0.0 AS DOUBLE))
+               + CAST(0.85 AS DOUBLE) * CAST(d.dm AS DOUBLE)
+                 / CAST(n AS DOUBLE), 6) AS "rank"
+  FROM r{p} r LEFT JOIN c{i} c ON r.node = c.node
+  CROSS JOIN d{i} d CROSS JOIN nn)"""
+
+ORACLES["pagerank_parts"] = f"""
+WITH b AS (
+  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS p,
+                  's' || CAST(l_suppkey AS VARCHAR) AS s
+  FROM lineitem),
+e AS (
+  SELECT p AS src, s AS dst FROM b
+  UNION ALL
+  SELECT s AS src, p AS dst FROM b),
+deg AS (
+  SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+  FROM e GROUP BY 1),
+nodes AS (
+  SELECT DISTINCT src AS node FROM e
+  UNION
+  SELECT DISTINCT dst AS node FROM e),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+r0 AS (
+  SELECT node, CAST(1.0 AS DOUBLE) / CAST(n AS DOUBLE) AS "rank"
+  FROM nodes CROSS JOIN nn),
+{_PR_ITER.format(i=1, p=0)},
+{_PR_ITER.format(i=2, p=1)}
+SELECT node, "rank" FROM r2
+"""
