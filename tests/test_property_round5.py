@@ -141,9 +141,12 @@ def test_pareto_frontier_matches_not_exists_definition(spark, points, parts):
             df, "cost", "gain", rank_partitions=parts
         ).collect()
     )
+    # _brute_pareto keeps one entry per surviving INPUT row; collapse to
+    # distinct frontier points first, then expand by input multiplicity
+    # (equal duplicates are mutually non-dominating and all survive).
     want = [
         (float(c), g)
-        for c, g in _brute_pareto(points)
+        for c, g in sorted(set(_brute_pareto(points)))
         for _ in range(points.count((c, g)))
     ]
     assert got == sorted(want)
