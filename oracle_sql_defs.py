@@ -3675,17 +3675,17 @@ FROM l
 # float literal is CAST to DOUBLE so the IEEE op shapes match Spark's
 # lit(double) arithmetic bit-for-bit.
 _PR_ITER = """
-c{i} AS (
+c{i} AS MATERIALIZED (
   SELECT e.dst AS node,
          sum(CAST(round(r."rank" / CAST(o.outdeg AS DOUBLE), 12)
                   AS DECIMAL(28,12))) AS inr
   FROM e JOIN r{p} r ON e.src = r.node JOIN deg o ON r.node = o.node
   GROUP BY 1),
-d{i} AS (
+d{i} AS MATERIALIZED (
   SELECT coalesce(sum(CAST(round("rank", 12) AS DECIMAL(28,12))),
                   CAST(0 AS DECIMAL(28,12))) AS dm
   FROM r{p} WHERE node NOT IN (SELECT node FROM deg)),
-r{i} AS (
+r{i} AS MATERIALIZED (
   SELECT r.node,
          round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
                  / CAST(n AS DOUBLE)
@@ -3697,23 +3697,23 @@ r{i} AS (
   CROSS JOIN d{i} d CROSS JOIN nn)"""
 
 ORACLES["pagerank_parts"] = f"""
-WITH b AS (
+WITH b AS MATERIALIZED (
   SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS p,
                   's' || CAST(l_suppkey AS VARCHAR) AS s
   FROM lineitem),
-e AS (
+e AS MATERIALIZED (
   SELECT p AS src, s AS dst FROM b
   UNION ALL
   SELECT s AS src, p AS dst FROM b),
-deg AS (
+deg AS MATERIALIZED (
   SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
   FROM e GROUP BY 1),
-nodes AS (
+nodes AS MATERIALIZED (
   SELECT DISTINCT src AS node FROM e
   UNION
   SELECT DISTINCT dst AS node FROM e),
-nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
-r0 AS (
+nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+r0 AS MATERIALIZED (
   SELECT node, CAST(1.0 AS DOUBLE) / CAST(n AS DOUBLE) AS "rank"
   FROM nodes CROSS JOIN nn),
 {_PR_ITER.format(i=1, p=0)},
