@@ -4158,6 +4158,26 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_ops.pagerank(edges, iterations=2)
 
 
+def pagerank_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED PageRank over the user↔event-type interaction graph
+    (``operators.graph.pagerank(weight_col=...)``, 2 iterations): edge
+    weight = interaction count, so mass flows proportionally to observed
+    engagement — the importance signal behind seed-user selection and
+    surface ranking. The oracle replays both iterations including the
+    decimal-exact weighted shares."""
+    from datapipelines_essentials_python_spark.operators import graph as graph_ops
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.groupBy(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("u"),
+        F.concat(F.lit("t"), F.col("event_type")).alias("t"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("w"))
+    edges = base.select(
+        F.col("u").alias("src"), F.col("t").alias("dst"), "w"
+    ).unionByName(base.select(F.col("t").alias("src"), F.col("u").alias("dst"), "w"))
+    return graph_ops.pagerank(edges, iterations=2, weight_col="w")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # The driver's CORRECTNESS gate records only the first 50 entries.
@@ -4244,6 +4264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_trigrams": event_trigrams,
         "ewma_daily": ewma_daily,
         "pagerank_parts": pagerank_parts,
+        "pagerank_engagement": pagerank_engagement,
         # ---- the r4 risky-pipeline block continues — all 20 of its
         # ---- rows are driver-green in CORRECTNESS_r04.json.
         "fuzzy_join_suppliers": fuzzy_join_suppliers,

@@ -222,6 +222,7 @@ HEADLINE = [
     "event_trigrams",
     "ewma_daily",
     "pagerank_parts",
+    "pagerank_engagement",
 ]
 
 

@@ -3720,3 +3720,58 @@ r0 AS MATERIALIZED (
 {_PR_ITER.format(i=2, p=1)}
 SELECT node, "rank" FROM r2
 """
+
+# Weighted variant: share = (rank * round(w,6)) / outw, same
+# quantize-then-decimal-sum discipline; zero-weight sources drop out of
+# wdeg and are treated as dangling, mirroring graph.out_weights.
+_PR_W_ITER = """
+c{i} AS MATERIALIZED (
+  SELECT e.dst AS node,
+         sum(CAST(round(r."rank" * round(CAST(e.w AS DOUBLE), 6) / o.outw,
+                        12) AS DECIMAL(28,12))) AS inr
+  FROM e JOIN r{p} r ON e.src = r.node JOIN wdeg o ON r.node = o.node
+  GROUP BY 1),
+d{i} AS MATERIALIZED (
+  SELECT coalesce(sum(CAST(round("rank", 12) AS DECIMAL(28,12))),
+                  CAST(0 AS DECIMAL(28,12))) AS dm
+  FROM r{p} WHERE node NOT IN (SELECT node FROM wdeg)),
+r{i} AS MATERIALIZED (
+  SELECT r.node,
+         round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                 / CAST(n AS DOUBLE)
+               + CAST(0.85 AS DOUBLE)
+                 * coalesce(CAST(c.inr AS DOUBLE), CAST(0.0 AS DOUBLE))
+               + CAST(0.85 AS DOUBLE) * CAST(d.dm AS DOUBLE)
+                 / CAST(n AS DOUBLE), 6) AS "rank"
+  FROM r{p} r LEFT JOIN c{i} c ON r.node = c.node
+  CROSS JOIN d{i} d CROSS JOIN nn)"""
+
+ORACLES["pagerank_engagement"] = f"""
+WITH b AS MATERIALIZED (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS u,
+         't' || event_type AS t,
+         CAST(count(*) AS BIGINT) AS w
+  FROM events GROUP BY 1, 2),
+e AS MATERIALIZED (
+  SELECT u AS src, t AS dst, w FROM b
+  UNION ALL
+  SELECT t AS src, u AS dst, w FROM b),
+wdeg AS MATERIALIZED (
+  SELECT src AS node,
+         CAST(sum(CAST(round(CAST(w AS DOUBLE), 6) AS DECIMAL(18,6)))
+              AS DOUBLE) AS outw
+  FROM e GROUP BY 1
+  HAVING CAST(sum(CAST(round(CAST(w AS DOUBLE), 6) AS DECIMAL(18,6)))
+              AS DOUBLE) > 0),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT src AS node FROM e
+  UNION
+  SELECT DISTINCT dst AS node FROM e),
+nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+r0 AS MATERIALIZED (
+  SELECT node, CAST(1.0 AS DOUBLE) / CAST(n AS DOUBLE) AS "rank"
+  FROM nodes CROSS JOIN nn),
+{_PR_W_ITER.format(i=1, p=0)},
+{_PR_W_ITER.format(i=2, p=1)}
+SELECT node, "rank" FROM r2
+"""

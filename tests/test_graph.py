@@ -82,3 +82,57 @@ def test_out_degrees_and_init(spark):
     init = graph.init_ranks(edges).collect()
     assert {r["node"] for r in init} == {"a", "b", "c"}
     assert all(r["rank"] == pytest.approx(1 / 3) for r in init)
+
+
+def _wedges(spark, triples):
+    return spark.createDataFrame(triples, "src string, dst string, w long")
+
+
+def test_weighted_pagerank_uniform_weights_equal_unweighted(spark):
+    """With every weight equal, the weighted share w/W is exactly
+    1/outdeg, so weighted PageRank reproduces the unweighted ranks
+    bit-for-bit."""
+    pairs = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")]
+    un = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(_edges(spark, pairs), iterations=3).collect()
+    }
+    we = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(
+            _wedges(spark, [(s, t, 7) for s, t in pairs]),
+            iterations=3,
+            weight_col="w",
+        ).collect()
+    }
+    assert un == we
+
+
+def test_weighted_pagerank_follows_the_heavy_edge(spark):
+    """a sends 9/10 of its mass to b and 1/10 to c → b outranks c."""
+    out = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(
+            _wedges(spark, [("a", "b", 9), ("a", "c", 1), ("b", "a", 1), ("c", "a", 1)]),
+            iterations=6,
+            weight_col="w",
+        ).collect()
+    }
+    assert out["b"] > out["c"]
+    assert sum(out.values()) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_weighted_pagerank_zero_weight_source_is_dangling(spark):
+    """A source whose edges all weigh 0 contributes like a dangling node
+    (uniform redistribution), not a division by zero."""
+    out = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(
+            _wedges(spark, [("a", "b", 1), ("b", "a", 0)]),
+            iterations=1,
+            weight_col="w",
+        ).collect()
+    }
+    # same shape as the unweighted dangling test: b's mass returns uniformly
+    assert out["a"] == pytest.approx(0.075 + 0.85 * 0.25, abs=1e-6)
+    assert out["b"] == pytest.approx(0.075 + 0.85 * 0.5 + 0.85 * 0.25, abs=1e-6)
