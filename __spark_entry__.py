@@ -4018,6 +4018,79 @@ def funnel_within_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _roundtrip_dir(fmt: str, sf_dir: str) -> str:
+    """Scratch sink for the S1/S4-S6 round-trip parity queries: a
+    gitignored per-(format, sf) directory inside the repo (the driver's
+    sandbox forbids writes elsewhere)."""
+    from pathlib import Path
+
+    tag = Path(sf_dir.rstrip("/")).name or "sf"
+    return str(Path(__file__).resolve().parent / ".tmp" / f"roundtrip_{fmt}_{tag}")
+
+
+def csv_roundtrip_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S5 dispatch inside the oracle loop (VERDICT r05 item 7): the
+    supplier table round-trips through ``write_data(csv)`` →
+    ``read_data(csv, declared schema)`` and aggregates per nation; the
+    oracle runs the same aggregate on the parquet source, so a green row
+    proves the CSV writer/reader pair is LOSSLESS (quoting, header skip,
+    double shortest-repr round-trip), not just runnable.
+
+    Schema is declared, never inferred — inference costs a second full
+    scan (at 100 TB, a second 100 TB read; see ``io/readers.py``)."""
+    from datapipelines_essentials_python_spark.io.readers import read_data
+    from datapipelines_essentials_python_spark.io.writers import write_data
+
+    sup = load_table(spark, sf_dir, "supplier")
+    path = _roundtrip_dir("csv", sf_dir)
+    write_data(
+        sup, "csv", path, mode="overwrite",
+        options={"header": "true"}, num_output_files=4,
+    )
+    back = read_data(
+        spark, "csv", path,
+        schema="s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double",
+        options={"header": "true"},
+    )
+    return back.groupBy(
+        F.col("s_nationkey").cast("long").alias("nationkey")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum(_dec("s_acctbal")).cast("double").alias("total_acctbal"),
+        F.min("s_name").alias("first_name"),
+    )
+
+
+def json_roundtrip_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S6 dispatch inside the oracle loop: finished orders round-trip
+    through ``write_data(json)`` → ``read_data(json, declared schema)``
+    (exercising the ISO-8601 timestamp write/parse path) and aggregate per
+    (order year, priority); the oracle aggregates the parquet source —
+    hash-match proves the JSON sink/source pair is lossless end-to-end."""
+    from datapipelines_essentials_python_spark.io.readers import read_data
+    from datapipelines_essentials_python_spark.io.writers import write_data
+
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    )
+    path = _roundtrip_dir("json", sf_dir)
+    write_data(orders, "json", path, mode="overwrite", num_output_files=4)
+    back = read_data(
+        spark, "json", path,
+        schema=(
+            "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+        ),
+    )
+    return back.groupBy(
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+    )
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -4216,18 +4289,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": multimodal_features,      # §2.12 pandas_udf
         "cdc_merge": cdc_merge,                          # J3/J4/W3/U1/F8/§2.9
         "scd2_merge": scd2_merge_q,                      # §2.9
-        # ---- rotation block (VERDICT r04 item 6): rows 31-50 carry 20
-        # ---- queries with no prior driver-green row — every entry below
-        # ---- was CORRECTNESS-gated only via the builder's own
-        # ---- check_parity runs until now. This round's block loads up on
-        # ---- the queries CHANGED this round (ngram_jaccard's inverted-
-        # ---- index rewrite, pq_ann_refined, vocab_coverage's checkpointed
-        # ---- ranking, dup_cluster_histogram's shared label stage, and the
-        # ---- five NEW round-5 queries pack_chunk_spans, ann_recall_ivf,
-        # ---- asof_join_tiebreak, histogram_quantiles, bm25_retrieval)
-        # ---- plus float-heavy statistics queries. q9/q19/tfidf rotated
-        # ---- to the tail to make room — structurally covered by the
-        # ---- spine's q1/q3/q5 and still dual-scale parity-checked.
+        # ---- rotation block, third spin (VERDICT r05 item 1): rows 31-50
+        # ---- carry 20 queries with no prior driver-green row. This
+        # ---- round's block: the two NEW round-6 I/O round-trip twins
+        # ---- (csv/json write→read→agg vs parquet oracle — S1 dispatch
+        # ---- inside the gate, item 7), the round-5 analytics slate
+        # ---- (pagerank, Markov transitions, Pareto sweep, EWMA, RFM,
+        # ---- time-weighted mean, interpolation, PMI, Benford, trigrams,
+        # ---- debounce, reservoir sampling, autocorrelation), and the
+        # ---- never-gated blocked-fuzzy-join / TF-IDF / curriculum /
+        # ---- heavy-hitter queries. The r5 rotation block (ngram_jaccard,
+        # ---- PQ/IVF gauges, BM25, …) moves to the tail — all 20 of its
+        # ---- rows are driver-green in CORRECTNESS_r05.json and stay
+        # ---- triple-tier parity-checked.
+        "csv_roundtrip_parity": csv_roundtrip_parity,
+        "json_roundtrip_parity": json_roundtrip_parity,
+        "pagerank_parts": pagerank_parts,
+        "pagerank_engagement": pagerank_engagement,
+        "transition_matrix": transition_matrix,
+        "pareto_frontier": pareto_frontier,
+        "ewma_daily": ewma_daily,
+        "rfm_segmentation": rfm_segmentation,
+        "time_weighted_avg": time_weighted_avg,
+        "interpolate_daily": interpolate_daily,
+        "pmi_collocations": pmi_collocations,
+        "benford_prices": benford_prices,
+        "event_trigrams": event_trigrams,
+        "debounce_events": debounce_events,
+        "fixed_size_sample_docs": fixed_size_sample_docs,
+        "autocorr_daily": autocorr_daily,
+        "fuzzy_join_suppliers": fuzzy_join_suppliers,
+        "tfidf_top_terms": tfidf_top_terms_q,
+        "curriculum_bins": curriculum_bins_q,
+        "heavy_hitters": heavy_hitters,
+        # ---- entries below are covered by tools/check_parity.py
+        # ---- (full-suite log committed per round as PARITY_r{N}.txt).
+        # ---- The r5 rotation block leads the tail, driver-green in
+        # ---- CORRECTNESS_r05.json.
         "ngram_jaccard": ngram_jaccard,
         "pq_ann": pq_ann,
         "pq_ann_refined": pq_ann_refined,
@@ -4248,28 +4346,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_chi2": drift_chi2,
         "ols_fit": ols_fit,
         "grouping_sets_agg": grouping_sets_agg,
-        # ---- entries below are covered by tools/check_parity.py
-        # ---- (full-suite log committed per round as PARITY_r{N}.txt);
-        # ---- the five queries added late in round 5 lead the tail as
-        # ---- next-round rotation candidates (the 50-row window above was
-        # ---- already fully loaded with this round's earlier additions).
-        "transition_matrix": transition_matrix,
-        "time_weighted_avg": time_weighted_avg,
-        "interpolate_daily": interpolate_daily,
-        "pareto_frontier": pareto_frontier,
-        "pmi_collocations": pmi_collocations,
-        "rfm_segmentation": rfm_segmentation,
-        "autocorr_daily": autocorr_daily,
-        "benford_prices": benford_prices,
-        "event_trigrams": event_trigrams,
-        "ewma_daily": ewma_daily,
-        "pagerank_parts": pagerank_parts,
-        "pagerank_engagement": pagerank_engagement,
         # ---- the r4 risky-pipeline block continues — all 20 of its
         # ---- rows are driver-green in CORRECTNESS_r04.json.
-        "fuzzy_join_suppliers": fuzzy_join_suppliers,
         "sessionize": sessionize,
-        "debounce_events": debounce_events,
         "session_window_agg": session_window_agg,
         "funnel_conversion": funnel_conversion,
         "asof_join": asof_join_query,
@@ -4290,7 +4369,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": hll_distinct,
         "q9_product_profit": q9_product_profit,
         "q19_disjunctive": q19_disjunctive,
-        "tfidf_top_terms": tfidf_top_terms_q,
         "cms_topk": cms_topk,
         "gap_fill_events": gap_fill_events,
         "rolling_events_7d": rolling_events_7d,
@@ -4338,7 +4416,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join_returned": semi_join_returned,
         "anti_join_dormant": anti_join_dormant,
         "stratified_sample_docs": stratified_sample_docs,
-        "fixed_size_sample_docs": fixed_size_sample_docs,
         "train_holdout_split": train_holdout_split,
         "unigram_lm_quality": unigram_lm_quality,
         "quantile_profile": quantile_profile,
@@ -4361,14 +4438,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": zorder_layout,
         "cube_agg": cube_agg,
         "text_normalize": text_normalize,
-        "curriculum_bins": curriculum_bins_q,
         "domain_balance": domain_balance,
         "global_shuffle_order": global_shuffle_order,
         "sql_api_revenue": sql_api_revenue,
         "iqr_outlier_events": iqr_outlier_events,
         "bloom_join_orders": bloom_join_orders,
         "chunk_documents": chunk_documents_q,
-        "heavy_hitters": heavy_hitters,
         "feature_hash_tf": feature_hash_tf_q,
         "incremental_agg": incremental_agg,
         "grouped_split_docs": grouped_split_docs,

@@ -3775,3 +3775,29 @@ r0 AS MATERIALIZED (
 {_PR_W_ITER.format(i=2, p=1)}
 SELECT node, "rank" FROM r2
 """
+
+# ---- round 6: S1 reader-dispatch round-trip twins --------------------------
+# The Spark side writes supplier/orders through write_data(csv|json) and
+# reads them back via read_data with a declared schema; the oracle reads the
+# parquet source directly — a hash match proves the sink/source pair is
+# LOSSLESS, putting the io/readers.py dispatch branches inside the
+# correctness gate instead of unit tests only (VERDICT r05 item 7).
+
+ORACLES["csv_roundtrip_parity"] = """
+SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(sum(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal,
+       min(s_name) AS first_name
+FROM supplier
+GROUP BY 1
+"""
+
+ORACLES["json_roundtrip_parity"] = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY 1, 2
+"""
