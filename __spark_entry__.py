@@ -1121,6 +1121,26 @@ _LSH_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 _LSH_LABELS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def _evict_lsh_caches(key: tuple[str, str]) -> None:
+    """Unpersist-and-evict every shared-stage cache entry for a DIFFERENT
+    key than the one being inserted (VERDICT r05 item 3): the parity
+    sweeps visit scale tiers sequentially, so the moment one sf_dir's
+    pair/label stage is built, the previous tier's persisted tables are
+    dead weight — without eviction a three-tier sweep pins six tables it
+    will never read again. Entries from other applications (a stopped
+    session's leftovers) are evicted without unpersist — their blocks died
+    with the app."""
+    app = key[0]
+    for cache in (_LSH_PAIRS_CACHE, _LSH_LABELS_CACHE):
+        for k in [k for k in cache if k != key]:
+            df = cache.pop(k)
+            if k[0] == app:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+
+
 def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared MinHash-LSH verified-pairs stage (id_a, id_b, jaccard)
     over documents — persisted once per (session, sf_dir) and consumed by
@@ -1141,6 +1161,7 @@ def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     pairs.count()  # materialize now so the signing-side persist can go
     dedup_ops.release(raw)
+    _evict_lsh_caches(key)
     _LSH_PAIRS_CACHE[key] = pairs
     return pairs
 
@@ -1170,6 +1191,7 @@ def _lsh_component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").cast("long").alias("component"),
     ).persist()
     labels.count()
+    _evict_lsh_caches(key)
     _LSH_LABELS_CACHE[key] = labels
     return labels
 

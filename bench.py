@@ -335,29 +335,65 @@ def main() -> None:
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
     # ---- regression guard: per-query delta vs the latest recorded round.
-    # Human-readable report goes to stderr; stdout stays ONE JSON line.
+    # Self-adjudicating (VERDICT r05 item 2): a first-pass flag can be VM
+    # noise (this machine's IO-wait swings absolute seconds ±30%, and the
+    # start of a run is measurably slower than its end — see noise_probe),
+    # so every flagged query is RE-TIMED once at end-of-run steady state
+    # and only retime-confirmed regressions survive into
+    # ``regressions_vs_prior``. First-pass flags that the retime cleared
+    # are preserved in ``noise_cleared`` so the adjudication is auditable,
+    # not silent. Human-readable report goes to stderr; stdout stays ONE
+    # JSON line.
     regressions: dict[str, dict[str, float]] = {}
+    noise_cleared: dict[str, dict[str, float]] = {}
     prior = load_prior_bench(sf_val)
     if prior:
         tag, prev = prior
-        flagged = []
+        suspects: dict[str, float] = {}
         for name, now in timings.items():
             if name not in prev:
                 continue
             ratio = round(now / prev[name], 2) if prev[name] > 0 else 1.0
             if ratio > 1.5 and now - prev[name] > 0.3:
-                regressions[name] = {"prev": prev[name], "now": now, "ratio": ratio}
-                flagged.append(f"  {name}: {prev[name]}s -> {now}s ({ratio}x)")
+                suspects[name] = ratio
+        for name in suspects:
+            retime = run_once(name)
+            entry = {
+                "prev": prev[name],
+                "now": timings[name],
+                "retime": retime,
+                "ratio": round(min(timings[name], retime) / prev[name], 2)
+                if prev[name] > 0
+                else 1.0,
+            }
+            confirmed = (
+                retime / prev[name] > 1.5 and retime - prev[name] > 0.3
+                if prev[name] > 0
+                else False
+            )
+            (regressions if confirmed else noise_cleared)[name] = entry
         prev_total = round(sum(v for k, v in prev.items() if k in timings), 3)
         print(
             f"[bench] vs {tag}: total {prev_total}s -> "
             f"{round(sum(v for k, v in timings.items() if k in prev), 3)}s "
             f"on {len([k for k in timings if k in prev])} shared queries; "
-            f"{len(regressions)} regression(s) >1.5x",
+            f"{len(suspects)} first-pass flag(s) >1.5x, "
+            f"{len(regressions)} retime-confirmed, "
+            f"{len(noise_cleared)} cleared as noise",
             file=sys.stderr,
         )
-        for line in flagged:
-            print(line, file=sys.stderr)
+        for name, e in regressions.items():
+            print(
+                f"  CONFIRMED {name}: {e['prev']}s -> {e['now']}s "
+                f"(retime {e['retime']}s)",
+                file=sys.stderr,
+            )
+        for name, e in noise_cleared.items():
+            print(
+                f"  noise    {name}: {e['prev']}s -> {e['now']}s "
+                f"(retime {e['retime']}s)",
+                file=sys.stderr,
+            )
 
     # Full per-query detail always lands in bench_full.json next to this
     # script; the stdout JSON line must additionally fit the DRIVER'S
@@ -375,6 +411,7 @@ def main() -> None:
         "n_queries": len(timings),
         "compared_to": prior[0] if prior else None,
         "regressions_vs_prior": regressions,
+        "noise_cleared": noise_cleared,
         "noise_probe": noise_probe,
     }
     Path(__file__).resolve().parent.joinpath("bench_full.json").write_text(
