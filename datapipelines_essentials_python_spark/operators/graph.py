@@ -40,19 +40,28 @@ def out_degrees(edges: DataFrame) -> DataFrame:
     )
 
 
+def _clamped_weight(col) -> "F.Column":
+    """The documented non-negative-weight contract, ENFORCED: a negative
+    edge weight clamps to 0 (it then contributes no transition share —
+    with all of a source's weights negative the source degrades to
+    dangling, same as a zero total). Without the clamp a negative weight
+    with a still-positive source total silently produces negative
+    transition shares and negative ranks (ADVICE r05)."""
+    return F.greatest(F.round(col.cast("double"), 6), F.lit(0.0))
+
+
 def out_weights(edges: DataFrame, weight_col: str) -> DataFrame:
     """Total outgoing edge weight per source node → ``(node, outw)``.
-    Weights (non-negative) quantize to DECIMAL(18,6) so the per-source
-    totals are exact at any parallelism (then one cast to double for the
-    ratio). Sources whose total weight is 0 are dropped — they carry no
-    transition probability, so they are treated as DANGLING by the
-    step's anti-join, exactly like a node with no out-edges."""
+    Weights clamp to non-negative (:func:`_clamped_weight`) and quantize
+    to DECIMAL(18,6) so the per-source totals are exact at any
+    parallelism (then one cast to double for the ratio). Sources whose
+    total weight is 0 are dropped — they carry no transition
+    probability, so they are treated as DANGLING by the step's
+    anti-join, exactly like a node with no out-edges."""
     return (
         edges.groupBy(F.col("src").alias("node"))
         .agg(
-            F.sum(
-                F.round(F.col(weight_col).cast("double"), 6).cast("decimal(18,6)")
-            )
+            F.sum(_clamped_weight(F.col(weight_col)).cast("decimal(18,6)"))
             .cast("double")
             .alias("outw")
         )
@@ -107,11 +116,9 @@ def pagerank_step(
     if weight_col is None:
         share = F.col("rank") / F.col("outdeg").cast("double")
     else:
-        share = (
-            F.col("rank")
-            * F.round(edges[weight_col].cast("double"), 6).cast("double")
-            / F.col("outw")
-        )
+        # numerator clamps exactly like out_weights' denominator: a
+        # negative edge carries 0 share, never a negative one
+        share = F.col("rank") * _clamped_weight(edges[weight_col]) / F.col("outw")
     contrib = (
         edges.join(ranks, edges["src"] == ranks["node"])
         .join(degrees, ranks["node"] == degrees["node"])
