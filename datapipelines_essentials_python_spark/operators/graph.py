@@ -161,11 +161,23 @@ def pagerank(
     damping: float = 0.85,
     materialize: bool = True,
     weight_col: str | None = None,
+    tol: float | None = None,
 ) -> DataFrame:
-    """Full PageRank: :func:`init_ranks` + ``iterations`` ×
+    """Full PageRank: :func:`init_ranks` + up to ``iterations`` ×
     :func:`pagerank_step`, out-degrees (or, with ``weight_col``, total
     out-weights — weighted PageRank over an interaction graph) computed
     ONCE and reused.
+
+    ``tol`` (VERDICT r05 item 5): optional L1-convergence early exit —
+    after each step, one extra 1-row aggregate computes
+    ``Σ|r'(v) − r(v)|`` (exact: 12-dp-quantized DECIMAL sum, same
+    discipline as the contribution sums) and the loop stops as soon as
+    the delta drops below ``tol``. Costs one small keyed join + scalar
+    collect per iteration; saves entire iterations on near-converged
+    graphs. Requires ``materialize=True`` (each kept iteration is pinned
+    anyway, so the delta aggregate re-reads checkpointed state, not the
+    lineage). ``tol=None`` preserves the fixed-iteration contract the
+    SQL oracle twins replay.
 
     ``materialize`` pins each iteration with an eager ``localCheckpoint``
     — without it the lineage doubles per step and the final action
@@ -174,6 +186,8 @@ def pagerank(
     """
     if iterations < 1:
         raise ValueError(f"pagerank needs iterations >= 1, got {iterations}")
+    if tol is not None and not materialize:
+        raise ValueError("pagerank(tol=...) requires materialize=True")
     if materialize:
         # The edge list is consumed 2 + iterations times (degrees, init's
         # src∪dst, one contribution join per step); without pinning it,
@@ -187,9 +201,31 @@ def pagerank(
         degrees = degrees.localCheckpoint(eager=True)
     ranks = init_ranks(edges)
     for _ in range(iterations):
+        prev = ranks
         ranks = pagerank_step(
             ranks, edges, degrees, damping=damping, weight_col=weight_col
         )
         if materialize:
             ranks = ranks.localCheckpoint(eager=True)
+        if tol is not None:
+            # 1-row L1 delta off two checkpointed node-sized tables; the
+            # quantized DECIMAL sum makes the stop decision partitioning-
+            # invariant (never "converged on 32 partitions, not on 320").
+            delta = (
+                ranks.select("node", F.col("rank").alias("__r1"))
+                .join(prev.select("node", F.col("rank").alias("__r0")), "node")
+                .agg(
+                    F.coalesce(
+                        F.sum(
+                            F.round(
+                                F.abs(F.col("__r1") - F.col("__r0")), 12
+                            ).cast(_CONTRIB_DECIMAL)
+                        ),
+                        F.lit(0).cast(_CONTRIB_DECIMAL),
+                    ).alias("__l1")
+                )
+                .collect()[0]["__l1"]
+            )
+            if float(delta) < tol:
+                break
     return ranks.select("node", "rank")

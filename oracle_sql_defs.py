@@ -3721,13 +3721,17 @@ r0 AS MATERIALIZED (
 SELECT node, "rank" FROM r2
 """
 
-# Weighted variant: share = (rank * round(w,6)) / outw, same
-# quantize-then-decimal-sum discipline; zero-weight sources drop out of
-# wdeg and are treated as dangling, mirroring graph.out_weights.
+# Weighted variant: share = (rank * greatest(round(w,6),0)) / outw, same
+# quantize-then-decimal-sum discipline; negative weights clamp to 0 and
+# zero-total sources drop out of wdeg and are treated as dangling,
+# mirroring graph._clamped_weight / graph.out_weights exactly.
 _PR_W_ITER = """
 c{i} AS MATERIALIZED (
   SELECT e.dst AS node,
-         sum(CAST(round(r."rank" * round(CAST(e.w AS DOUBLE), 6) / o.outw,
+         sum(CAST(round(r."rank"
+                          * greatest(round(CAST(e.w AS DOUBLE), 6),
+                                     CAST(0.0 AS DOUBLE))
+                          / o.outw,
                         12) AS DECIMAL(28,12))) AS inr
   FROM e JOIN r{p} r ON e.src = r.node JOIN wdeg o ON r.node = o.node
   GROUP BY 1),
@@ -3758,10 +3762,12 @@ e AS MATERIALIZED (
   SELECT t AS src, u AS dst, w FROM b),
 wdeg AS MATERIALIZED (
   SELECT src AS node,
-         CAST(sum(CAST(round(CAST(w AS DOUBLE), 6) AS DECIMAL(18,6)))
+         CAST(sum(CAST(greatest(round(CAST(w AS DOUBLE), 6),
+                                CAST(0.0 AS DOUBLE)) AS DECIMAL(18,6)))
               AS DOUBLE) AS outw
   FROM e GROUP BY 1
-  HAVING CAST(sum(CAST(round(CAST(w AS DOUBLE), 6) AS DECIMAL(18,6)))
+  HAVING CAST(sum(CAST(greatest(round(CAST(w AS DOUBLE), 6),
+                                CAST(0.0 AS DOUBLE)) AS DECIMAL(18,6)))
               AS DOUBLE) > 0),
 nodes AS MATERIALIZED (
   SELECT DISTINCT src AS node FROM e

@@ -88,6 +88,73 @@ def _wedges(spark, triples):
     return spark.createDataFrame(triples, "src string, dst string, w long")
 
 
+def test_pagerank_tol_early_exit_on_converged_graph(spark, monkeypatch):
+    """The a↔b cycle is stationary from iteration 1, so with ``tol`` the
+    loop must stop after ONE step (L1 delta = 0 < tol) instead of
+    burning all 10 — the step counter proves it; the ranks are still
+    exact."""
+    calls = {"n": 0}
+    real_step = graph.pagerank_step
+
+    def counting_step(*args, **kwargs):
+        calls["n"] += 1
+        return real_step(*args, **kwargs)
+
+    monkeypatch.setattr(graph, "pagerank_step", counting_step)
+    ranks = graph.pagerank(
+        _edges(spark, [("a", "b"), ("b", "a")]), iterations=10, tol=1e-9
+    )
+    out = {r["node"]: r["rank"] for r in ranks.collect()}
+    assert out == {"a": 0.5, "b": 0.5}
+    assert calls["n"] == 1
+
+    # without tol, all 10 iterations run
+    calls["n"] = 0
+    graph.pagerank(_edges(spark, [("a", "b"), ("b", "a")]), iterations=10).collect()
+    assert calls["n"] == 10
+
+
+def test_pagerank_tol_requires_materialize(spark):
+    with pytest.raises(ValueError):
+        graph.pagerank(
+            _edges(spark, [("a", "b")]), iterations=2, tol=1e-6, materialize=False
+        )
+
+
+def test_pagerank_step_plan_two_data_shuffles(spark):
+    """Plan guard for the docstring's scale contract: one step over
+    checkpointed state shuffles the EDGE list (the only table-sized
+    relation at 100 TB) exactly once — hash-partitioned on src for the
+    contribution join — and the contributions exactly once on dst; the
+    dangling mass arrives as a broadcast 1-row aggregate, never a
+    cartesian product. Remaining exchanges align node-sized rank/degree
+    state for the SMJs (AQE broadcasts them at real scale)."""
+    import io as _io
+    import re
+    import contextlib
+
+    edges = _edges(
+        spark, [("a", "b"), ("b", "a"), ("a", "c")]
+    ).localCheckpoint(eager=True)
+    degrees = graph.out_degrees(edges).localCheckpoint(eager=True)
+    ranks = graph.init_ranks(edges).localCheckpoint(eager=True)
+    step = graph.pagerank_step(ranks, edges, degrees)
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        step.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    # the 1-row dangling aggregate is the only broadcast
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 1
+    # edges (src,dst only) shuffle exactly once, keyed on src
+    assert plan.count("hashpartitioning(src#") == 1
+    # one dst-keyed partial→final aggregate pair (the contribution sum)
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 4  # 2 aggs × partial/final
+    # ceiling: a regression that adds a shuffle (e.g. re-deriving degrees
+    # per step) breaks this
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 8
+
+
 def test_weighted_pagerank_uniform_weights_equal_unweighted(spark):
     """With every weight equal, the weighted share w/W is exactly
     1/outdeg, so weighted PageRank reproduces the unweighted ranks
@@ -120,6 +187,85 @@ def test_weighted_pagerank_follows_the_heavy_edge(spark):
     }
     assert out["b"] > out["c"]
     assert sum(out.values()) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_weighted_pagerank_negative_weight_clamps_to_zero(spark):
+    """A negative edge weight clamps to 0 share (graph._clamped_weight):
+    a −5 edge alongside a +1 edge behaves exactly like a 0-weight edge
+    alongside a +1 edge — no negative transition shares, no negative
+    ranks."""
+    neg = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(
+            _wedges(spark, [("a", "b", 1), ("a", "c", -5), ("b", "a", 1), ("c", "a", 1)]),
+            iterations=4,
+            weight_col="w",
+        ).collect()
+    }
+    zero = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(
+            _wedges(spark, [("a", "b", 1), ("a", "c", 0), ("b", "a", 1), ("c", "a", 1)]),
+            iterations=4,
+            weight_col="w",
+        ).collect()
+    }
+    assert neg == zero
+    assert all(v >= 0 for v in neg.values())
+
+
+def test_weighted_pagerank_negative_weight_matches_sql_oracle(spark):
+    """Engine vs oracle on a NEGATIVE-weight fixture (VERDICT r06 item 6):
+    the oracle's wdeg/_PR_W_ITER now carry the same greatest(round(w,6),0)
+    clamp as graph._clamped_weight, so both sides must agree bit-for-bit
+    even when an all-negative source degrades to dangling. Runs the
+    oracle's ACTUAL _PR_W_ITER template through DuckDB."""
+    import duckdb
+
+    from oracle_sql_defs import _PR_W_ITER
+
+    triples = [
+        ("a", "b", 3),
+        ("a", "c", -7),   # clamps to 0: a's mass all flows to b
+        ("b", "c", 2),
+        ("c", "a", -1),   # c's only edge is negative → c is dangling
+        ("b", "a", -4),   # clamps to 0 but b keeps a positive total
+    ]
+    got = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(
+            _wedges(spark, triples), iterations=2, weight_col="w"
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fixture_edges (src VARCHAR, dst VARCHAR, w BIGINT)")
+    con.executemany("INSERT INTO fixture_edges VALUES (?, ?, ?)", triples)
+    sql = f"""
+WITH e AS MATERIALIZED (SELECT src, dst, w FROM fixture_edges),
+wdeg AS MATERIALIZED (
+  SELECT src AS node,
+         CAST(sum(CAST(greatest(round(CAST(w AS DOUBLE), 6),
+                                CAST(0.0 AS DOUBLE)) AS DECIMAL(18,6)))
+              AS DOUBLE) AS outw
+  FROM e GROUP BY 1
+  HAVING CAST(sum(CAST(greatest(round(CAST(w AS DOUBLE), 6),
+                                CAST(0.0 AS DOUBLE)) AS DECIMAL(18,6)))
+              AS DOUBLE) > 0),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT src AS node FROM e
+  UNION
+  SELECT DISTINCT dst AS node FROM e),
+nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+r0 AS MATERIALIZED (
+  SELECT node, CAST(1.0 AS DOUBLE) / CAST(n AS DOUBLE) AS "rank"
+  FROM nodes CROSS JOIN nn),
+{_PR_W_ITER.format(i=1, p=0)},
+{_PR_W_ITER.format(i=2, p=1)}
+SELECT node, "rank" FROM r2
+"""
+    want = {node: rank for node, rank in con.execute(sql).fetchall()}
+    con.close()
+    assert got == want
 
 
 def test_weighted_pagerank_zero_weight_source_is_dangling(spark):
