@@ -621,12 +621,17 @@ def transition_counts(
     shuffle + one tiny window. The ratio is a single IEEE division of
     exact BIGINT counts, rounded to 6 — bit-identical across engines.
 
+    NULL states are dropped BEFORE the lag (ADVICE r05): a NULL
+    interior event neither emits a transition nor breaks the chain —
+    ``a, NULL, b`` counts one ``a→b`` pair, never an ``a→NULL`` row.
+
     → ``(from_state, to_state, n, p)``.
     """
     w = Window.partitionBy(key_col).orderBy(*order_cols)
     prev = F.lag(F.col(state_col)).over(w)
     pairs = (
-        df.select(
+        df.where(F.col(state_col).isNotNull())
+        .select(
             prev.alias("from_state"), F.col(state_col).alias("to_state")
         )
         .where(F.col("from_state").isNotNull())
@@ -667,6 +672,12 @@ def time_weighted_mean(
     seconds (exact), the final ratio is one IEEE double division,
     rounded to 6 — replays bit-identically in the SQL oracle.
 
+    NULL-valued observations are dropped BEFORE the lead window
+    (ADVICE r05): a NULL reading neither contributes value nor interval
+    — the previous observation holds THROUGH it to the next non-null
+    one, so the denominator never accumulates weight for a value that
+    doesn't exist (which would bias the LOCF mean toward zero).
+
     Scale shape: one keyed window (``lead`` over ``key_col`` — no global
     sort), then a partial-aggregated groupBy onto |groups| rows.
 
@@ -675,7 +686,8 @@ def time_weighted_mean(
     w = Window.partitionBy(key_col).orderBy(ts_col, *(tie_cols or []))
     dt = F.lead(F.col(ts_col).cast("long")).over(w) - F.col(ts_col).cast("long")
     weighted = (
-        df.select(
+        df.where(F.col(value_col).isNotNull())
+        .select(
             F.col(group_col).alias("group"),
             F.col(value_col).cast("decimal(18,4)").alias("v"),
             dt.alias("dt"),
@@ -779,11 +791,26 @@ def pareto_frontier_2d(
     The range partitioning is ``localCheckpoint``-pinned before the two
     consuming branches for the same reason documented in
     ``build_vocab``: both branches must provably see one partitioning.
-    ``materialize=False`` skips the pin for plan-shape tests.
+    ``materialize=False`` skips the pin for plan-shape tests ONLY — a
+    re-evaluated ``repartitionByRange`` may sample non-identical
+    boundaries, giving the branches inconsistent ``__pid`` values and a
+    wrong frontier; a ``RuntimeWarning`` is emitted to make the
+    contract enforceable, not just documented (ADVICE r05).
 
     Ties: equal (cost, gain) duplicates are mutually non-dominating and
     all survive — matching the NOT EXISTS oracle exactly.
     """
+    if not materialize:
+        import warnings
+
+        warnings.warn(
+            "pareto_frontier_2d(materialize=False) is for plan-shape tests "
+            "only: without the localCheckpoint pin a re-evaluated "
+            "repartitionByRange can sample different boundaries per branch "
+            "and produce a WRONG frontier",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     spark = df.sparkSession
     n_part = rank_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
@@ -1017,9 +1044,13 @@ def ngram_paths(
     next-action mining.
 
     One keyed window computes the n−1 lags in a single pass (same
-    partitioning, Spark evaluates all lag frames in one WindowExec), a
-    complete n-gram requires every lag non-null (windows never cross
-    keys), and the count aggregates onto a vocabulary^n-bounded table.
+    partitioning, Spark evaluates all lag frames in one WindowExec);
+    NULL states are dropped BEFORE the lags (ADVICE r05 — an interior
+    NULL would otherwise pass the deepest-lag completeness check and
+    surface as a NULL middle column), so a complete n-gram is
+    guaranteed all-non-null once the deepest lag is (windows never
+    cross keys); the count aggregates onto a vocabulary^n-bounded
+    table.
 
     → ``(s1 … sn, cnt)`` with ``cnt ≥ min_count``.
     """
@@ -1030,7 +1061,11 @@ def ngram_paths(
         F.lag(F.col(state_col), n - 1 - i).over(w).alias(f"s{i + 1}")
         for i in range(n - 1)
     ] + [F.col(state_col).alias(f"s{n}")]
-    grams = df.select(*cols).where(F.col("s1").isNotNull())
+    grams = (
+        df.where(F.col(state_col).isNotNull())
+        .select(*cols)
+        .where(F.col("s1").isNotNull())
+    )
     out = grams.groupBy(*[f"s{i + 1}" for i in range(n)]).agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
@@ -1045,10 +1080,13 @@ def ewma_smooth(
     alpha: float = 0.5,
     k: int = 7,
 ) -> DataFrame:
-    """Exponentially-weighted moving average over each key's last ``k``
-    daily observations — trend smoothing for dashboards and drift
-    baselines, computed as a FIXED-DEPTH window (truncated EWMA) so the
-    state is bounded and the arithmetic replays exactly.
+    """TRUNCATED EWMA: exponentially-weighted moving average over each
+    key's last ``k`` daily observations only — observations older than
+    ``k`` days are dropped, not geometrically decayed, so this deviates
+    from the unbounded recursive EWMA by at most ``α^k / (1 − α)`` of
+    the value scale (≈1.6% of a typical value at the defaults; see
+    ``test_ewma_truncation_contrast``). The fixed depth is what bounds
+    the window state and makes the arithmetic replay exactly.
 
     ``ewma_t = Σ_{j<k} αʲ·v_{t−j} / Σ_{j<k, observed} αʲ`` — weights
     renormalize over the observations actually present, so the series

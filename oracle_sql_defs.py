@@ -3454,7 +3454,7 @@ WITH pairs AS (
   SELECT lag(event_type) OVER (
            PARTITION BY user_id ORDER BY ts, event_id) AS from_state,
          event_type AS to_state
-  FROM events),
+  FROM events WHERE event_type IS NOT NULL),
 c AS (
   SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n
   FROM pairs WHERE from_state IS NOT NULL GROUP BY 1, 2)
@@ -3471,7 +3471,7 @@ WITH gaps AS (
     lead(epoch_us(ts) // 1000000) OVER (
       PARTITION BY user_id ORDER BY ts, event_id)
       - epoch_us(ts) // 1000000 AS dt
-  FROM events)
+  FROM events WHERE value IS NOT NULL)
 SELECT event_type AS "group",
   CAST(count(*) AS BIGINT) AS n_intervals,
   CAST(sum(dt) AS BIGINT) AS total_seconds,
@@ -3637,7 +3637,7 @@ WITH g AS (
          lag(event_type, 1) OVER (
            PARTITION BY user_id ORDER BY ts, event_id) AS s2,
          event_type AS s3
-  FROM events)
+  FROM events WHERE event_type IS NOT NULL)
 SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS cnt
 FROM g WHERE s1 IS NOT NULL
 GROUP BY 1, 2, 3 HAVING count(*) >= 5

@@ -144,6 +144,41 @@ def test_ewma_smooth_truncates_beyond_k(spark):
     assert out["2024-01-03"] == pytest.approx((4 + 0.5 * 2) / 1.5)
 
 
+def test_ewma_truncation_contrast(spark):
+    """VERDICT r05 item 8: quantify the fixed-depth truncation on a
+    series LONGER than k. The engine must equal the truncated
+    renormalized reference exactly (at the 6-dp round), and its
+    deviation from the UNBOUNDED renormalized EWMA must be (a) nonzero
+    once history exceeds k — the truncation is real — yet (b) inside the
+    analytic tail bound: dropping weights α^j (j ≥ k) perturbs a
+    renormalized mean of values in [lo, hi] by at most
+    ``(α^k / (1 − α^k)) · (hi − lo)``."""
+    alpha, k, n_days = 0.5, 7, 20
+    vals = [float((3 * t) % 17 + 1) for t in range(n_days)]  # non-constant
+    rows = [("k", datetime(2024, 1, 1 + t), vals[t]) for t in range(n_days)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    got = {
+        str(r["day"]): r["ewma"]
+        for r in relational.ewma_smooth(df, "k", "ts", "v", alpha=alpha, k=k).collect()
+    }
+
+    def ref(t: int, depth: int) -> float:
+        js = range(min(depth, t + 1))
+        num = sum((alpha**j) * vals[t - j] for j in js)
+        den = sum(alpha**j for j in js)
+        return num / den
+
+    deviations = []
+    for t in range(n_days):
+        day = str(datetime(2024, 1, 1 + t).date())
+        assert got[day] == pytest.approx(ref(t, k), abs=1e-6)
+        if t + 1 > k:
+            deviations.append(abs(ref(t, k) - ref(t, n_days)))
+    bound = (alpha**k / (1 - alpha**k)) * (max(vals) - min(vals))
+    assert max(deviations) > 0  # truncation genuinely deviates...
+    assert max(deviations) <= bound  # ...but stays inside the tail bound
+
+
 def test_ewma_smooth_rejects_bad_alpha(spark):
     df = spark.createDataFrame([("k", datetime(2024, 1, 1), 1.0)], "k string, ts timestamp, v double")
     with pytest.raises(ValueError):

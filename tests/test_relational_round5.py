@@ -84,6 +84,61 @@ def test_time_weighted_mean_differs_from_plain_avg(spark):
     assert r["twa"] == pytest.approx(91.0)  # 100·91 / 100s
 
 
+def test_transition_counts_null_interior_state_bridged(spark):
+    """ADVICE r05: a NULL interior event neither emits a transition nor
+    breaks the chain — a, NULL, b yields exactly one a→b pair and never
+    an a→NULL row."""
+    rows = [("u1", 1, "a"), ("u1", 2, None), ("u1", 3, "b")]
+    df = spark.createDataFrame(rows, "user string, seq long, state string")
+    out = relational.transition_counts(df, "user", ["seq"], "state").collect()
+    assert [(r["from_state"], r["to_state"], r["n"]) for r in out] == [("a", "b", 1)]
+
+
+def test_ngram_paths_null_interior_state_bridged(spark):
+    """ADVICE r05: NULL states drop before the lags, so an interior NULL
+    can't slip through the deepest-lag completeness check as a NULL
+    middle column — a, NULL, b, c counts the trigram (a, b, c)."""
+    rows = [("u", 1, "a"), ("u", 2, None), ("u", 3, "b"), ("u", 4, "c")]
+    df = spark.createDataFrame(rows, "u string, seq long, s string")
+    out = relational.ngram_paths(df, "u", ["seq"], "s", n=3).collect()
+    assert [(r["s1"], r["s2"], r["s3"], r["cnt"]) for r in out] == [("a", "b", "c", 1)]
+    assert all(
+        r["s1"] is not None and r["s2"] is not None and r["s3"] is not None
+        for r in out
+    )
+
+
+def test_time_weighted_mean_null_value_holds_through(spark):
+    """ADVICE r05: a NULL reading contributes neither value nor
+    interval — the prior observation holds THROUGH it. 10 holds t0→t10
+    (across the NULL at t2) and 20 holds t10→t20 → twa 15, not the
+    zero-biased 9 that counting the NULL's 8-second interval in the
+    denominator would give."""
+    rows = [
+        ("k", _ts(0), 10.0, "g"),
+        ("k", _ts(2), None, "g"),
+        ("k", _ts(10), 20.0, "g"),
+        ("k", _ts(20), 5.0, "g"),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double, g string")
+    r = relational.time_weighted_mean(df, "k", "ts", "value", "g").collect()[0]
+    assert (r["n_intervals"], r["total_seconds"]) == (2, 20)
+    assert r["twa"] == pytest.approx(15.0)
+
+
+def test_pareto_frontier_materialize_false_warns(spark):
+    """materialize=False skips the partitioning pin and is only safe for
+    plan-shape tests — the contract is enforced with a RuntimeWarning."""
+    import warnings
+
+    df = spark.createDataFrame([(1.0, 1.0)], "cost double, gain double")
+    with pytest.warns(RuntimeWarning, match="plan-shape tests"):
+        relational.pareto_frontier_2d(df, "cost", "gain", materialize=False)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # default path must stay silent
+        relational.pareto_frontier_2d(df, "cost", "gain")
+
+
 def test_interpolate_linear_midpoints(spark):
     """Observed day1=10, day4=40 → day2=20, day3=30 on the straight line,
     flagged filled; observed days keep their value unflagged."""
