@@ -4063,7 +4063,13 @@ def csv_roundtrip_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datapipelines_essentials_python_spark.io.readers import read_data
     from datapipelines_essentials_python_spark.io.writers import write_data
 
-    sup = load_table(spark, sf_dir, "supplier")
+    # Pin the written CSV to exactly the four declared-read columns
+    # (ADVICE r06): CSV read-back matches POSITIONALLY, so if the source
+    # table ever gains columns (full TPC-H supplier has 7) an unpinned
+    # write would silently misalign nationkey under address.
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
     path = _roundtrip_dir("csv", sf_dir)
     write_data(
         sup, "csv", path, mode="overwrite",

@@ -357,17 +357,23 @@ def main() -> None:
             if ratio > 1.5 and now - prev[name] > 0.3:
                 suspects[name] = ratio
         for name in suspects:
-            retime = run_once(name)
+            # Two steady-state retimes; the decision value is their MAX
+            # (ADVICE r06): one noisy-FAST sample can no longer reclassify
+            # a real regression as noise — clearing needs BOTH retimes
+            # under the threshold. The recorded ratio is computed from the
+            # same value the confirmation decision used.
+            retimes = [run_once(name), run_once(name)]
+            decide = max(retimes)
             entry = {
                 "prev": prev[name],
                 "now": timings[name],
-                "retime": retime,
-                "ratio": round(min(timings[name], retime) / prev[name], 2)
+                "retimes": retimes,
+                "ratio": round(decide / prev[name], 2)
                 if prev[name] > 0
                 else 1.0,
             }
             confirmed = (
-                retime / prev[name] > 1.5 and retime - prev[name] > 0.3
+                decide / prev[name] > 1.5 and decide - prev[name] > 0.3
                 if prev[name] > 0
                 else False
             )
@@ -385,13 +391,13 @@ def main() -> None:
         for name, e in regressions.items():
             print(
                 f"  CONFIRMED {name}: {e['prev']}s -> {e['now']}s "
-                f"(retime {e['retime']}s)",
+                f"(retimes {e['retimes']})",
                 file=sys.stderr,
             )
         for name, e in noise_cleared.items():
             print(
                 f"  noise    {name}: {e['prev']}s -> {e['now']}s "
-                f"(retime {e['retime']}s)",
+                f"(retimes {e['retimes']})",
                 file=sys.stderr,
             )
 

@@ -364,27 +364,27 @@ def minhash_lsh_pairs(
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
 
-    # Candidate pairs off the (band, bucket) exchange: collect each
-    # bucket's ids, drop degenerate buckets larger than ``max_bucket``
-    # BEFORE any pair exists, and expand the strict upper triangle with
-    # JVM array expressions. The degenerate-bucket filter must run BEFORE
-    # collect_list, not after: collect_list's aggregation buffer grows in
-    # executor memory (it doesn't spill like a window), so one hot bucket
-    # — millions of identical/empty docs hashing to the same band key —
-    # would OOM a task even though its array is ultimately discarded. The
-    # count pre-pass rides a map-side-combined partial agg (its shuffle is
-    # one row per distinct bucket per task, KBs), and the join back on the
-    # shuffle keys co-partitions with the groupBy, so surviving-bucket
-    # collection adds no corpus-sized exchange. Sorting the bucket makes
+    # Candidate pairs off ONE (band, bucket) exchange: a window count
+    # sizes every bucket in the same pass that collects it — per-bucket
+    # size is computed ONCE for both the ≥2 pre-filter and the
+    # ``max_bucket`` cap (VERDICT r05 item 4; the previous shape ran a
+    # separate count pre-pass and joined it back, re-evaluating the
+    # band-key explode from the persisted signatures a second time). The
+    # degenerate-bucket filter still runs row-level BEFORE collect_list,
+    # which is what matters for memory: WindowExec sort-buffers SPILL to
+    # disk, while collect_list's aggregation buffer grows in executor
+    # memory — so one hot bucket (millions of identical/empty docs
+    # hashing to the same band key) is dropped before any array
+    # materializes instead of OOMing a task. The groupBy runs on the
+    # window's own (band, bucket) hash partitioning, so the collect adds
+    # no second corpus-sized exchange. Sorting the bucket makes
     # (id_a < id_b) positional and the output deterministic.
-    bucket_ok = (
-        banded.groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("__bsz"))
-        .where((F.col("__bsz") >= 2) & (F.col("__bsz") <= max_bucket))
-        .drop("__bsz")
-    )
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("band", "bucket")
     bucketed = (
-        banded.join(bucket_ok, ["band", "bucket"])
+        banded.withColumn("__bsz", F.count(F.lit(1)).over(wb))
+        .where((F.col("__bsz") >= 2) & (F.col("__bsz") <= max_bucket))
         .groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))
     )

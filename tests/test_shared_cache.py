@@ -49,9 +49,19 @@ def test_lsh_caches_evict_previous_sf_dir(spark):
 def test_lsh_cache_drops_dead_app_entries_without_unpersist(spark):
     entry_mod._LSH_PAIRS_CACHE.clear()
     entry_mod._LSH_LABELS_CACHE.clear()
-    # a leftover entry from a stopped session: unpersist would throw, the
-    # evict path must drop it without touching the (dead) blocks
+    # a leftover entry from a stopped session: its blocks died with the
+    # app, so the evict path must drop the key WITHOUT calling
+    # unpersist. The marker's unpersist raises to genuinely pin that
+    # contract (ADVICE r06 — a live unthrown unpersist would otherwise
+    # pass this test even if the foreign-app branch regressed).
     marker = spark.range(1)
+
+    def _boom(*_a, **_k):
+        raise AssertionError(
+            "unpersist must never be called on a foreign app's entry"
+        )
+
+    marker.unpersist = _boom
     entry_mod._LSH_PAIRS_CACHE[("dead-app", SF_A)] = marker
     _run_family_at(spark, SF_A)
     assert ("dead-app", SF_A) not in entry_mod._LSH_PAIRS_CACHE
