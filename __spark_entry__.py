@@ -4317,19 +4317,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": multimodal_features,      # §2.12 pandas_udf
         "cdc_merge": cdc_merge,                          # J3/J4/W3/U1/F8/§2.9
         "scd2_merge": scd2_merge_q,                      # §2.9
-        # ---- rotation block, third spin (VERDICT r05 item 1): rows 31-50
-        # ---- carry 20 queries with no prior driver-green row. This
-        # ---- round's block: the two NEW round-6 I/O round-trip twins
-        # ---- (csv/json write→read→agg vs parquet oracle — S1 dispatch
-        # ---- inside the gate, item 7), the round-5 analytics slate
-        # ---- (pagerank, Markov transitions, Pareto sweep, EWMA, RFM,
-        # ---- time-weighted mean, interpolation, PMI, Benford, trigrams,
-        # ---- debounce, reservoir sampling, autocorrelation), and the
-        # ---- never-gated blocked-fuzzy-join / TF-IDF / curriculum /
-        # ---- heavy-hitter queries. The r5 rotation block (ngram_jaccard,
-        # ---- PQ/IVF gauges, BM25, …) moves to the tail — all 20 of its
-        # ---- rows are driver-green in CORRECTNESS_r05.json and stay
-        # ---- triple-tier parity-checked.
+        # ---- rotation block, fourth spin (VERDICT r06 item 2): rows
+        # ---- 31-50 carry 20 queries with no prior driver-green row —
+        # ---- the TPC-derived shapes never gated (q2 decorrelated MIN,
+        # ---- q4 EXISTS, q7/q8/q9 multi-join volume/share/profit, q10,
+        # ---- q11 HAVING-over-share, q12, q16 distinct-count, q19
+        # ---- disjunctive pushdown, q21 double-anti-correlation, q22
+        # ---- NOT-EXISTS + avg subquery) plus the never-gated composite
+        # ---- slate (SCD2 time travel, snapshot diff, source overlap,
+        # ---- session conversion, split leakage, dataset card, the
+        # ---- spark.sql API twin, URL canonicalization). The r6 block
+        # ---- (round-trip twins, pagerank, analytics slate) moves to the
+        # ---- tail — all 20 of its rows are driver-green in
+        # ---- CORRECTNESS_r06.json and stay triple-tier parity-checked.
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q4_priority_exists": q4_priority_exists,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q10_returned_customers": q10_returned_customers,
+        "q11_important_parts": q11_important_parts,
+        "q12_shipping_delay": q12_shipping_delay,
+        "q16_supplier_count": q16_supplier_count,
+        "q19_disjunctive": q19_disjunctive,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "q22_dormant_rich": q22_dormant_rich,
+        "scd2_point_in_time": scd2_point_in_time,
+        "snapshot_diff": snapshot_diff_orders,
+        "source_overlap_matrix": source_overlap_matrix,
+        "session_conversion": session_conversion,
+        "split_leakage_audit": split_leakage_audit,
+        "dataset_card": dataset_card,
+        "sql_api_revenue": sql_api_revenue,
+        "url_canonicalize": url_canonicalize,
+        # ---- entries below are covered by tools/check_parity.py
+        # ---- (full-suite log committed per round as PARITY_r{N}.txt).
+        # ---- The r6 rotation block leads the tail, driver-green in
+        # ---- CORRECTNESS_r06.json.
         "csv_roundtrip_parity": csv_roundtrip_parity,
         "json_roundtrip_parity": json_roundtrip_parity,
         "pagerank_parts": pagerank_parts,
@@ -4350,10 +4374,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": tfidf_top_terms_q,
         "curriculum_bins": curriculum_bins_q,
         "heavy_hitters": heavy_hitters,
-        # ---- entries below are covered by tools/check_parity.py
-        # ---- (full-suite log committed per round as PARITY_r{N}.txt).
-        # ---- The r5 rotation block leads the tail, driver-green in
-        # ---- CORRECTNESS_r05.json.
         "ngram_jaccard": ngram_jaccard,
         "pq_ann": pq_ann,
         "pq_ann_refined": pq_ann_refined,
@@ -4395,8 +4415,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination_bloom": decontamination_bloom,
         "semantic_dedup": semantic_dedup,
         "hll_distinct": hll_distinct,
-        "q9_product_profit": q9_product_profit,
-        "q19_disjunctive": q19_disjunctive,
         "cms_topk": cms_topk,
         "gap_fill_events": gap_fill_events,
         "rolling_events_7d": rolling_events_7d,
@@ -4424,9 +4442,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": embedding_topk,
         "media_chunks": media_chunks,
         "pack_sequences": pack_sequences,
-        "q8_market_share": q8_market_share,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
-        "snapshot_diff": snapshot_diff_orders,
         "lang_id": lang_id,
         "text_quality": text_quality,
         "token_stats": token_stats,
@@ -4454,21 +4469,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": quality_filter,
         "q2_cheapest_parts": q2_cheapest_parts,
         "q15_top_suppliers": q15_top_suppliers,
-        "q22_dormant_rich": q22_dormant_rich,
-        "q2_min_cost_supplier": q2_min_cost_supplier,
-        "q4_priority_exists": q4_priority_exists,
-        "q11_important_parts": q11_important_parts,
-        "q12_shipping_delay": q12_shipping_delay,
-        "q16_supplier_count": q16_supplier_count,
         "q20_excess_shippers": q20_excess_shippers,
-        "q7_volume_shipping": q7_volume_shipping,
-        "q10_returned_customers": q10_returned_customers,
         "zorder_layout": zorder_layout,
         "cube_agg": cube_agg,
         "text_normalize": text_normalize,
         "domain_balance": domain_balance,
         "global_shuffle_order": global_shuffle_order,
-        "sql_api_revenue": sql_api_revenue,
         "iqr_outlier_events": iqr_outlier_events,
         "bloom_join_orders": bloom_join_orders,
         "chunk_documents": chunk_documents_q,
@@ -4476,7 +4482,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_agg": incremental_agg,
         "grouped_split_docs": grouped_split_docs,
         "compaction_plan": compaction_plan_q,
-        "source_overlap_matrix": source_overlap_matrix,
         "logistic_quality": logistic_quality,
         "strip_markup": strip_markup_q,
         "temperature_mixture": temperature_mixture_q,
@@ -4494,15 +4499,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_metrics": unpivot_metrics,
         "event_lift": event_lift,
         "asof_join_tolerance": asof_join_tolerance,
-        "scd2_point_in_time": scd2_point_in_time,
         "dau_wau": dau_wau,
         "first_touch_attribution": first_touch_attribution,
-        "session_conversion": session_conversion,
         "top_terms_per_source": top_terms_per_source,
         "mad_outliers": mad_outliers,
-        "dataset_card": dataset_card,
-        "url_canonicalize": url_canonicalize,
-        "split_leakage_audit": split_leakage_audit,
         "dense_rank_ties": dense_rank_ties,
     }
 
