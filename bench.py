@@ -280,7 +280,11 @@ def load_prior_bench(sf) -> tuple[str, dict[str, float]] | None:
         # the driver records {n, rc, sf, parsed: <our JSON line>, ...};
         # a crashed round records {"parsed": null} — skip, don't crash
         data = data.get("parsed") or data
-        if not isinstance(data, dict) or data.get("sf") != sf or "queries" not in data:
+        # require a NON-EMPTY query map: a driver record whose stdout tail
+        # was truncated parses with "queries": {} — preferring it over an
+        # older full snapshot makes the guard a vacuous 0-shared-query
+        # diff (observed with BENCH_r06.json shadowing BENCH_FULL_r05)
+        if not isinstance(data, dict) or data.get("sf") != sf or not data.get("queries"):
             continue
         n = int(m.group(1))
         if best is None or n > best[0]:
