@@ -4279,6 +4279,55 @@ def pagerank_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_ops.pagerank(edges, iterations=2, weight_col="w")
 
 
+def hits_supply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the DIRECTED supplier→part supply
+    graph from lineitem (``operators.graph.hits``, 2 iterations):
+    a hub is a supplier stocking many well-sourced parts, an authority a
+    part carried by many strong suppliers — the companion ranking to
+    ``pagerank_parts`` (which walks the symmetrized graph). Each
+    half-step is one keyed shuffle + a broadcast 1-row L2 norm; the
+    oracle replays the unrolled alternating updates, including the
+    4-dp-quantized norm squares, bit-for-bit."""
+    from datapipelines_essentials_python_spark.operators import graph as graph_ops
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    ).distinct()
+    return graph_ops.hits(edges, iterations=2)
+
+
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup pairs by n-gram set CONTAINMENT
+    (``dedup.ngram_containment_pairs``): |A∩B| / min(|A|,|B|) ≥ 0.6 —
+    catches a short document quoted inside a long one, which the
+    symmetric Jaccard queries structurally miss. Same inverted-index
+    plan as ``ngram_jaccard`` (posting join, co-occurrence count, no
+    zero-overlap pair ever materialized)."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    return dedup_ops.ngram_containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.6
+    ).select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"), "containment"
+    )
+
+
+def script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Unicode-script profile (``text.script_profile``):
+    range-exact character counts per script, dominant letter script, and
+    Latin ratio — the scan-speed language-routing / mixed-script-spam
+    gate that runs before any per-language processing. Counting is the
+    length-difference trick over plain Unicode RANGES, so Spark's Java
+    regex and the oracle's RE2 agree character-for-character."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.script_profile(docs, "doc_id", "text").select(
+        F.col("id").cast("long").alias("doc_id"),
+        "n_chars", "latin", "cyrillic", "greek", "arabic", "cjk", "hangul",
+        "digit", "dominant_script", "latin_ratio",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # The driver's CORRECTNESS gate records only the first 50 entries.
@@ -4504,6 +4553,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms_per_source": top_terms_per_source,
         "mad_outliers": mad_outliers,
         "dense_rank_ties": dense_rank_ties,
+        # ---- round-7 additions (tail: parity-gated, not driver-window)
+        "hits_supply_graph": hits_supply_graph,
+        "containment_pairs": containment_pairs,
+        "script_mix": script_mix,
     }
 
 

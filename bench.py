@@ -223,6 +223,10 @@ HEADLINE = [
     "ewma_daily",
     "pagerank_parts",
     "pagerank_engagement",
+    # round-7 additions
+    "hits_supply_graph",
+    "containment_pairs",
+    "script_mix",
 ]
 
 

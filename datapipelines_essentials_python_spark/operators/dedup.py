@@ -227,6 +227,63 @@ def ngram_jaccard_pairs_indexed(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: n-gram set containment
+    ``C = |A∩B| / min(|A|, |B|)`` — the measure that catches a short
+    document quoted or embedded inside a long one, which symmetric
+    Jaccard misses (a 100-shingle doc fully contained in a 10,000-
+    shingle doc has Jaccard ≈ 0.01 but containment 1.0). This is the
+    Broder containment coefficient over shingle sets, the standard
+    quote/subset filter in training-data pipelines.
+
+    Same inverted-index shape as :func:`ngram_jaccard_pairs_indexed`
+    (posting explode → shingle-keyed equi-join → pair-keyed count agg;
+    zero-overlap pairs structurally absent, hence ``threshold > 0``);
+    only the final ratio differs, so the scale analysis there carries
+    over unchanged. Documents too short to produce a shingle have no
+    postings and appear in no pair — the min-size denominator is always
+    ≥ 1.
+
+    → ``(id_a, id_b, containment)`` with ``id_a < id_b`` and
+    ``containment ≥ threshold``.
+    """
+    if threshold <= 0:
+        raise ValueError(
+            "ngram_containment_pairs requires threshold > 0 (zero-overlap "
+            "pairs are structurally absent from the index join)"
+        )
+    base = df.select(
+        F.col(id_col).alias("id"), shingles(text_col, n).alias("sh")
+    ).withColumn("sz", F.size("sh"))
+    posting = base.select("id", "sz", F.explode("sh").alias("g"))
+    a = posting.select(
+        F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), F.col("g").alias("g_a")
+    )
+    b = posting.select(
+        F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), F.col("g").alias("g_b")
+    )
+    co = (
+        a.join(b, (F.col("g_a") == F.col("g_b")) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    cont = F.round(
+        F.col("inter").cast("double")
+        / F.least(F.col("sz_a"), F.col("sz_b")).cast("double"),
+        6,
+    )
+    return (
+        co.select("id_a", "id_b", cont.alias("containment"))
+        .where(F.col("containment") >= threshold)
+    )
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------

@@ -155,6 +155,105 @@ def pagerank_step(
     )
 
 
+def hits(
+    edges: DataFrame,
+    iterations: int = 2,
+    materialize: bool = True,
+) -> DataFrame:
+    """HITS (hubs & authorities) power iteration over a DIRECTED edge
+    list — the companion ranking to :func:`pagerank` for bipartite-ish
+    link structures (supplier→part, user→resource): a good HUB points at
+    good authorities, a good AUTHORITY is pointed at by good hubs.
+
+    Per iteration (Kleinberg's alternating update, L2-normalized):
+
+    ``a(v) = Σ_{u→v} q(h(u)) / ‖·‖₂``  then  ``h(u) = Σ_{u→v} q(a(v)) / ‖·‖₂``
+
+    Spark-first shape, same discipline as :func:`pagerank`: each half-
+    step is ONE keyed shuffle (edges join the node-sized score vector —
+    AQE broadcasts it — and aggregate on the other endpoint), plus one
+    broadcast 1-row norm aggregate. State is one (node, hub, authority)
+    row per node; nodes with no in-edges hold authority 0, nodes with no
+    out-edges hold hub 0.
+
+    Numeric contract: per-edge contributions and the squared terms of
+    each norm are quantized to :data:`_CONTRIB_DECIMAL` BEFORE their
+    sums, so every order-sensitive reduction is exact; the norm's sqrt
+    and the division are single IEEE ops (sqrt is correctly rounded by
+    IEEE-754 — bit-identical across engines), and scores round to 6 —
+    the SQL oracle replays the unrolled iterations exactly.
+
+    → ``(node, hub, authority)``.
+    """
+    if iterations < 1:
+        raise ValueError(f"hits needs iterations >= 1, got {iterations}")
+    if materialize:
+        edges = edges.localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if materialize:
+        nodes = nodes.localCheckpoint(eager=True)
+
+    def _half_step(scores: DataFrame, join_on: str, agg_on: str) -> DataFrame:
+        """One alternating update: sum quantized scores over edges joined
+        on ``join_on``, grouped on ``agg_on``, L2-normalized. The result
+        holds every node with an ``agg_on``-side edge — exactly the nodes
+        the next half-step's join can reach, so hub and auth stay
+        SEPARATE node-sized tables and no per-step state reassembly join
+        is ever needed (missing nodes are zero by construction and only
+        rejoin at the end)."""
+        raw = (
+            edges.join(scores, edges[join_on] == scores["node"])
+            .select(
+                edges[agg_on].alias("node"),
+                F.round(F.col("score"), 12).cast(_CONTRIB_DECIMAL).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("double").alias("raw"))
+        )
+        # squared terms quantize to 4 dp, not 12: raw sums reach ~1e5+ at
+        # large tiers, so a 12-dp squared sum would cross the >=17-
+        # significant-digit band where DuckDB's decimal->double is
+        # double-rounded vs Java's correctly-rounded (the documented
+        # oracle_sql_defs caveat); 4 dp keeps the exact sum well under it
+        norm = raw.agg(
+            F.sqrt(
+                F.coalesce(
+                    F.sum(
+                        F.round(F.col("raw") * F.col("raw"), 4).cast("decimal(28,4)")
+                    ),
+                    F.lit(0).cast("decimal(28,4)"),
+                ).cast("double")
+            ).alias("__nrm")
+        )
+        return raw.crossJoin(F.broadcast(norm)).select(
+            "node",
+            F.when(F.col("__nrm") > 0, F.round(F.col("raw") / F.col("__nrm"), 6))
+            .otherwise(F.lit(0.0))
+            .alias("score"),
+        )
+
+    hub = nodes.select("node", F.lit(1.0).alias("score"))
+    auth = None
+    for _ in range(iterations):
+        # authorities from current hubs: contributions flow src → dst
+        auth = _half_step(hub, "src", "dst")
+        if materialize:
+            auth = auth.localCheckpoint(eager=True)
+        # hubs from fresh authorities: contributions flow dst → src
+        hub = _half_step(auth, "dst", "src")
+        if materialize:
+            hub = hub.localCheckpoint(eager=True)
+    return (
+        nodes.join(hub.select("node", F.col("score").alias("hub")), "node", "left")
+        .join(auth.select("node", F.col("score").alias("authority")), "node", "left")
+        .na.fill({"hub": 0.0, "authority": 0.0})
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 10,

@@ -101,6 +101,72 @@ def detect_language(col: Column | str) -> Column:
     return F.when(best_score > 0, pick).otherwise(F.lit("und"))
 
 
+#: Unicode RANGES, not script classes: ``[Ѐ-ӿ]`` means the
+#: same thing to Java regex (Spark) and RE2 (DuckDB), while
+#: ``\p{IsCyrillic}`` vs ``\p{Cyrillic}`` invites engine drift. Ordered —
+#: the dominant-script tie-break follows this order.
+SCRIPT_RANGES: list[tuple[str, str]] = [
+    ("latin", "A-Za-zÀ-ɏ"),
+    ("cyrillic", "Ѐ-ӿ"),
+    ("greek", "Ͱ-Ͽ"),
+    ("arabic", "؀-ۿ"),
+    ("cjk", "一-鿿"),
+    ("hangul", "가-힯"),
+    ("digit", "0-9"),
+]
+
+
+def script_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document Unicode-script mix: character counts per script
+    range, the dominant LETTER script, and the Latin ratio over script
+    letters — the language-routing / mixed-script-spam signal a
+    multilingual training-data pipeline filters on before per-language
+    processing (cheap enough to run at scan speed, unlike model-based
+    language ID).
+
+    Counting is the length-difference trick — ``length(text) −
+    length(regexp_replace(text, '[range]', ''))`` — which is
+    character-exact and byte-identical in Spark and DuckDB (both
+    ``length`` functions count codepoints; the class is a plain range).
+    Dominant script = argmax over the LETTER scripts (digits excluded),
+    ties broken by :data:`SCRIPT_RANGES` order; documents with no script
+    letters at all are 'none'. Pure narrow projection: no shuffle, no
+    UDF, runs at scan speed at any corpus size.
+
+    → ``(id, n_chars, <script> counts…, dominant_script, latin_ratio)``.
+    """
+    c = F.col(text_col)
+    out = df.select(
+        F.col(id_col).alias("id"),
+        F.length(c).cast("long").alias("n_chars"),
+        *[
+            (
+                F.length(c)
+                - F.length(F.regexp_replace(c, f"[{rng}]", ""))
+            ).cast("long").alias(name)
+            for name, rng in SCRIPT_RANGES
+        ],
+    )
+    letters = [name for name, _ in SCRIPT_RANGES if name != "digit"]
+    best: Column = F.col(letters[0])
+    for name in letters[1:]:
+        best = F.greatest(best, F.col(name))
+    pick: Column = F.lit("none")
+    for name in reversed(letters):
+        pick = F.when(F.col(name) == best, F.lit(name)).otherwise(pick)
+    total_letters = sum((F.col(n) for n in letters[1:]), F.col(letters[0]))
+    return out.select(
+        "*",
+        F.when(best > 0, pick).otherwise(F.lit("none")).alias("dominant_script"),
+        F.when(
+            total_letters > 0,
+            F.round(F.col("latin").cast("double") / total_letters.cast("double"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("latin_ratio"),
+    )
+
+
 def fingerprint(col: Column | str, ngram: int = 3, keep: int = 4) -> Column:
     """Winnowing-style document fingerprint: md5-hash every ``ngram``-token
     shingle, keep the ``keep`` lexicographically smallest digests, rejoin

@@ -3807,3 +3807,114 @@ FROM orders
 WHERE o_orderstatus = 'F'
 GROUP BY 1, 2
 """
+
+# ---- round 7: HITS, containment near-dup, Unicode-script profile ----------
+
+# One HITS half-step: sum 12-dp-quantized scores over edges joined on
+# {join}, grouped on {agg}, L2-normalized with 4-dp-quantized squares
+# (4 dp, not 12 — raw sums reach ~1e5+, and a 12-dp squared sum would
+# cross the >=17-significant-digit decimal->double band; mirrors
+# graph.hits exactly, including the per-half-step round(...,6)).
+def _hits_half(out: str, src_tbl: str, join: str, agg: str) -> str:
+    return f"""{out}raw AS MATERIALIZED (
+  SELECT e.{agg} AS node,
+         CAST(sum(CAST(round(s.score, 12) AS DECIMAL(28,12))) AS DOUBLE) AS raw
+  FROM e JOIN {src_tbl} s ON e.{join} = s.node
+  GROUP BY 1),
+{out}n AS MATERIALIZED (
+  SELECT sqrt(CAST(coalesce(sum(CAST(round(raw * raw, 4) AS DECIMAL(28,4))),
+                            CAST(0 AS DECIMAL(28,4))) AS DOUBLE)) AS nrm
+  FROM {out}raw),
+{out} AS MATERIALIZED (
+  SELECT node,
+         CASE WHEN nrm > 0 THEN round(raw / nrm, 6)
+              ELSE CAST(0.0 AS DOUBLE) END AS score
+  FROM {out}raw CROSS JOIN {out}n)"""
+
+
+ORACLES["hits_supply_graph"] = f"""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                  'p' || CAST(l_partkey AS VARCHAR) AS dst
+  FROM lineitem),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT src AS node FROM e
+  UNION
+  SELECT DISTINCT dst AS node FROM e),
+h0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) AS score FROM nodes),
+{_hits_half("a1", "h0", "src", "dst")},
+{_hits_half("h1", "a1", "dst", "src")},
+{_hits_half("a2", "h1", "src", "dst")},
+{_hits_half("h2", "a2", "dst", "src")}
+SELECT n.node,
+       coalesce(h.score, CAST(0.0 AS DOUBLE)) AS hub,
+       coalesce(a.score, CAST(0.0 AS DOUBLE)) AS authority
+FROM nodes n
+LEFT JOIN h2 h ON n.node = h.node
+LEFT JOIN a2 a ON n.node = a.node
+"""
+
+# Asymmetric containment |A∩B| / min(|A|,|B|) over the same inverted-
+# index shape as ngram_jaccard (unblocked), mirroring
+# dedup.ngram_containment_pairs.
+ORACLES["containment_pairs"] = f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {SHINGLES} AS sh FROM t),
+ex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS g FROM s),
+co AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+    count(*) AS inter
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+  round(CAST(inter AS DOUBLE) / CAST(least(sz_a, sz_b) AS DOUBLE), 6)
+    AS containment
+FROM co
+WHERE round(CAST(inter AS DOUBLE) / CAST(least(sz_a, sz_b) AS DOUBLE), 6)
+      >= 0.6
+"""
+
+# Unicode-script mix via the length-difference trick over plain ranges
+# (identical semantics in RE2 and Java regex), mirroring
+# text.script_profile including the SCRIPT_RANGES tie-break order.
+_SCRIPT_COUNTS = """
+    length(text) AS n_chars,
+    length(text) - length(regexp_replace(text, '[A-Za-zÀ-ɏ]', '', 'g')) AS latin,
+    length(text) - length(regexp_replace(text, '[Ѐ-ӿ]', '', 'g')) AS cyrillic,
+    length(text) - length(regexp_replace(text, '[Ͱ-Ͽ]', '', 'g')) AS greek,
+    length(text) - length(regexp_replace(text, '[؀-ۿ]', '', 'g')) AS arabic,
+    length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS cjk,
+    length(text) - length(regexp_replace(text, '[가-힯]', '', 'g')) AS hangul,
+    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit
+"""
+
+ORACLES["script_mix"] = f"""
+WITH c AS (
+  SELECT doc_id,
+{_SCRIPT_COUNTS}
+  FROM documents),
+g AS (
+  SELECT *, greatest(latin, cyrillic, greek, arabic, cjk, hangul) AS mx,
+         latin + cyrillic + greek + arabic + cjk + hangul AS letters
+  FROM c)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(n_chars AS BIGINT) AS n_chars,
+  CAST(latin AS BIGINT) AS latin,
+  CAST(cyrillic AS BIGINT) AS cyrillic,
+  CAST(greek AS BIGINT) AS greek,
+  CAST(arabic AS BIGINT) AS arabic,
+  CAST(cjk AS BIGINT) AS cjk,
+  CAST(hangul AS BIGINT) AS hangul,
+  CAST(digit AS BIGINT) AS digit,
+  CASE WHEN mx = 0 THEN 'none'
+       WHEN latin = mx THEN 'latin'
+       WHEN cyrillic = mx THEN 'cyrillic'
+       WHEN greek = mx THEN 'greek'
+       WHEN arabic = mx THEN 'arabic'
+       WHEN cjk = mx THEN 'cjk'
+       ELSE 'hangul' END AS dominant_script,
+  CASE WHEN letters > 0
+       THEN round(CAST(latin AS DOUBLE) / CAST(letters AS DOUBLE), 6)
+       ELSE CAST(0.0 AS DOUBLE) END AS latin_ratio
+FROM g
+"""

@@ -72,6 +72,54 @@ def test_jaccard_indexed_rejects_nonpositive_threshold(spark, docs):
         dedup.ngram_jaccard_pairs_indexed(docs, "doc_id", "text", threshold=0.0)
 
 
+def test_containment_catches_quote_jaccard_misses(spark):
+    """A short doc fully embedded in a long one: containment = 1.0 while
+    Jaccard is far below any useful threshold — the asymmetric measure's
+    whole point."""
+    rows = [
+        (1, "the quick brown fox jumps over"),
+        (2, "prefix words here " + "the quick brown fox jumps over"
+            + " and then a very long suffix that keeps going with many more"
+            + " unrelated tokens stretching the shingle set far beyond"),
+        (3, "completely different content entirely unrelated words"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cont = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in dedup.ngram_containment_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.8
+        ).collect()
+    }
+    assert cont == {(1, 2): 1.0}
+    jac = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    assert jac.count() == 0  # symmetric measure misses the embedding
+
+
+def test_containment_at_least_jaccard(spark, docs):
+    """For every pair, containment ≥ jaccard (min-denominator vs
+    union-denominator), and identical docs score 1.0 on both."""
+    c = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in dedup.ngram_containment_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.01
+        ).collect()
+    }
+    j = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.01
+        ).collect()
+    }
+    assert c[(1, 4)] == 1.0 and j[(1, 4)] == 1.0
+    for pair, jv in j.items():
+        assert c[pair] >= jv
+
+
+def test_containment_rejects_nonpositive_threshold(spark, docs):
+    with pytest.raises(ValueError, match="threshold > 0"):
+        dedup.ngram_containment_pairs(docs, "doc_id", "text", threshold=0.0)
+
+
 def test_minhash_lsh_finds_planted_dups(spark, docs):
     out = dedup.minhash_lsh_pairs(
         docs, "doc_id", "text", n=3, num_hashes=16, bands=8, threshold=0.5

@@ -70,6 +70,40 @@ def test_pagerank_matches_driver_side_reference(spark):
     assert got == pytest.approx(r, abs=2e-6)
 
 
+def test_hits_hand_computed(spark):
+    """h→{a1,a2}, g→a1 — alternating updates with L2 normalization,
+    computed through 2 iterations replaying the exact quantization (12-dp
+    contributions, 4-dp norm squares, 6-dp scores): iter1 auth =
+    indegree/√5, hubs follow; iter2 sharpens a1 over a2 and h over g.
+    Sources carry authority 0, sinks hub 0."""
+    e = _edges(spark, [("h", "a1"), ("h", "a2"), ("g", "a1")])
+    out = {r["node"]: (r["hub"], r["authority"]) for r in graph.hits(e, 2).collect()}
+    assert out["a1"] == (0.0, pytest.approx(0.857490, abs=1e-6))
+    assert out["a2"] == (0.0, pytest.approx(0.514494, abs=1e-6))
+    assert out["h"] == (pytest.approx(0.848003, abs=1e-6), 0.0)
+    assert out["g"] == (pytest.approx(0.530002, abs=1e-6), 0.0)
+    # L2 norms ≈ 1 on each side
+    assert sum(v[1] ** 2 for v in out.values()) == pytest.approx(1.0, abs=1e-4)
+    assert sum(v[0] ** 2 for v in out.values()) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_hits_symmetric_cycle_uniform(spark):
+    """a↔b: both nodes are simultaneously equal hubs and equal
+    authorities — scores are 1/√2 on both axes."""
+    out = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in graph.hits(_edges(spark, [("a", "b"), ("b", "a")]), 3).collect()
+    }
+    inv_sqrt2 = pytest.approx(0.707107, abs=1e-6)
+    assert out["a"] == (inv_sqrt2, inv_sqrt2)
+    assert out["b"] == (inv_sqrt2, inv_sqrt2)
+
+
+def test_hits_rejects_zero_iterations(spark):
+    with pytest.raises(ValueError):
+        graph.hits(_edges(spark, [("a", "b")]), iterations=0)
+
+
 def test_pagerank_rejects_zero_iterations(spark):
     with pytest.raises(ValueError):
         graph.pagerank(_edges(spark, [("a", "b")]), iterations=0)

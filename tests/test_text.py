@@ -474,3 +474,26 @@ def test_bm25_scores_match_python_reference(spark):
         if n_terms:
             want[i] = (n_terms, dl, int(round(total * 1000000)))
     assert got == want
+
+
+def test_script_profile_counts_and_dominance(spark):
+    """Range-exact per-script character counts; dominant letter script
+    by max with SCRIPT_RANGES-order tie-break; digits never dominate."""
+    rows = [
+        (1, "hello мир 123"),       # 5 latin, 3 cyrillic, 3 digits
+        (2, "你好世界"),             # 4 cjk
+        (3, "... 42"),              # no letters at all
+        (4, "αβ ab"),               # 2 greek, 2 latin → tie → latin (order)
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r.asDict() for r in text.script_profile(df, "id", "text").collect()}
+    assert (out[1]["latin"], out[1]["cyrillic"], out[1]["digit"]) == (5, 3, 3)
+    assert out[1]["dominant_script"] == "latin"
+    assert out[1]["latin_ratio"] == 0.625
+    assert (out[2]["cjk"], out[2]["dominant_script"]) == (4, "cjk")
+    assert out[2]["latin_ratio"] == 0.0
+    assert out[3]["dominant_script"] == "none"
+    assert out[3]["digit"] == 2
+    assert out[4]["dominant_script"] == "latin"  # tie broken by range order
+    for r in out.values():
+        assert r["n_chars"] == len(rows[r["id"] - 1][1])
