@@ -4303,11 +4303,12 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``dedup.ngram_containment_pairs``): |A∩B| / min(|A|,|B|) ≥ 0.6 —
     catches a short document quoted inside a long one, which the
     symmetric Jaccard queries structurally miss. Same inverted-index
-    plan as ``ngram_jaccard`` (posting join, co-occurrence count, no
-    zero-overlap pair ever materialized)."""
+    plan AND the same language blocking as ``ngram_jaccard``: the
+    blocked posting join is what bounds hot-shingle fan-out — the
+    unblocked variant OOMed at the 10× stress tier."""
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     return dedup_ops.ngram_containment_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.6
+        docs, "doc_id", "text", n=3, threshold=0.6, block_col="lang"
     ).select(
         F.col("id_a").cast("long"), F.col("id_b").cast("long"), "containment"
     )

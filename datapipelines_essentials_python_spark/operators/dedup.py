@@ -233,6 +233,7 @@ def ngram_containment_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
+    block_col: str | None = None,
 ) -> DataFrame:
     """ASYMMETRIC near-dup detection: n-gram set containment
     ``C = |A∩B| / min(|A|, |B|)`` — the measure that catches a short
@@ -246,9 +247,14 @@ def ngram_containment_pairs(
     (posting explode → shingle-keyed equi-join → pair-keyed count agg;
     zero-overlap pairs structurally absent, hence ``threshold > 0``);
     only the final ratio differs, so the scale analysis there carries
-    over unchanged. Documents too short to produce a shingle have no
-    postings and appear in no pair — the min-size denominator is always
-    ≥ 1.
+    over — INCLUDING the ``block_col`` bound: hot shingles fan the
+    posting join out quadratically in their document frequency, and an
+    UNBLOCKED corpus-wide join measurably OOMs where the blocked one
+    cruises (observed at the 10× stress tier, where corpus-common
+    shingles appear in thousands of documents — pass a language or
+    coarse-fingerprint block at scale, exactly as the Jaccard twin
+    does). Documents too short to produce a shingle have no postings
+    and appear in no pair — the min-size denominator is always ≥ 1.
 
     → ``(id_a, id_b, containment)`` with ``id_a < id_b`` and
     ``containment ≥ threshold``.
@@ -258,18 +264,30 @@ def ngram_containment_pairs(
             "ngram_containment_pairs requires threshold > 0 (zero-overlap "
             "pairs are structurally absent from the index join)"
         )
+    blk = [F.col(block_col).alias("blk")] if block_col else []
     base = df.select(
-        F.col(id_col).alias("id"), shingles(text_col, n).alias("sh")
+        F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"), *blk
     ).withColumn("sz", F.size("sh"))
-    posting = base.select("id", "sz", F.explode("sh").alias("g"))
+    posting = base.select(
+        "id", "sz", *(["blk"] if block_col else []), F.explode("sh").alias("g")
+    )
     a = posting.select(
-        F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), F.col("g").alias("g_a")
+        F.col("id").alias("id_a"),
+        F.col("sz").alias("sz_a"),
+        *([F.col("blk").alias("blk_a")] if block_col else []),
+        F.col("g").alias("g_a"),
     )
     b = posting.select(
-        F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), F.col("g").alias("g_b")
+        F.col("id").alias("id_b"),
+        F.col("sz").alias("sz_b"),
+        *([F.col("blk").alias("blk_b")] if block_col else []),
+        F.col("g").alias("g_b"),
     )
+    cond = (F.col("g_a") == F.col("g_b")) & (F.col("id_a") < F.col("id_b"))
+    if block_col:
+        cond = cond & (F.col("blk_a") == F.col("blk_b"))
     co = (
-        a.join(b, (F.col("g_a") == F.col("g_b")) & (F.col("id_a") < F.col("id_b")))
+        a.join(b, cond)
         .groupBy("id_a", "id_b", "sz_a", "sz_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )

@@ -3855,16 +3855,18 @@ LEFT JOIN a2 a ON n.node = a.node
 """
 
 # Asymmetric containment |A∩B| / min(|A|,|B|) over the same inverted-
-# index shape as ngram_jaccard (unblocked), mirroring
-# dedup.ngram_containment_pairs.
+# index shape AND language blocking as ngram_jaccard, mirroring
+# dedup.ngram_containment_pairs(block_col="lang") — the blocking is the
+# hot-shingle fan-out bound on BOTH engines.
 ORACLES["containment_pairs"] = f"""
-WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
-s AS (SELECT doc_id, {SHINGLES} AS sh FROM t),
-ex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS g FROM s),
+WITH t AS (SELECT doc_id, lang, {TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, lang, {SHINGLES} AS sh FROM t),
+ex AS (SELECT doc_id, lang, len(sh) AS sz, unnest(sh) AS g FROM s),
 co AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
     count(*) AS inter
-  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  FROM ex a JOIN ex b
+    ON a.lang = b.lang AND a.g = b.g AND a.doc_id < b.doc_id
   GROUP BY 1, 2, 3, 4)
 SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
   round(CAST(inter AS DOUBLE) / CAST(least(sz_a, sz_b) AS DOUBLE), 6)

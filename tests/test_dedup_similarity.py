@@ -115,6 +115,26 @@ def test_containment_at_least_jaccard(spark, docs):
         assert c[pair] >= jv
 
 
+def test_containment_block_col_bounds_pairs(spark):
+    """With block_col, identical docs in DIFFERENT blocks never pair —
+    the hot-shingle fan-out bound that keeps the posting join alive at
+    the 10× tier (where the unblocked variant OOMed)."""
+    rows = [
+        (1, "the quick brown fox jumps over", "en"),
+        (2, "the quick brown fox jumps over", "en"),
+        (3, "the quick brown fox jumps over", "de"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    blocked = dedup.ngram_containment_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, block_col="lang"
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["containment"]) for r in blocked] == [(1, 2, 1.0)]
+    unblocked = dedup.ngram_containment_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5
+    )
+    assert unblocked.count() == 3  # all three pair without the block
+
+
 def test_containment_rejects_nonpositive_threshold(spark, docs):
     with pytest.raises(ValueError, match="threshold > 0"):
         dedup.ngram_containment_pairs(docs, "doc_id", "text", threshold=0.0)
