@@ -189,6 +189,37 @@ def test_pagerank_step_plan_two_data_shuffles(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 8
 
 
+def test_hits_half_step_plan_no_cartesian_one_broadcast_norm(spark):
+    """Plan guard for the HITS half-step over checkpointed state: the
+    edge list (the only table-sized relation) shuffles at most once per
+    half-step, the L2 norm arrives as a broadcast 1-row aggregate, and
+    nothing degenerates to a cartesian product."""
+    import io as _io
+    import re
+    import contextlib
+
+    edges = _edges(
+        spark, [("h", "a1"), ("h", "a2"), ("g", "a1")]
+    ).localCheckpoint(eager=True)
+    out = graph.hits(edges, iterations=1, materialize=False)
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    # 2 half-steps → 2 broadcast norms; the final nodes⋈hub⋈auth joins
+    # may broadcast too, so bound rather than pin
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) >= 2
+    # Each half-step shuffles edges ONCE on its join key — but without
+    # materialize the auth subtree is replayed 3× (hub join input, hub
+    # norm branch, final join), so the printed plan shows up to 3 copies
+    # of its src exchange plus the final-join replays; bound at 6. A
+    # regression adding a second per-half-step edge shuffle would scale
+    # every replayed copy and blow through this.
+    assert 1 <= plan.count("hashpartitioning(src#") <= 6
+    assert 1 <= plan.count("hashpartitioning(dst#") <= 6
+
+
 def test_weighted_pagerank_uniform_weights_equal_unweighted(spark):
     """With every weight equal, the weighted share w/W is exactly
     1/outdeg, so weighted PageRank reproduces the unweighted ranks
