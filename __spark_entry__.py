@@ -4329,6 +4329,133 @@ def script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient
+    (``graph.triangle_counts``, degree-ordered orientation — O(m^1.5)
+    total wedge work however skewed the degrees) over the PART-AFFINITY
+    graph: parts are adjacent when one order contains both, so per-order
+    edge fan-out is bounded by the order's line count (≤ C(13,2) here)
+    and the edge list grows LINEARLY with orders — unlike the co-supply
+    graph, which is complete at every tier. The clustering coefficient is
+    the basket-coherence signal (do this part's neighbors co-occur with
+    each other?)."""
+    from datapipelines_essentials_python_spark.operators import graph as graph_ops
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    edges = a.join(b, "k").where(F.col("src") < F.col("dst")).select("src", "dst")
+    return graph_ops.triangle_counts(edges).select(
+        F.col("node").cast("long").alias("node"),
+        "degree",
+        "triangles",
+        "clustering",
+    )
+
+
+def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-50 and embedding-cosine dense
+    top-50 for the same query (doc 0 / vec 0) fused by reciprocal-rank
+    fusion (``similarity.rrf_fuse``) into one top-10 — the calibration-
+    free sparse+dense combiner every RAG stack runs. Both input rankings
+    reuse the exact engines behind ``bm25_retrieval`` and
+    ``embedding_topk``; the fuse itself touches only the bounded
+    candidate pool (≤100 rows), so its window is not a scale concern."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qterms = (
+        docs.where(F.col("doc_id") == 0)
+        .select(F.explode(text_ops.tokens("text")).alias("term"))
+        .distinct()
+    )
+    lex_w = Window.orderBy(F.desc("score_micro"), F.asc("id"))
+    lex = (
+        text_ops.bm25_scores(docs, "doc_id", qterms)
+        .where(F.col("id") != 0)
+        .withColumn("rank", F.row_number().over(lex_w))
+        .where(F.col("rank") <= 50)
+        .select(F.col("id").alias("doc_id"), "rank")
+    )
+    dense = sim_ops.brute_force_topk(
+        emb, emb.where(F.col("vec_id") == 0), k=50
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return sim_ops.rrf_fuse(
+        {"lex": lex, "dense": dense}, id_col="doc_id", k0=60, topk=10
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lex_rank",
+        "dense_rank",
+        "rrf_micro",
+        "fused_rank",
+    )
+
+
+def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Jensen-Shannon divergence from the corpus token
+    distribution (``text.js_divergence_by_group``) — the bounded domain-
+    shift gauge for mixture rebalancing, in integer micro-nats. The
+    chi-squared twin is ``drift_chi2``; JSD stays finite on disjoint
+    vocabularies, which is what makes it the right dashboard number."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.js_divergence_by_group(docs, "text", "source")
+
+
+def rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day rolling MEDIAN of daily event value totals per
+    event type (``relational.rolling_median``): pre-aggregate to one row
+    per (type, day) — exact decimal sums — then an integer-keyed RANGE
+    window, so each frame holds ≤7 values however many raw events a day
+    has. The robust centerline for daily-volume anomaly panes; gaps
+    shrink the frame rather than reaching further back."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type", F.to_date(F.col("ts")).alias("day")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("daily_value")
+        )
+        .withColumn(
+            "day_num", F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+        )
+    )
+    return rel_ops.rolling_median(
+        daily, "event_type", "day_num", "daily_value", preceding=6, out_col="med_7d"
+    ).select("event_type", "day", "daily_value", "med_7d")
+
+
+def embargo_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit of the group-aware purged temporal split
+    (``sampling.embargoed_group_split``): a deterministic md5 draw holds
+    out 20% of users, the last 20% of the event timeline is the test
+    period with a 3-day embargo gap before it, and every row that would
+    leak across either boundary — held-out users' history, training
+    users' test-period rows — is PURGED. Per-split event/user counts and
+    time spans prove train and test share no user and no adjacent time,
+    the two channels a pure hash split and a plain date cut each leave
+    open."""
+    from datapipelines_essentials_python_spark.operators.sampling import (
+        embargoed_group_split,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    tagged = embargoed_group_split(
+        ev, "user_id", "ts", group_frac=0.2, test_frac=0.2, embargo_days=3
+    )
+    return tagged.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # The driver's CORRECTNESS gate records only the first 50 entries.
@@ -4342,8 +4469,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_nation_revenue": q5_nation_revenue,          # J1/J2
         "metadata_pipeline": metadata_pipeline,          # P1 + §2.12
         "filter_dsl_scan": filter_dsl_scan,              # P2
-        "projection_cast_nvl": projection_cast_nvl,      # P3/F2
-        "snake_case_projection": snake_case_projection,  # P4/P5
+        # ---- five round-7-continuation slots: the operators added this
+        # ---- session (triangles, RRF, JSD, rolling median, embargo
+        # ---- split) gate on their first round in the registry; the five
+        # ---- narrow-projection flagships they displace (projection_cast
+        # ---- _nvl, snake_case_projection, tz_convert, string_ops,
+        # ---- date_parse_safe) are all driver-green in CORRECTNESS_r06
+        # ---- and move just below the 50-row marker.
+        "triangle_count": triangle_count,                # NEW r7: graph
+        "rrf_fusion": rrf_fusion,                        # NEW r7: retrieval
+        "js_divergence_sources": js_divergence_sources,  # NEW r7: drift
+        "rolling_median_7d": rolling_median_7d,          # NEW r7: robust TS
+        "embargo_split": embargo_split,                  # NEW r7: eval split
         "agg_dispatch": agg_dispatch,                    # A2
         "duration_buckets": duration_buckets,            # A3/F5/F6
         "dq_summary": dq_summary,                        # A4/F11/Q1-Q5
@@ -4353,11 +4490,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_k_per_group": top_k_per_group,              # O2
         "set_ops": set_ops,                              # U2/U3
         "lookup_mapping": lookup_mapping,                # F3
-        "tz_convert": tz_convert,                        # F4
         "audit_columns": audit_columns,                  # F7
-        "string_ops": string_ops,                        # F12
         "date_sequence_backfill": date_sequence_backfill,  # F13
-        "date_parse_safe": date_parse_safe,              # F14
         "having_clause": having_clause,                  # A1 HAVING
         "json_flatten": json_flatten,                    # J5 + §2.10
         "flatten_deep": flatten_deep,                    # §2.10
@@ -4402,8 +4536,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": url_canonicalize,
         # ---- entries below are covered by tools/check_parity.py
         # ---- (full-suite log committed per round as PARITY_r{N}.txt).
-        # ---- The r6 rotation block leads the tail, driver-green in
+        # ---- First the five displaced r6-green projection flagships,
+        # ---- then the r6 rotation block, driver-green in
         # ---- CORRECTNESS_r06.json.
+        "projection_cast_nvl": projection_cast_nvl,      # P3/F2 (r6 green)
+        "snake_case_projection": snake_case_projection,  # P4/P5 (r6 green)
+        "tz_convert": tz_convert,                        # F4 (r6 green)
+        "string_ops": string_ops,                        # F12 (r6 green)
+        "date_parse_safe": date_parse_safe,              # F14 (r6 green)
         "csv_roundtrip_parity": csv_roundtrip_parity,
         "json_roundtrip_parity": json_roundtrip_parity,
         "pagerank_parts": pagerank_parts,

@@ -227,6 +227,11 @@ HEADLINE = [
     "hits_supply_graph",
     "containment_pairs",
     "script_mix",
+    "triangle_count",
+    "rrf_fusion",
+    "js_divergence_sources",
+    "rolling_median_7d",
+    "embargo_split",
 ]
 
 

@@ -254,6 +254,116 @@ def hits(
     )
 
 
+def undirected_edges(edges: DataFrame) -> DataFrame:
+    """Normalize an edge list to a simple undirected graph:
+    ``(u, v)`` with ``u < v``, self-loops dropped, duplicates (including
+    reversed duplicates) collapsed. One distinct — the standard
+    preamble for :func:`triangle_counts`."""
+    return (
+        edges.select(
+            F.least(F.col("src"), F.col("dst")).alias("u"),
+            F.greatest(F.col("src"), F.col("dst")).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def triangle_counts(edges: DataFrame, materialize: bool = True) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over an
+    undirected graph — the density/community signal behind spam-farm
+    detection and graph-quality audits, and the classic MapReduce-era
+    scale test (Suri & Vassilvitskii, WWW'11).
+
+    Input is any ``(src, dst)`` edge list (direction, duplicates and
+    self-loops are normalized away by :func:`undirected_edges`).
+
+    Spark-first shape — degree-ordered orientation, NOT the naive
+    3-cycle join: every edge is oriented from its lower to its higher
+    endpoint under the total order ``(degree, node)``, so each triangle
+    materializes exactly once as ``a→b, b→c, a→c`` and — the scale
+    guarantee — every node's oriented out-degree is O(√m), bounding the
+    wedge join to O(m^1.5) total work however skewed the raw degree
+    distribution is. Plan: one distinct (normalize), one keyed count
+    (degrees), the orientation join, then wedge⋈edge — all hash joins
+    on node keys, no windows, no driver state. The oriented edge list
+    is pinned with ``localCheckpoint`` (consumed three times: twice in
+    the wedge build, once as the closing probe).
+
+    ``clustering(v) = 2·T(v) / (deg(v)·(deg(v)−1))`` rounded to 6
+    (0.0 when deg < 2) — integer counts on both factors, so the only
+    float is the final fixed-shape division and the SQL oracle replays
+    it exactly.
+
+    → ``(node, degree, triangles, clustering)``, one row per node.
+    """
+    und = undirected_edges(edges)
+    if materialize:
+        und = und.localCheckpoint(eager=True)
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("__du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("__dv"))
+    # lexicographic (degree, node) — a TOTAL order, so orientation is
+    # acyclic and each triangle has exactly one source node
+    low_first = F.struct(F.col("__du"), F.col("u")) < F.struct(
+        F.col("__dv"), F.col("v")
+    )
+    oriented = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(low_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(low_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    if materialize:
+        oriented = oriented.localCheckpoint(eager=True)
+    wedges = (
+        oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .join(
+            oriented.select(F.col("src").alias("b"), F.col("dst").alias("c")),
+            "b",
+        )
+    )
+    closing = oriented.select(
+        F.col("src").alias("a"), F.col("dst").alias("c")
+    )
+    tri = wedges.join(closing, ["a", "c"])
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("triangles"), F.lit(0).cast("long")).alias(
+                "triangles"
+            ),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    F.lit(2.0)
+                    * F.coalesce(F.col("triangles"), F.lit(0)).cast("double")
+                    / (F.col("degree") * (F.col("degree") - F.lit(1))).cast(
+                        "double"
+                    ),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 10,

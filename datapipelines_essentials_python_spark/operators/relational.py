@@ -1117,3 +1117,40 @@ def ewma_smooth(
     return daily.select(
         "key", "day", "v", F.round(num / den, 6).alias("ewma")
     )
+
+
+def rolling_median(
+    df: DataFrame,
+    part_col: str,
+    day_col: str,
+    value_col: str,
+    preceding: int = 6,
+    out_col: str = "rolling_median",
+) -> DataFrame:
+    """Exact rolling MEDIAN over a trailing integer-keyed RANGE frame —
+    the robust companion to the rolling means/sums family: order
+    statistics cannot be assembled from partial sums, so unlike
+    ``rolling_events_7d`` this genuinely exercises Spark's windowed
+    ``percentile`` aggregate (full-frame evaluation).
+
+    ``day_col`` must be an integer day index (RANGE frames need additive
+    keys); the frame is ``[day − preceding, day]`` — value-based, so GAPS
+    in the series shrink the frame's row count rather than silently
+    reaching further back the way a ROWS frame would.
+
+    Scale shape: one shuffle on ``part_col``; per-partition frame state
+    is bounded by ``preceding + 1`` DISTINCT days of pre-aggregated rows
+    — callers aggregate to per-(key, day) granularity FIRST (as the
+    daily-rollup queries do), so frames hold ≤ preceding+1 values however
+    many raw events a day has. Median of an even frame is the midpoint
+    average — one IEEE op on 6-dp-rounded inputs, replayed exactly by
+    the oracle's ``median() OVER (... RANGE ...)``.
+    """
+    frame = (
+        f"(PARTITION BY {part_col} ORDER BY {day_col} "
+        f"RANGE BETWEEN {int(preceding)} PRECEDING AND CURRENT ROW)"
+    )
+    return df.withColumn(
+        out_col,
+        F.round(F.expr(f"percentile({value_col}, 0.5) OVER {frame}"), 6),
+    )

@@ -782,3 +782,68 @@ def knn_label_agreement(
             ).alias("agreement"),
         )
     )
+
+
+def rrf_fuse(
+    rankings: dict[str, DataFrame],
+    id_col: str = "id",
+    rank_col: str = "rank",
+    k0: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of N candidate
+    rankings into one hybrid list — the standard way to combine a sparse
+    lexical ranking (BM25) with a dense embedding ranking without score
+    calibration, since RRF consumes only the RANKS:
+
+    ``rrf(d) = Σ_lists 1 / (k0 + rank_list(d))``
+
+    Each input DataFrame is an already-truncated top-N list of
+    ``(id_col, rank_col)`` rows (rank 1-based); a document missing from a
+    list contributes 0 for it. Per-list contributions are rounded to 6 dp
+    and summed as DECIMAL(18,6) → integer micro-score, so the fused order
+    is engine-portable despite the float reciprocal.
+
+    Scale shape: the candidate pool is the UNION of the input top-N lists
+    — bounded by N×|lists| per query, never corpus-sized — so the fuse is
+    one union + one keyed agg; the final ordering window runs over that
+    bounded pool. Multi-query fusion = same call with a composite id
+    (query_id, doc_id) carried in ``id_col`` upstream and the window
+    partitioned by query — this single-query shape is the building block.
+
+    → ``(id_col, <name>_rank ... per input list [0 = absent],
+    rrf_micro, fused_rank)``, top-``topk`` rows by fused score
+    (ties broken by id).
+    """
+    from pyspark.sql import Window
+
+    parts = [
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.lit(name).alias("__list"),
+            F.col(rank_col).cast("int").alias("__rank"),
+        )
+        for name, df in rankings.items()
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    contrib = F.round(
+        F.lit(1.0) / (F.lit(float(k0)) + F.col("__rank").cast("double")), 6
+    ).cast("decimal(18,6)")
+    fused = u.groupBy("__id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("__list") == name, F.col("__rank"))),
+                F.lit(0),
+            ).alias(f"{name}_rank")
+            for name in rankings
+        ],
+        (F.sum(contrib) * F.lit(1000000)).cast("long").alias("rrf_micro"),
+    )
+    w = Window.orderBy(F.desc("rrf_micro"), F.asc("__id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .where(F.col("fused_rank") <= topk)
+        .withColumnRenamed("__id", id_col)
+    )

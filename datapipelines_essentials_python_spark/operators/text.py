@@ -1081,3 +1081,85 @@ def bigram_pmi(
             F.round(p_xy / (p_x * p_y), 6).alias("lift"),
         )
     )
+
+
+def js_divergence_by_group(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Jensen-Shannon divergence of each group's token distribution from
+    the CORPUS distribution — the bounded, symmetric domain-shift gauge
+    behind mixture rebalancing and "which source drifted?" audits
+    (complements ``drift_chi2``, whose chi-squared statistic is unbounded
+    and blows up on rare-token tails).
+
+    For group g with unigram distribution p and corpus distribution q,
+    with m = (p+q)/2:
+
+    ``JSD(g) = ½·KL(p‖m) + ½·KL(q‖m)``
+
+    Every term OUTSIDE g's vocabulary has p=0 and contributes
+    ``½·q·ln2``; those terms fold into the closed form
+    ``½·ln2·(1 − Q_g)`` where ``Q_g`` is the corpus mass of g's
+    vocabulary — so the join only ever touches (group, term) pairs that
+    EXIST, never the group×vocab cross product.
+
+    Numeric contract (the BM25 discipline): each in-vocabulary term's
+    contribution — including its ``−½·q·ln2`` share of the closed form —
+    is one fixed shape of IEEE ops rounded to 6 dp and summed as
+    DECIMAL(18,6); the constant ``½·ln2`` joins once at the end. Output
+    is integer micro-nats, hash-identical across engines.
+
+    Scale shape: explode → (group, term) count (one shuffle, map-side
+    combined) → term-keyed corpus rollup of THOSE counts (second shuffle,
+    vocabulary-sized, no second scan) joined back by term; group totals
+    and the corpus total ride in as broadcast aggregates. State is
+    vocabulary-bounded; no windows, no driver loops.
+
+    → ``(group, n_tokens, n_terms, jsd_micro)``, one row per group.
+    """
+    tf = (
+        df.select(
+            F.col(group_col).alias("grp"), F.explode(tokens(text_col)).alias("term")
+        )
+        .groupBy("grp", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    corpus = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("ctf"))
+    g_tot = tf.groupBy("grp").agg(F.sum("tf").cast("long").alias("n_g"))
+    n_tot = tf.agg(F.sum("tf").cast("long").alias("n_all"))
+    p = F.col("tf").cast("double") / F.col("n_g").cast("double")
+    q = F.col("ctf").cast("double") / F.col("n_all").cast("double")
+    ln2 = F.log(F.lit(2.0))
+    contrib = F.round(
+        F.lit(0.5)
+        * (
+            p * F.log(F.lit(2.0) * p / (p + q))
+            + q * F.log(F.lit(2.0) * q / (p + q))
+            - q * ln2
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    return (
+        tf.join(corpus, "term")
+        .join(F.broadcast(g_tot), "grp")
+        .crossJoin(F.broadcast(n_tot))
+        .groupBy("grp")
+        .agg(
+            F.max("n_g").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            (
+                (F.sum(contrib) * F.lit(1000000)).cast("long")
+                + (
+                    F.round(F.lit(0.5) * F.log(F.lit(2.0)), 6).cast(
+                        "decimal(18,6)"
+                    )
+                    * F.lit(1000000)
+                ).cast("long")
+            ).alias("jsd_micro"),
+        )
+        .select(
+            F.col("grp").alias(group_col), "n_tokens", "n_terms", "jsd_micro"
+        )
+    )

@@ -3920,3 +3920,199 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        ELSE CAST(0.0 AS DOUBLE) END AS latin_ratio
 FROM g
 """
+
+
+# Part-affinity triangles: mirrors graph.triangle_counts — degree-ordered
+# orientation under the TOTAL order (degree, node), each triangle
+# materialized exactly once as a→b, b→c, a→c.
+ORACLES["triangle_count"] = """
+WITH lp AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+und AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM lp a JOIN lp b ON a.k = b.k AND a.p < b.p),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree
+  FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+  GROUP BY 1),
+o AS MATERIALIZED (
+  SELECT CASE WHEN (du.degree, e.u) < (dv.degree, e.v) THEN e.u ELSE e.v END AS src,
+         CASE WHEN (du.degree, e.u) < (dv.degree, e.v) THEN e.v ELSE e.u END AS dst
+  FROM und e
+  JOIN deg du ON du.node = e.u
+  JOIN deg dv ON dv.node = e.v),
+tri AS (
+  SELECT w.a, w.b, w.c
+  FROM (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM o e1 JOIN o e2 ON e1.dst = e2.src) w
+  JOIN o e3 ON e3.src = w.a AND e3.dst = w.c),
+pern AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS triangles
+  FROM (SELECT a AS node FROM tri
+        UNION ALL SELECT b AS node FROM tri
+        UNION ALL SELECT c AS node FROM tri)
+  GROUP BY 1)
+SELECT CAST(d.node AS BIGINT) AS node,
+  d.degree,
+  coalesce(p.triangles, 0) AS triangles,
+  CASE WHEN d.degree >= 2
+       THEN round(2.0 * CAST(coalesce(p.triangles, 0) AS DOUBLE)
+                  / CAST(d.degree * (d.degree - 1) AS DOUBLE), 6)
+       ELSE CAST(0.0 AS DOUBLE) END AS clustering
+FROM deg d LEFT JOIN pern p ON d.node = p.node
+"""
+
+# Reciprocal-rank fusion of the BM25 lexical top-50 (same CTE chain as
+# bm25_retrieval) and the dense cosine top-50 (same fold as
+# embedding_topk, query vec 0) — mirroring similarity.rrf_fuse: per-list
+# reciprocal contributions rounded to 6 dp, summed as DECIMAL(18,6),
+# emitted as integer micro-score.
+ORACLES["rrf_fusion"] = f"""
+WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+tft AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tk) GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(toks) AS dl FROM tk),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+       FROM dl),
+dfreq AS (SELECT term, count(*) AS df FROM tft GROUP BY 1),
+q AS (SELECT DISTINCT unnest(toks) AS term FROM tk WHERE doc_id = 0),
+contrib AS (
+  SELECT t.doc_id,
+    CAST(round(
+      ln((CAST(st.n_docs AS DOUBLE) - fr.df + 0.5) / (fr.df + 0.5) + 1.0)
+      * ((CAST(t.tf AS DOUBLE) * 2.2)
+         / (CAST(t.tf AS DOUBLE)
+            + 1.2 * (0.25 + 0.75 * CAST(d.dl AS DOUBLE) / st.avgdl))),
+      6) AS DECIMAL(18,6)) AS c
+  FROM tft t
+  JOIN q USING (term)
+  JOIN dfreq fr USING (term)
+  JOIN dl d ON d.doc_id = t.doc_id
+  CROSS JOIN st),
+lexs AS (
+  SELECT doc_id, CAST(sum(c) * 1000000 AS BIGINT) AS score_micro
+  FROM contrib WHERE doc_id <> 0 GROUP BY doc_id),
+lex AS (
+  SELECT doc_id, CAST(rn AS INT) AS rank
+  FROM (SELECT doc_id, row_number() OVER (
+          ORDER BY score_micro DESC, doc_id) AS rn FROM lexs)
+  WHERE rn <= 50),
+q0 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+dscore AS (
+  SELECT c.vec_id AS doc_id,
+    round(CASE WHEN sqrt({_dot('qv', 'qv')}) * sqrt({_dot('cv', 'cv')}) > 0
+          THEN {_dot('qv', 'cv')}
+               / (sqrt({_dot('qv', 'qv')}) * sqrt({_dot('cv', 'cv')}))
+          ELSE 0.0 END, 6) AS cosine
+  FROM (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id <> 0) c
+  CROSS JOIN q0),
+dense AS (
+  SELECT doc_id, CAST(rn AS INT) AS rank
+  FROM (SELECT doc_id, row_number() OVER (
+          ORDER BY cosine DESC, doc_id) AS rn FROM dscore)
+  WHERE rn <= 50),
+u AS (SELECT doc_id, 'lex' AS l, rank FROM lex
+      UNION ALL SELECT doc_id, 'dense' AS l, rank FROM dense),
+f AS (
+  SELECT doc_id,
+    coalesce(max(CASE WHEN l = 'lex' THEN rank END), 0) AS lex_rank,
+    coalesce(max(CASE WHEN l = 'dense' THEN rank END), 0) AS dense_rank,
+    CAST(sum(CAST(round(1.0 / (60.0 + CAST(rank AS DOUBLE)), 6)
+                  AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS rrf_micro
+  FROM u GROUP BY doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lex_rank, dense_rank, rrf_micro,
+       fused_rank
+FROM (SELECT *, CAST(row_number() OVER (
+        ORDER BY rrf_micro DESC, doc_id) AS INT) AS fused_rank FROM f)
+WHERE fused_rank <= 10
+"""
+
+# Per-source Jensen-Shannon divergence from the corpus distribution,
+# mirroring text.js_divergence_by_group: out-of-vocabulary corpus mass
+# folds into the closed form ½·ln2·(1 − Q_g) — each in-vocabulary term
+# carries its −½·q·ln2 share, the ½·ln2 constant joins once at the end.
+ORACLES["js_divergence_sources"] = f"""
+WITH tf AS (
+  SELECT grp, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT source AS grp, unnest({TOKS}) AS term FROM documents)
+  GROUP BY 1, 2),
+corpus AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ctf FROM tf GROUP BY 1),
+gt AS (SELECT grp, CAST(sum(tf) AS BIGINT) AS n_g FROM tf GROUP BY 1),
+nt AS (SELECT CAST(sum(tf) AS BIGINT) AS n_all FROM tf),
+c AS (
+  SELECT t.grp, g.n_g,
+    CAST(round(0.5 * (
+      (CAST(t.tf AS DOUBLE) / CAST(g.n_g AS DOUBLE))
+        * ln(2.0 * (CAST(t.tf AS DOUBLE) / CAST(g.n_g AS DOUBLE))
+             / ((CAST(t.tf AS DOUBLE) / CAST(g.n_g AS DOUBLE))
+                + (CAST(cr.ctf AS DOUBLE) / CAST(n.n_all AS DOUBLE))))
+      + (CAST(cr.ctf AS DOUBLE) / CAST(n.n_all AS DOUBLE))
+        * ln(2.0 * (CAST(cr.ctf AS DOUBLE) / CAST(n.n_all AS DOUBLE))
+             / ((CAST(t.tf AS DOUBLE) / CAST(g.n_g AS DOUBLE))
+                + (CAST(cr.ctf AS DOUBLE) / CAST(n.n_all AS DOUBLE))))
+      - (CAST(cr.ctf AS DOUBLE) / CAST(n.n_all AS DOUBLE)) * ln(2.0)
+    ), 6) AS DECIMAL(18,6)) AS c
+  FROM tf t
+  JOIN corpus cr USING (term)
+  JOIN gt g USING (grp)
+  CROSS JOIN nt n)
+SELECT grp AS source,
+  CAST(max(n_g) AS BIGINT) AS n_tokens,
+  CAST(count(*) AS BIGINT) AS n_terms,
+  CAST(sum(c) * 1000000 AS BIGINT)
+    + CAST(CAST(round(0.5 * ln(2.0), 6) AS DECIMAL(18,6)) * 1000000
+           AS BIGINT) AS jsd_micro
+FROM c GROUP BY grp
+"""
+
+# Trailing-7-day rolling median of exact-decimal daily totals — the
+# RANGE frame is value-based on the integer day index, so gaps shrink
+# the frame on both engines identically.
+ORACLES["rolling_median_7d"] = """
+WITH daily AS (
+  SELECT event_type,
+    CAST(date_trunc('day', ts) AS DATE) AS day,
+    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+      AS daily_value,
+    date_diff('day', DATE '1970-01-01', CAST(date_trunc('day', ts) AS DATE))
+      AS day_num
+  FROM events GROUP BY 1, 2, 4)
+SELECT event_type, day, daily_value,
+  round(median(daily_value) OVER (PARTITION BY event_type ORDER BY day_num
+    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS med_7d
+FROM daily
+"""
+
+# Group-aware purged temporal split audit, mirroring
+# sampling.embargoed_group_split: md5 group holdout (hash_fraction, salt
+# 'embargo'), integer-microsecond boundary arithmetic, 3-day embargo;
+# held-out history and training users' test-period rows are purged.
+_EMBARGO_HELD = (
+    _hex_to_long("md5('embargo' || '|' || CAST(user_id AS VARCHAR))", 8)
+    + " / 4294967296.0 < 0.2"
+)
+
+ORACLES["embargo_split"] = f"""
+WITH b AS (
+  SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events),
+t AS (
+  SELECT e.user_id, e.ts, epoch_us(e.ts) AS us,
+    b.mn + CAST(floor(CAST(b.mx - b.mn AS DOUBLE) * CAST(0.8 AS DOUBLE))
+                AS BIGINT) AS t_star,
+    {_EMBARGO_HELD} AS held
+  FROM events e CROSS JOIN b),
+lab AS (
+  SELECT user_id, ts,
+    CASE WHEN held AND us >= t_star THEN 'test'
+         WHEN us >= t_star - 259200000000 AND us < t_star THEN 'embargo'
+         WHEN NOT held AND us < t_star - 259200000000 THEN 'train'
+         ELSE 'purged' END AS split
+  FROM t)
+SELECT split,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+  min(ts) AS first_ts,
+  max(ts) AS last_ts
+FROM lab GROUP BY 1
+"""

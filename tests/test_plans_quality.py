@@ -462,11 +462,17 @@ def test_pack_chunk_spans_two_level_offsets(spark):
 
 
 def test_minhash_candidates_single_exchange(spark):
-    """LSH candidate generation runs off the (band, bucket) exchange
-    (count pre-filter + join + groupBy collect_list + JVM triangle
-    expansion) — no bucket-size window. Asserted on the operator directly:
-    the registry query returns the session-cached pairs table, whose plan
-    is an InMemoryTableScan by design."""
+    """LSH candidate generation runs off ONE (band, bucket) exchange:
+    the single-pass bucket-size window (VERDICT r05 item 4 — sizes every
+    bucket in the same pass for both the ≥2 pre-filter and the
+    ``max_bucket`` cap) is PARTITIONED by (band, bucket), and the
+    collect_list aggregate reuses the window's own hash partitioning, so
+    exactly one corpus-sized exchange carries the banded rows. Asserted
+    on the operator directly: the registry query returns the
+    session-cached pairs table, whose plan is an InMemoryTableScan by
+    design."""
+    import re
+
     from datapipelines_essentials_python_spark.operators.dedup import (
         minhash_lsh_pairs,
     )
@@ -475,8 +481,23 @@ def test_minhash_candidates_single_exchange(spark):
     docs = load_table(spark, SF_DIR, "documents")
     out = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
     plan = plan_of(out)
-    # the old shape had windowspecdefinition(band, bucket ...) for the cap
-    assert "windowspecdefinition" not in plan
+    # the bucket-size window is partitioned — never a global sort
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected the single-pass bucket-size window spec"
+    for spec in specs:
+        assert "band" in spec and "bucket" in spec, (
+            f"bucket-size window not keyed on (band, bucket): {spec}"
+        )
+    # ... and it shares ONE exchange with the collect_list aggregate:
+    # exactly one hashpartitioning exchange keyed on the band columns
+    band_exchanges = [
+        part
+        for part in re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+        if "band" in part and "bucket" in part
+    ]
+    assert len(band_exchanges) == 1, (
+        f"expected one (band, bucket) exchange, saw {len(band_exchanges)}"
+    )
     from datapipelines_essentials_python_spark.operators import dedup
 
     dedup.release(out)
