@@ -4456,6 +4456,82 @@ def embargo_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ppr_seed_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (``graph.personalized_pagerank``, 2
+    iterations, d=0.85) over the same symmetric part↔supplier graph as
+    ``pagerank_parts``, teleporting to a 20-part seed set (partkey < 20)
+    — the "more like these" seed-expansion ranking: mass concentrates in
+    the seeds' supply neighborhood instead of diffusing corpus-wide.
+    Dangling mass teleports to the seeds too (mass conserved). The
+    oracle replays both iterations with the same decimal quantization as
+    the PageRank twins."""
+    from datapipelines_essentials_python_spark.operators import graph as graph_ops
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("p"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+    ).distinct()
+    edges = base.select(
+        F.col("p").alias("src"), F.col("s").alias("dst")
+    ).unionByName(base.select(F.col("s").alias("src"), F.col("p").alias("dst")))
+    seeds = (
+        li.where(F.col("l_partkey") < 20)
+        .select(
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("node")
+        )
+        .distinct()
+    )
+    return graph_ops.personalized_pagerank(edges, seeds, iterations=2)
+
+
+def butterfly_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier butterfly (bipartite 4-cycle) counts over the
+    supplier↔part graph (``graph.butterfly_counts``) — the bipartite
+    cohesion motif: two suppliers sharing two parts. Triangles cannot
+    exist across a bipartition, so this is the structural companion to
+    ``triangle_count`` (which needed the one-mode affinity projection).
+    The pair expansion fans out per part by C(suppliers_per_part, 2) —
+    structurally bounded here (~dozens per part), with the
+    ``max_right_degree`` hot-key cap available for graphs where it
+    is not."""
+    from datapipelines_essentials_python_spark.operators import graph as graph_ops
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    return graph_ops.butterfly_counts(edges).select(
+        F.col("node").cast("long").alias("supplier"),
+        "degree",
+        "copartners",
+        "butterflies",
+    )
+
+
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram (power-of-two buckets) + Pearson degree-degree
+    assortativity (``graph.degree_assortativity``) of the part-affinity
+    graph — the first-look audit before running anything iterative on a
+    graph: the histogram tail says whether hub keys need salting or
+    capping, the assortativity sign says whether hubs attach to hubs
+    (r > 0) or to leaves (r < 0). Integer moment sums, one float shape
+    at the end."""
+    from datapipelines_essentials_python_spark.operators import graph as graph_ops
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    edges = a.join(b, "k").where(F.col("src") < F.col("dst")).select("src", "dst")
+    return graph_ops.degree_assortativity(edges).select(
+        F.col("bucket_log2").cast("long"),
+        "n_nodes",
+        "assortativity",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # The driver's CORRECTNESS gate records only the first 50 entries.
@@ -4481,6 +4557,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "js_divergence_sources": js_divergence_sources,  # NEW r7: drift
         "rolling_median_7d": rolling_median_7d,          # NEW r7: robust TS
         "embargo_split": embargo_split,                  # NEW r7: eval split
+        "ppr_seed_expansion": ppr_seed_expansion,        # NEW r7: graph
+        "butterfly_count": butterfly_count,              # NEW r7: graph
+        "graph_degree_stats": graph_degree_stats,        # NEW r7: graph
         "agg_dispatch": agg_dispatch,                    # A2
         "duration_buckets": duration_buckets,            # A3/F5/F6
         "dq_summary": dq_summary,                        # A4/F11/Q1-Q5
@@ -4489,9 +4568,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_latest_order": window_latest_order,      # W1
         "top_k_per_group": top_k_per_group,              # O2
         "set_ops": set_ops,                              # U2/U3
-        "lookup_mapping": lookup_mapping,                # F3
-        "audit_columns": audit_columns,                  # F7
-        "date_sequence_backfill": date_sequence_backfill,  # F13
         "having_clause": having_clause,                  # A1 HAVING
         "json_flatten": json_flatten,                    # J5 + §2.10
         "flatten_deep": flatten_deep,                    # §2.10
@@ -4544,6 +4620,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tz_convert": tz_convert,                        # F4 (r6 green)
         "string_ops": string_ops,                        # F12 (r6 green)
         "date_parse_safe": date_parse_safe,              # F14 (r6 green)
+        "lookup_mapping": lookup_mapping,                # F3 (r6 green)
+        "audit_columns": audit_columns,                  # F7 (r6 green)
+        "date_sequence_backfill": date_sequence_backfill,  # F13 (r6 green)
         "csv_roundtrip_parity": csv_roundtrip_parity,
         "json_roundtrip_parity": json_roundtrip_parity,
         "pagerank_parts": pagerank_parts,

@@ -232,6 +232,9 @@ HEADLINE = [
     "js_divergence_sources",
     "rolling_median_7d",
     "embargo_split",
+    "ppr_seed_expansion",
+    "butterfly_count",
+    "graph_degree_stats",
 ]
 
 

@@ -438,3 +438,230 @@ def pagerank(
             if float(delta) < tol:
                 break
     return ranks.select("node", "rank")
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 2,
+    damping: float = 0.85,
+    materialize: bool = True,
+) -> DataFrame:
+    """Personalized PageRank: the random walk teleports to the SEED set
+    instead of the uniform vector — the seed-expansion primitive behind
+    "more like these" corpus growth, local community detection, and
+    related-item ranking:
+
+    ``r'(v) = (1−d)·s(v) + d·Σ_{u→v} q(r(u)/outdeg(u)) + d·D·s(v)``
+
+    where ``s`` is uniform over ``seeds`` (a 1-column ``node`` frame)
+    and 0 elsewhere, and the dangling mass ``D`` also teleports to the
+    seeds — mass is conserved, so rank concentrates in the seeds'
+    neighborhood rather than diffusing corpus-wide.
+
+    Same Spark shape and numeric contract as :func:`pagerank`: two keyed
+    shuffles per iteration + one broadcast 1-row dangling aggregate,
+    per-edge contributions quantized to :data:`_CONTRIB_DECIMAL`, blend
+    rounded to 6; the seed indicator is one broadcast semi-join at init
+    and rides the node-sized state from then on. → ``(node, rank)``.
+    """
+    if iterations < 1:
+        raise ValueError(
+            f"personalized_pagerank needs iterations >= 1, got {iterations}"
+        )
+    if materialize:
+        edges = edges.localCheckpoint(eager=True)
+    degrees = out_degrees(edges)
+    if materialize:
+        degrees = degrees.localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seed_nodes = seeds.select(F.col("node")).distinct()
+    n_seeds = seed_nodes.agg(F.count(F.lit(1)).cast("long").alias("__k"))
+    flagged = nodes.join(
+        F.broadcast(seed_nodes.withColumn("__is_seed", F.lit(1))),
+        "node",
+        "left",
+    )
+    ranks = flagged.crossJoin(F.broadcast(n_seeds)).select(
+        "node",
+        F.when(
+            F.col("__is_seed").isNotNull(),
+            F.lit(1.0) / F.col("__k").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("__s"),
+    )
+    ranks = ranks.withColumn("rank", F.col("__s"))
+    if materialize:
+        ranks = ranks.localCheckpoint(eager=True)
+    d = F.lit(damping)
+    for _ in range(iterations):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(degrees, ranks["node"] == degrees["node"])
+            .select(
+                edges["dst"].alias("node"),
+                F.round(F.col("rank") / F.col("outdeg").cast("double"), 12)
+                .cast(_CONTRIB_DECIMAL)
+                .alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("__in"))
+        )
+        dangling = ranks.join(degrees, "node", "left_anti").agg(
+            F.coalesce(
+                F.sum(F.round(F.col("rank"), 12).cast(_CONTRIB_DECIMAL)),
+                F.lit(0).cast(_CONTRIB_DECIMAL),
+            ).alias("__d")
+        )
+        ranks = (
+            ranks.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                "__s",
+                F.round(
+                    (F.lit(1.0) - d) * F.col("__s")
+                    + d * F.coalesce(F.col("__in").cast("double"), F.lit(0.0))
+                    + d * F.col("__d").cast("double") * F.col("__s"),
+                    6,
+                ).alias("rank"),
+            )
+        )
+        if materialize:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", "rank")
+
+
+def butterfly_counts(edges: DataFrame, max_right_degree: int | None = None) -> DataFrame:
+    """Per-left-node butterfly (bipartite 4-cycle) counts over a
+    bipartite edge list ``(src = left, dst = right)`` — the bipartite
+    analog of triangle counting (triangles cannot exist across a
+    bipartition): a butterfly is two left nodes sharing two right nodes,
+    the smallest cohesion motif in user↔item / supplier↔part graphs
+    (Sanei-Mehri et al., KDD'18).
+
+    ``b(u) = Σ_{v≠u} C(co(u, v), 2)`` where ``co`` counts shared right
+    neighbors — computed from ONE per-right-node pair expansion (fan-out
+    C(deg_r, 2), bounded by the right side's degree) and one keyed
+    count; no 4-way join ever materializes a butterfly row.
+
+    ``max_right_degree`` is the hot-key bound (same discipline as the
+    LSH bucket cap): right nodes with more than this many left
+    neighbors are dropped BEFORE the pair expansion — one celebrity
+    item otherwise contributes C(deg, 2) ≈ deg²/2 pair rows. None means
+    no cap (fine when the right-side degree is structurally bounded,
+    e.g. suppliers-per-part ≈ dozens).
+
+    → ``(node, degree, copartners, butterflies)``: left-node degree,
+    distinct left partners sharing ≥1 right neighbor, butterfly count.
+    """
+    e = edges.select("src", "dst").distinct()
+    if max_right_degree is not None:
+        rdeg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("__rd"))
+        e = (
+            e.join(rdeg, "dst")
+            .where(F.col("__rd") <= max_right_degree)
+            .select("src", "dst")
+        )
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    co = (
+        e.select(F.col("src").alias("u"), F.col("dst").alias("r"))
+        .join(e.select(F.col("src").alias("v"), F.col("dst").alias("r")), "r")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("co"))
+    )
+    bf = F.col("co") * (F.col("co") - F.lit(1)) / F.lit(2)
+    per_node = (
+        co.select(F.col("u").alias("node"), F.col("co"))
+        .unionByName(co.select(F.col("v").alias("node"), F.col("co")))
+        .groupBy("node")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("copartners"),
+            F.sum(
+                (F.col("co") * (F.col("co") - F.lit(1)) / F.lit(2)).cast("long")
+            )
+            .cast("long")
+            .alias("butterflies"),
+        )
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("copartners"), F.lit(0).cast("long")).alias(
+                "copartners"
+            ),
+            F.coalesce(F.col("butterflies"), F.lit(0).cast("long")).alias(
+                "butterflies"
+            ),
+        )
+    )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree histogram (power-of-two buckets) + the Pearson
+    degree-degree assortativity coefficient of an undirected graph — the
+    two scalars a graph-quality audit reads first: a heavy histogram
+    tail means hub-dominated joins (salt or cap), and assortativity's
+    sign says whether hubs attach to hubs (r > 0) or to leaves (r < 0,
+    the typical web/crawl shape).
+
+    Assortativity is the Pearson correlation of the degree pairs over
+    every edge counted in BOTH directions (Newman, 2002). All five
+    moments (Σx, Σy, Σxy, Σx², Σy², n) are integer sums of integer
+    degrees — exact at any parallelism — and the final coefficient is
+    one fixed shape of IEEE ops rounded to 6, so the oracle replays it
+    bit-for-bit. One row per histogram bucket plus the coefficient
+    repeated (grain: bucket).
+
+    → ``(bucket_log2, n_nodes, assortativity)``.
+    """
+    und = undirected_edges(edges)
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    # bucket = floor(ln(d)/ln 2) — written as the EXPLICIT ln ratio, never
+    # log2(): Spark's log2 is ln(x)/ln(2) while DuckDB's is a native log2,
+    # and the two disagree at exact powers of two (2.999... vs 3.0); the
+    # same change-of-base shape on both engines floors identically.
+    hist = deg.groupBy(
+        F.floor(
+            F.log(F.col("degree").cast("double")) / F.log(F.lit(2.0))
+        )
+        .cast("long")
+        .alias("bucket_log2")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("dx"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("dy"))
+    both = und.join(du, "u").join(dv, "v")
+    # each undirected edge contributes (dx,dy) AND (dy,dx): symmetric
+    # moments, so sum_x == sum_y and sum_x2 == sum_y2 by construction
+    pairs = both.select(
+        F.col("dx").alias("x"), F.col("dy").alias("y")
+    ).unionByName(both.select(F.col("dy").alias("x"), F.col("dx").alias("y")))
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sx2"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sx2 = F.col("sx2").cast("double")
+    cov = sxy / n - (sx / n) * (sx / n)
+    var = sx2 / n - (sx / n) * (sx / n)
+    r = F.when(var > 0, F.round(cov / var, 6)).otherwise(F.lit(0.0))
+    return hist.crossJoin(F.broadcast(m.select(r.alias("assortativity"))))

@@ -4116,3 +4116,139 @@ SELECT split,
   max(ts) AS last_ts
 FROM lab GROUP BY 1
 """
+
+
+# Personalized PageRank over the symmetric part<->supplier graph:
+# teleport vector s is uniform over the seed set (partkey < 20) and 0
+# elsewhere; dangling mass teleports to the seeds too. Mirrors
+# graph.personalized_pagerank — same decimal quantization as _PR_ITER,
+# blend (1-d)*s + d*in + d*D*s.
+_PPR_ITER = """
+c{i} AS MATERIALIZED (
+  SELECT e.dst AS node,
+         sum(CAST(round(r."rank" / CAST(o.outdeg AS DOUBLE), 12)
+                  AS DECIMAL(28,12))) AS inr
+  FROM e JOIN r{p} r ON e.src = r.node JOIN deg o ON r.node = o.node
+  GROUP BY 1),
+d{i} AS MATERIALIZED (
+  SELECT coalesce(sum(CAST(round("rank", 12) AS DECIMAL(28,12))),
+                  CAST(0 AS DECIMAL(28,12))) AS dm
+  FROM r{p} WHERE node NOT IN (SELECT node FROM deg)),
+r{i} AS MATERIALIZED (
+  SELECT r.node, r.s,
+         round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * r.s
+               + CAST(0.85 AS DOUBLE)
+                 * coalesce(CAST(c.inr AS DOUBLE), CAST(0.0 AS DOUBLE))
+               + CAST(0.85 AS DOUBLE) * CAST(d.dm AS DOUBLE) * r.s,
+               6) AS "rank"
+  FROM r{p} r LEFT JOIN c{i} c ON r.node = c.node
+  CROSS JOIN d{i} d)"""
+
+ORACLES["ppr_seed_expansion"] = f"""
+WITH b AS MATERIALIZED (
+  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS p,
+                  's' || CAST(l_suppkey AS VARCHAR) AS s
+  FROM lineitem),
+e AS MATERIALIZED (
+  SELECT p AS src, s AS dst FROM b
+  UNION ALL
+  SELECT s AS src, p AS dst FROM b),
+deg AS MATERIALIZED (
+  SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+  FROM e GROUP BY 1),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT src AS node FROM e
+  UNION
+  SELECT DISTINCT dst AS node FROM e),
+seeds AS MATERIALIZED (
+  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS node
+  FROM lineitem WHERE l_partkey < 20),
+k AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS k FROM seeds),
+r0 AS MATERIALIZED (
+  SELECT n.node,
+    CASE WHEN s.node IS NOT NULL
+         THEN CAST(1.0 AS DOUBLE) / CAST(k.k AS DOUBLE)
+         ELSE CAST(0.0 AS DOUBLE) END AS s,
+    CASE WHEN s.node IS NOT NULL
+         THEN CAST(1.0 AS DOUBLE) / CAST(k.k AS DOUBLE)
+         ELSE CAST(0.0 AS DOUBLE) END AS "rank"
+  FROM nodes n LEFT JOIN seeds s ON n.node = s.node CROSS JOIN k),
+{_PPR_ITER.format(i=1, p=0)},
+{_PPR_ITER.format(i=2, p=1)}
+SELECT node, "rank" FROM r2
+"""
+
+# Per-supplier butterfly counts over the bipartite supplier<->part
+# graph, mirroring graph.butterfly_counts: one per-part pair expansion
+# (fan-out C(suppliers_per_part, 2)) + one keyed co-count; butterflies
+# per pair = co*(co-1)//2, integer-exact.
+ORACLES["butterfly_count"] = """
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+deg AS (
+  SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+  FROM e GROUP BY 1),
+co AS MATERIALIZED (
+  SELECT a.src AS u, b.src AS v, CAST(count(*) AS BIGINT) AS co
+  FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+  GROUP BY 1, 2),
+pern AS (
+  SELECT node,
+    CAST(count(*) AS BIGINT) AS copartners,
+    CAST(sum((co * (co - 1)) // 2) AS BIGINT) AS butterflies
+  FROM (SELECT u AS node, co FROM co
+        UNION ALL SELECT v AS node, co FROM co)
+  GROUP BY 1)
+SELECT CAST(d.node AS BIGINT) AS supplier,
+  d.degree,
+  coalesce(p.copartners, 0) AS copartners,
+  coalesce(p.butterflies, 0) AS butterflies
+FROM deg d LEFT JOIN pern p ON d.node = p.node
+"""
+
+# Degree histogram + Pearson degree-degree assortativity of the
+# part-affinity graph, mirroring graph.degree_assortativity: integer
+# moment sums over edges counted in both directions; the log2 bucket is
+# the EXPLICIT ln ratio (matching Spark's change-of-base log2 — a
+# native log2 would floor differently at exact powers of two).
+ORACLES["graph_degree_stats"] = """
+WITH lp AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+und AS MATERIALIZED (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM lp a JOIN lp b ON a.k = b.k AND a.p < b.p),
+deg AS MATERIALIZED (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree
+  FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+  GROUP BY 1),
+hist AS (
+  SELECT CAST(floor(ln(CAST(degree AS DOUBLE)) / ln(CAST(2.0 AS DOUBLE)))
+              AS BIGINT) AS bucket_log2,
+         CAST(count(*) AS BIGINT) AS n_nodes
+  FROM deg GROUP BY 1),
+pairs AS (
+  SELECT du.degree AS x, dv.degree AS y
+  FROM und e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+  UNION ALL
+  SELECT dv.degree AS x, du.degree AS y
+  FROM und e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sx2
+  FROM pairs),
+r AS (
+  SELECT CASE WHEN (CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE)
+                    - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) > 0
+    THEN round((CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+                - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+               / (CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+    ELSE CAST(0.0 AS DOUBLE) END AS assortativity
+  FROM m)
+SELECT h.bucket_log2, h.n_nodes, r.assortativity
+FROM hist h CROSS JOIN r
+"""

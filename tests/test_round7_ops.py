@@ -217,3 +217,78 @@ def test_embargo_split_held_groups_match_hash_draw(spark):
     }
     assert test_users <= held
     assert not train_users & held
+
+
+# ------------------------------------------------------------ graph batch 2
+
+
+def test_personalized_pagerank_two_node_chain(spark):
+    """1→2 with seed {1}: hand-unrolled two iterations — the dangling
+    node's mass teleports back to the SEED, not uniformly."""
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    out = {
+        r["node"]: r["rank"]
+        for r in graph.personalized_pagerank(edges, seeds, iterations=2).collect()
+    }
+    # iter1: r1 = 0.15, r2 = 0.85 (all seed mass walks to 2)
+    # iter2: r1 = 0.15 + 0.85*0.85 (dangling r2 -> seed) = 0.8725
+    #        r2 = 0.85 * 0.15 = 0.1275
+    assert out[1] == pytest.approx(0.8725, abs=1e-6)
+    assert out[2] == pytest.approx(0.1275, abs=1e-6)
+    assert sum(out.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_personalized_pagerank_unreachable_stays_zero(spark):
+    """A component disjoint from the seeds holds zero rank — mass never
+    diffuses corpus-wide the way uniform-teleport PageRank does."""
+    edges = spark.createDataFrame(
+        [(1, 2), (3, 4), (4, 3)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    out = {
+        r["node"]: r["rank"]
+        for r in graph.personalized_pagerank(edges, seeds, iterations=2).collect()
+    }
+    assert out[3] == 0.0 and out[4] == 0.0
+    assert out[1] + out[2] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_butterfly_counts_shared_pair(spark):
+    """Two suppliers sharing two parts form exactly one butterfly; a
+    third sharing only one part forms none but is still a co-partner."""
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (2, 11), (3, 10)],
+        "src long, dst long",
+    )
+    out = {r["node"]: r for r in graph.butterfly_counts(edges).collect()}
+    assert {n: r["butterflies"] for n, r in out.items()} == {1: 1, 2: 1, 3: 0}
+    assert out[1]["copartners"] == 2 and out[3]["copartners"] == 2
+    assert out[1]["degree"] == 2 and out[3]["degree"] == 1
+
+
+def test_butterfly_counts_hot_right_cap(spark):
+    """max_right_degree drops a celebrity right node BEFORE the pair
+    expansion: with the hub part capped away, no co-pairs remain."""
+    edges = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (1, 11), (2, 12)],
+        "src long, dst long",
+    )
+    out = {
+        r["node"]: r
+        for r in graph.butterfly_counts(edges, max_right_degree=2).collect()
+    }
+    assert all(r["butterflies"] == 0 for r in out.values())
+    assert all(r["copartners"] == 0 for r in out.values())
+    # degrees are computed on the CAPPED graph (consistent denominator)
+    assert out[1]["degree"] == 1 and out[2]["degree"] == 1
+
+
+def test_degree_assortativity_path_is_minus_one(spark):
+    """A 3-node path is perfectly disassortative (r = −1): ends attach
+    to the middle, never to each other."""
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    rows = graph.degree_assortativity(edges).collect()
+    assert all(r["assortativity"] == -1.0 for r in rows)
+    hist = {r["bucket_log2"]: r["n_nodes"] for r in rows}
+    assert hist == {0: 2, 1: 1}  # two degree-1 ends, one degree-2 middle
