@@ -4329,6 +4329,25 @@ def script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _affinity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-affinity edge list: parts co-ordered in one order within the
+    1995-1997 shipping window (see ``triangle_count`` for why the graph
+    is time-scoped). Per-order fan-out is bounded by C(lines, 2); the
+    edge list grows linearly with orders."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    return a.join(b, "k").where(F.col("src") < F.col("dst")).select("src", "dst")
+
+
 def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts + local clustering coefficient
     (``graph.triangle_counts``, degree-ordered orientation — O(m^1.5)
@@ -4338,15 +4357,14 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the edge list grows LINEARLY with orders — unlike the co-supply
     graph, which is complete at every tier. The clustering coefficient is
     the basket-coherence signal (do this part's neighbors co-occur with
-    each other?)."""
+    each other?). The graph is scoped to the 1995-1997 shipping window —
+    standard market-basket practice (affinity decays; co-occurrence
+    across a decade is noise) and the density knob: the full-range graph
+    reaches mean degree ~116 and puts ~15x more wedge work on both
+    engines for no analytic gain (windowed: mean degree ~23)."""
     from datapipelines_essentials_python_spark.operators import graph as graph_ops
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
-    edges = a.join(b, "k").where(F.col("src") < F.col("dst")).select("src", "dst")
+    edges = _affinity_edges(spark, sf_dir)
     return graph_ops.triangle_counts(edges).select(
         F.col("node").cast("long").alias("node"),
         "degree",
@@ -4516,15 +4534,11 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph: the histogram tail says whether hub keys need salting or
     capping, the assortativity sign says whether hubs attach to hubs
     (r > 0) or to leaves (r < 0). Integer moment sums, one float shape
-    at the end."""
+    at the end. Same 1995-1997 time-scoped affinity graph as
+    ``triangle_count``."""
     from datapipelines_essentials_python_spark.operators import graph as graph_ops
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
-    edges = a.join(b, "k").where(F.col("src") < F.col("dst")).select("src", "dst")
+    edges = _affinity_edges(spark, sf_dir)
     return graph_ops.degree_assortativity(edges).select(
         F.col("bucket_log2").cast("long"),
         "n_nodes",

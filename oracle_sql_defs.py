@@ -3926,7 +3926,9 @@ FROM g
 # orientation under the TOTAL order (degree, node), each triangle
 # materialized exactly once as a→b, b→c, a→c.
 ORACLES["triangle_count"] = """
-WITH lp AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+WITH lp AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'),
 und AS (
   SELECT DISTINCT a.p AS u, b.p AS v
   FROM lp a JOIN lp b ON a.k = b.k AND a.p < b.p),
@@ -4212,7 +4214,9 @@ FROM deg d LEFT JOIN pern p ON d.node = p.node
 # the EXPLICIT ln ratio (matching Spark's change-of-base log2 — a
 # native log2 would floor differently at exact powers of two).
 ORACLES["graph_degree_stats"] = """
-WITH lp AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+WITH lp AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'),
 und AS MATERIALIZED (
   SELECT DISTINCT a.p AS u, b.p AS v
   FROM lp a JOIN lp b ON a.k = b.k AND a.p < b.p),
