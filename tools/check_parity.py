@@ -80,9 +80,24 @@ def main() -> int:
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failed, passed, skipped = [], [], []
+    n_run = 0
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        # Long-sweep hygiene: a 200+-query single session accumulates
+        # localCheckpoint RDD blocks whose release waits on PYTHON GC of
+        # the DataFrame refs — at the sf1 tier the executor store
+        # eventually buckles under the residue (observed: tail-of-sweep
+        # "error occurred while calling ...getResult" on the heaviest
+        # query, then a wedged session). gc.collect() lets Spark's
+        # ContextCleaner actually drop the dead blocks; the shared LSH
+        # caches keep live module-level refs, so they are untouched
+        # (clearCache() would evict them and force family rebuilds).
+        n_run += 1
+        if n_run % 5 == 0:
+            import gc
+
+            gc.collect()
         t0 = time.time()
         try:
             spark_pdf = fn(spark, sf_dir).toPandas()
