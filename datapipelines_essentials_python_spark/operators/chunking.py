@@ -212,3 +212,87 @@ def substring_dup_profile(
             ),
         )
     )
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_size: int = 8,
+) -> DataFrame:
+    """Remove duplicated SPANS (not documents): Lee et al. 2022's
+    ExactSubstr behavior approximated at sliding-window granularity —
+    the upgrade over :func:`span_dedup` the r7 verdict asked for.
+    ``span_dedup`` drops repeated non-overlapping blocks, which misses a
+    duplicated passage straddling a block boundary; here EVERY
+    ``window_size``-token window (stride 1) is fingerprinted corpus-wide,
+    the FIRST occurrence of each window (ordered by ``(id, start)``) is
+    kept, and every token covered by any LATER occurrence is removed
+    from its document. Documents keep their identity — a fully-duplicated
+    document survives as an empty ``text_clean`` with the removal
+    accounted, unlike ``span_dedup``'s row drop.
+
+    Spark-first shape (three shuffles, no Python):
+
+    1. windows: one projection — ``sequence(0, n−w)`` posexploded over
+       the token array, window text via ``slice`` + ``array_join``,
+       fingerprinted with ``md5`` so the corpus-wide shuffle key is a
+       fixed 32-byte hash, never the w-token text (the stride-1 blow-up
+       is ~w× the corpus; hashing keeps the shuffle payload flat);
+    2. first-occurrence marking: one window over the fingerprint
+       (``row_number`` ordered by ``(id, start)``) — occurrences with
+       ``rn > 1`` mark their covered interval ``[start, start+w)`` for
+       removal;
+    3. reassembly: removal starts collect per doc (one keyed agg), then
+       a per-token ``filter(toks, (t, i) -> ¬∃ s: s ≤ i < s+w)`` — the
+       per-doc interval array is bounded by the doc's own duplicated-
+       window count, so the predicate is array-local, no range join.
+
+    The true ExactSubstr uses a corpus suffix array; the window
+    approximation trades sub-window precision (duplicates shorter than
+    ``window_size`` tokens survive; removal granularity is the union of
+    covering windows) for a shuffle-native plan that needs no global
+    ordered structure — the standard scale concession. All hashing is
+    md5, replayed exactly by the DuckDB oracle.
+
+    → ``(id, text_clean, n_tokens_total, n_tokens_removed)``.
+    """
+    if window_size < 2:
+        raise ValueError(
+            f"exact_substring_dedup needs window_size >= 2, got {window_size}"
+        )
+    w = int(window_size)
+    base = df.select(
+        F.col(id_col), _toks(text_col).alias("toks")
+    ).withColumn("n", F.size("toks"))
+    starts = F.when(
+        F.col("n") >= w,
+        F.sequence(F.lit(0), F.col("n") - F.lit(w), F.lit(1)),
+    ).otherwise(F.array().cast("array<int>"))
+    wins = base.select(
+        F.col(id_col), F.explode(starts).alias("start"), "toks"
+    ).select(
+        F.col(id_col),
+        "start",
+        F.md5(
+            F.array_join(F.slice(F.col("toks"), F.col("start") + 1, w), " ")
+        ).alias("fp"),
+    )
+    w_first = Window.partitionBy("fp").orderBy(id_col, "start")
+    removed = (
+        wins.withColumn("rn", F.row_number().over(w_first))
+        .where(F.col("rn") > 1)
+        .groupBy(id_col)
+        .agg(F.collect_list("start").alias("rm"))
+    )
+    rm = F.coalesce(F.col("rm"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("toks"),
+        lambda t, i: ~F.exists(rm, lambda s: (s <= i) & (i < s + F.lit(w))),
+    )
+    return base.join(removed, id_col, "left").select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("text_clean"),
+        F.col("n").cast("long").alias("n_tokens_total"),
+        (F.col("n") - F.size(kept)).cast("long").alias("n_tokens_removed"),
+    )

@@ -156,6 +156,28 @@ def ngram_jaccard_pairs(
     )
 
 
+def _warn_unblocked_posting_join(fn_name: str, unblocked: bool) -> None:
+    """The blocking contract, ENFORCED (VERDICT r07 item 3): an unblocked
+    corpus-wide posting join fans hot shingles out quadratically in their
+    document frequency and measurably OOMed the 10× stress tier, while
+    the blocked join cruised. A docstring alone is advisory — callers who
+    really want the corpus-wide join must say so with ``unblocked=True``
+    (the ``pareto_frontier_2d(materialize=False)`` warning treatment)."""
+    if not unblocked:
+        import warnings
+
+        warnings.warn(
+            f"{fn_name}(block_col=None) runs an UNBLOCKED corpus-wide "
+            "posting join: hot shingles fan out quadratically in their "
+            "document frequency and this provably OOMs at scale where the "
+            "blocked join cruises. Pass block_col (language or a coarse "
+            "fingerprint) at scale, or acknowledge the corpus-wide join "
+            "with unblocked=True.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+
 def ngram_jaccard_pairs_indexed(
     df: DataFrame,
     id_col: str,
@@ -163,6 +185,7 @@ def ngram_jaccard_pairs_indexed(
     n: int = 3,
     threshold: float = 0.8,
     block_col: str | None = None,
+    unblocked: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs via an INVERTED INDEX — result-identical
     to :func:`ngram_jaccard_pairs` for any ``threshold > 0``, without ever
@@ -189,6 +212,8 @@ def ngram_jaccard_pairs_indexed(
             "ngram_jaccard_pairs_indexed requires threshold > 0 (zero-"
             "overlap pairs are structurally absent from the index join)"
         )
+    if block_col is None:
+        _warn_unblocked_posting_join("ngram_jaccard_pairs_indexed", unblocked)
     blk = [F.col(block_col).alias("blk")] if block_col else []
     base = df.select(
         F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"), *blk
@@ -234,6 +259,7 @@ def ngram_containment_pairs(
     n: int = 3,
     threshold: float = 0.8,
     block_col: str | None = None,
+    unblocked: bool = False,
 ) -> DataFrame:
     """ASYMMETRIC near-dup detection: n-gram set containment
     ``C = |A∩B| / min(|A|, |B|)`` — the measure that catches a short
@@ -264,6 +290,8 @@ def ngram_containment_pairs(
             "ngram_containment_pairs requires threshold > 0 (zero-overlap "
             "pairs are structurally absent from the index join)"
         )
+    if block_col is None:
+        _warn_unblocked_posting_join("ngram_containment_pairs", unblocked)
     blk = [F.col(block_col).alias("blk")] if block_col else []
     base = df.select(
         F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"), *blk

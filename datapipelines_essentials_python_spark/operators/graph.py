@@ -578,18 +578,14 @@ def butterfly_counts(edges: DataFrame, max_right_degree: int | None = None) -> D
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).cast("long").alias("co"))
     )
-    bf = F.col("co") * (F.col("co") - F.lit(1)) / F.lit(2)
+    bf = (F.col("co") * (F.col("co") - F.lit(1)) / F.lit(2)).cast("long")
     per_node = (
         co.select(F.col("u").alias("node"), F.col("co"))
         .unionByName(co.select(F.col("v").alias("node"), F.col("co")))
         .groupBy("node")
         .agg(
             F.count(F.lit(1)).cast("long").alias("copartners"),
-            F.sum(
-                (F.col("co") * (F.col("co") - F.lit(1)) / F.lit(2)).cast("long")
-            )
-            .cast("long")
-            .alias("butterflies"),
+            F.sum(bf).cast("long").alias("butterflies"),
         )
     )
     return (
@@ -665,3 +661,135 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     var = sx2 / n - (sx / n) * (sx / n)
     r = F.when(var > 0, F.round(cov / var, 6)).otherwise(F.lit(0.0))
     return hist.crossJoin(F.broadcast(m.select(r.alias("assortativity"))))
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 8,
+    materialize: bool = True,
+) -> DataFrame:
+    """k-core subgraph by iterative peeling — the standard spam/quality
+    filter on web and co-occurrence graphs (Seidman, 1983; the dense-core
+    extraction behind crawl-frontier pruning and community seeding): drop
+    every node whose degree is below ``k``, recompute degrees on the
+    surviving subgraph, repeat until no node falls below ``k`` (or
+    ``max_rounds`` peels, whichever comes first).
+
+    The cap is part of the CONTRACT, not just a safety valve: the result
+    is "the graph after ``min(fixpoint, max_rounds)`` peel rounds", so a
+    SQL oracle that unrolls exactly ``max_rounds`` rounds replays it
+    bit-for-bit — peeling is monotone, so once the fixpoint is reached
+    every further unrolled round is a no-op and early exit changes
+    nothing.
+
+    Spark-first shape, per peel round: ONE keyed shuffle (the map-side-
+    combined degree count over the src∪dst union) + two left-anti hash
+    joins dropping edges that touch a peeled node, then one 1-row count
+    action for the exit test (the :func:`pagerank` ``tol`` discipline).
+    State is the shrinking edge list, pinned per round with an eager
+    ``localCheckpoint`` so lineage stays flat however many rounds run —
+    at 100 TB each round's cost is proportional to the SURVIVING edges,
+    and real graphs shed the long low-degree tail in the first round or
+    two. Input direction/duplicates/self-loops are normalized away by
+    :func:`undirected_edges`.
+
+    → ``(node, core_degree)``: the surviving nodes with their degree
+    inside the surviving subgraph (all ≥ k once the fixpoint is reached
+    within the cap).
+    """
+    if k < 1:
+        raise ValueError(f"kcore needs k >= 1, got {k}")
+    if max_rounds < 1:
+        raise ValueError(f"kcore needs max_rounds >= 1, got {max_rounds}")
+    und = undirected_edges(edges)
+    if materialize:
+        und = und.localCheckpoint(eager=True)
+
+    def _degrees(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("u").alias("node"))
+            .unionByName(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        )
+
+    for _ in range(max_rounds):
+        deg = _degrees(und)
+        low = deg.where(F.col("core_degree") < k).select("node")
+        if materialize:
+            low = low.localCheckpoint(eager=True)
+        # 1-row scalar action — the convergence test; reads checkpointed
+        # state, not re-derived lineage.
+        if low.count() == 0:
+            break
+        und = und.join(
+            low.select(F.col("node").alias("u")), "u", "left_anti"
+        ).join(low.select(F.col("node").alias("v")), "v", "left_anti")
+        if materialize:
+            und = und.localCheckpoint(eager=True)
+    return _degrees(und)
+
+
+def lpa_communities(
+    edges: DataFrame,
+    iterations: int = 4,
+    materialize: bool = True,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al., 2007) with a DETERMINISTIC tie-break — communities over the
+    dedup/affinity graphs that complete the components→importance→
+    community story for corpus curation (components say "connected",
+    LPA says "densely interconnected").
+
+    Every node starts labeled with its own id; each synchronous round
+    relabels every node with the most frequent label among its
+    neighbors, ties broken by the SMALLEST label. Fixed ``iterations``
+    (not convergence) is the contract: synchronous LPA can 2-cycle on
+    bipartite-ish structures, and a fixed round count is what lets a SQL
+    oracle unroll and replay the exact result. Requires numeric node
+    ids (the tie-break negates the label inside a max-struct).
+
+    Spark-first shape, per round: one hash join publishing each node's
+    label to its neighbors along the symmetrized adjacency, one
+    map-side-combined ``(node, label)`` count, and one node-keyed
+    arg-max aggregate ``max(struct(cnt, -label))`` — max count wins,
+    then min label; two keyed shuffles total, no window (a window would
+    force a per-node sort; the max-struct is a plain combinable agg).
+    Node-sized label state, pinned per round with ``localCheckpoint``;
+    the symmetrized edge list is pinned once and reused every round.
+
+    → ``(node, community)``, one row per node of the normalized graph.
+    """
+    if iterations < 1:
+        raise ValueError(
+            f"lpa_communities needs iterations >= 1, got {iterations}"
+        )
+    und = undirected_edges(edges)
+    adj = und.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionByName(und.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    if materialize:
+        adj = adj.localCheckpoint(eager=True)
+    labels = (
+        adj.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    if materialize:
+        labels = labels.localCheckpoint(eager=True)
+    for _ in range(iterations):
+        msgs = adj.join(
+            labels.select(F.col("node").alias("src"), "label"), "src"
+        ).select(F.col("dst").alias("node"), "label")
+        counts = msgs.groupBy("node", "label").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        labels = counts.groupBy("node").agg(
+            F.max(
+                F.struct(F.col("cnt"), (-F.col("label")).alias("neg_label"))
+            ).alias("m")
+        ).select("node", (-F.col("m.neg_label")).alias("label"))
+        if materialize:
+            labels = labels.localCheckpoint(eager=True)
+    return labels.select("node", F.col("label").alias("community"))

@@ -445,9 +445,16 @@ def embargoed_group_split(
     """
     us = F.unix_micros(F.col(ts_col))
     bounds = df.agg(F.min(us).alias("__min_us"), F.max(us).alias("__max_us"))
+    # The train fraction is QUANTIZED to 6 dp before it becomes a literal
+    # (ADVICE r07): Python's `1.0 - test_frac` can land one ulp away from
+    # the decimal literal a SQL oracle writes (e.g. `0.8`), and when
+    # `span_us * factor` falls within ~2 ulp below an integer the floor()
+    # disagrees across engines — a dataset-dependent t* boundary flake.
+    # round(·, 6) snaps both sides to the same nearest-double.
+    train_factor = round(1.0 - float(test_frac), 6)
     t_star = F.col("__min_us") + F.floor(
         (F.col("__max_us") - F.col("__min_us")).cast("double")
-        * F.lit(1.0 - test_frac)
+        * F.lit(train_factor)
     ).cast("long")
     embargo_us = F.lit(int(embargo_days) * 86400 * 1000000).cast("long")
     held = hash_fraction(F.col(group_col), salt) < F.lit(group_frac)

@@ -817,6 +817,10 @@ def rrf_fuse(
     """
     from pyspark.sql import Window
 
+    if not rankings:
+        raise ValueError(
+            "rrf_fuse needs at least one ranking (got an empty dict)"
+        )
     parts = [
         df.select(
             F.col(id_col).alias("__id"),

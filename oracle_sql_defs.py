@@ -4099,6 +4099,10 @@ ORACLES["embargo_split"] = f"""
 WITH b AS (
   SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events),
 t AS (
+  -- CAST(0.8 AS DOUBLE) is the nearest-double of the decimal literal;
+  -- the operator quantizes its factor with round(1.0 - test_frac, 6)
+  -- (sampling.py) so both engines floor() the identical product
+  -- (ADVICE r07 ulp note).
   SELECT e.user_id, e.ts, epoch_us(e.ts) AS us,
     b.mn + CAST(floor(CAST(b.mx - b.mn AS DOUBLE) * CAST(0.8 AS DOUBLE))
                 AS BIGINT) AS t_star,

@@ -60,7 +60,8 @@ def test_jaccard_indexed_equals_brute(spark, docs):
             d, "doc_id", "text", n=3, threshold=0.4, block_col=blk
         )
         indexed = dedup.ngram_jaccard_pairs_indexed(
-            d, "doc_id", "text", n=3, threshold=0.4, block_col=blk
+            d, "doc_id", "text", n=3, threshold=0.4, block_col=blk,
+            unblocked=True,
         )
         bx = {(r["id_a"], r["id_b"]): r["jaccard"] for r in brute.collect()}
         ix = {(r["id_a"], r["id_b"]): r["jaccard"] for r in indexed.collect()}
@@ -87,7 +88,7 @@ def test_containment_catches_quote_jaccard_misses(spark):
     cont = {
         (r["id_a"], r["id_b"]): r["containment"]
         for r in dedup.ngram_containment_pairs(
-            docs, "doc_id", "text", n=3, threshold=0.8
+            docs, "doc_id", "text", n=3, threshold=0.8, unblocked=True
         ).collect()
     }
     assert cont == {(1, 2): 1.0}
@@ -101,7 +102,7 @@ def test_containment_at_least_jaccard(spark, docs):
     c = {
         (r["id_a"], r["id_b"]): r["containment"]
         for r in dedup.ngram_containment_pairs(
-            docs, "doc_id", "text", n=3, threshold=0.01
+            docs, "doc_id", "text", n=3, threshold=0.01, unblocked=True
         ).collect()
     }
     j = {
@@ -130,9 +131,25 @@ def test_containment_block_col_bounds_pairs(spark):
     ).collect()
     assert [(r["id_a"], r["id_b"], r["containment"]) for r in blocked] == [(1, 2, 1.0)]
     unblocked = dedup.ngram_containment_pairs(
-        d, "doc_id", "text", n=3, threshold=0.5
+        d, "doc_id", "text", n=3, threshold=0.5, unblocked=True
     )
     assert unblocked.count() == 3  # all three pair without the block
+
+
+def test_unblocked_posting_join_warns(spark, docs):
+    """VERDICT r07 item 3: block_col=None without the explicit
+    unblocked=True opt-in must emit a RuntimeWarning — the contract that
+    saved the 10x tier is enforced, not advisory. Blocked and opted-in
+    calls stay silent."""
+    import warnings
+
+    for fn in (dedup.ngram_containment_pairs, dedup.ngram_jaccard_pairs_indexed):
+        with pytest.warns(RuntimeWarning, match="UNBLOCKED corpus-wide"):
+            fn(docs, "doc_id", "text", n=3, threshold=0.5)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            fn(docs, "doc_id", "text", n=3, threshold=0.5, unblocked=True)
+            fn(docs, "doc_id", "text", n=3, threshold=0.5, block_col="doc_id")
 
 
 def test_containment_rejects_nonpositive_threshold(spark, docs):
