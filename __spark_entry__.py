@@ -4546,64 +4546,163 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kcore_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-core of the part-affinity graph (``graph.kcore``, max_rounds=5):
+    iterative peeling — drop every part whose affinity degree falls below
+    14, recompute degrees on the survivors, repeat — the standard dense-
+    core/quality filter on co-occurrence graphs (Seidman 1983). k=14 sits
+    just below the graph's median degree (~23), so peeling cascades for
+    several rounds (fixpoint at 4-7 rounds across tiers) while a large
+    core survives; the max_rounds=5 cap is part of the CONTRACT (result =
+    graph after min(fixpoint, 5) peels — peel monotonicity makes the
+    early exit a no-op), so the oracle unrolls exactly 5 rounds. One
+    keyed degree shuffle + two left-anti joins per round on a shrinking,
+    localCheckpoint-pinned edge list."""
+    from datapipelines_essentials_python_spark.operators import graph as graph_ops
+
+    edges = _affinity_edges(spark, sf_dir)
+    return graph_ops.kcore(edges, k=14, max_rounds=5).select(
+        F.col("node").cast("long").alias("node"),
+        "core_degree",
+    )
+
+
+def lpa_communities_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities (``graph.lpa_communities``, 4
+    synchronous rounds, min-label tie-break) over the part-affinity
+    graph — the dedup→components→community story for corpus curation:
+    components say \"connected\", LPA says \"densely interconnected\".
+    Fixed iterations (not convergence) is the contract so the oracle can
+    unroll and replay the exact labels. Two keyed shuffles per round
+    (message join + arg-max agg via max(struct(cnt, -label))), no
+    window; node-sized label state pinned per round."""
+    from datapipelines_essentials_python_spark.operators import graph as graph_ops
+
+    edges = _affinity_edges(spark, sf_dir)
+    return graph_ops.lpa_communities(edges, iterations=4).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("community").cast("long").alias("community"),
+    )
+
+
+def exact_substring_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring dedup (``chunking.exact_substring_dedup``,
+    8-token windows at stride 1): every window is fingerprinted corpus-
+    wide, the first occurrence (ordered by doc, start) is kept, and every
+    token covered by a later occurrence is removed from its document —
+    Lee et al. 2022's ExactSubstr behavior at window granularity, the
+    removal upgrade over ``substring_dup_profile`` (which only profiles)
+    and ``span_dedup`` (whose fixed blocks miss boundary-straddling
+    duplicates). md5 keys keep the stride-1 corpus shuffle payload flat;
+    removal reassembly is an array-local higher-order filter, no range
+    join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_ops.exact_substring_dedup(docs, window_size=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # The driver's CORRECTNESS gate records only the first 50 entries.
-        # Round-4 ordering (VERDICT r03 item 2): one flagship query per
-        # SURVEY §2.2-§2.11 key sits inside this window, followed by the
-        # riskiest numeric/stateful pipelines; everything below the marker
-        # is covered by tools/check_parity.py (full-suite PARITY_r{N}.txt
-        # committed per round at sf0.01 AND sf0.1).
-        "q1_pricing_summary": q1_pricing_summary,       # A1 agg spine
-        "q3_top_revenue_orders": q3_top_revenue_orders,  # O1
-        "q5_nation_revenue": q5_nation_revenue,          # J1/J2
-        "metadata_pipeline": metadata_pipeline,          # P1 + §2.12
-        "filter_dsl_scan": filter_dsl_scan,              # P2
-        # ---- five round-7-continuation slots: the operators added this
-        # ---- session (triangles, RRF, JSD, rolling median, embargo
-        # ---- split) gate on their first round in the registry; the five
-        # ---- narrow-projection flagships they displace (projection_cast
-        # ---- _nvl, snake_case_projection, tz_convert, string_ops,
-        # ---- date_parse_safe) are all driver-green in CORRECTNESS_r06
-        # ---- and move just below the 50-row marker.
-        "triangle_count": triangle_count,                # NEW r7: graph
-        "rrf_fusion": rrf_fusion,                        # NEW r7: retrieval
-        "js_divergence_sources": js_divergence_sources,  # NEW r7: drift
-        "rolling_median_7d": rolling_median_7d,          # NEW r7: robust TS
-        "embargo_split": embargo_split,                  # NEW r7: eval split
-        "ppr_seed_expansion": ppr_seed_expansion,        # NEW r7: graph
-        "butterfly_count": butterfly_count,              # NEW r7: graph
-        "graph_degree_stats": graph_degree_stats,        # NEW r7: graph
-        "agg_dispatch": agg_dispatch,                    # A2
-        "duration_buckets": duration_buckets,            # A3/F5/F6
-        "dq_summary": dq_summary,                        # A4/F11/Q1-Q5
-        "word_count": word_count,                        # A5
-        "exact_dedup": exact_dedup,                      # A6
-        "window_latest_order": window_latest_order,      # W1
-        "top_k_per_group": top_k_per_group,              # O2
-        "set_ops": set_ops,                              # U2/U3
-        "having_clause": having_clause,                  # A1 HAVING
-        "json_flatten": json_flatten,                    # J5 + §2.10
-        "flatten_deep": flatten_deep,                    # §2.10
-        "array_explode": array_explode,                  # §2.10
-        "dq_file_completeness": dq_file_completeness,    # J6 + §2.11
-        "dq_profile": dq_profile,                        # §2.11
-        "multimodal_features": multimodal_features,      # §2.12 pandas_udf
-        "cdc_merge": cdc_merge,                          # J3/J4/W3/U1/F8/§2.9
-        "scd2_merge": scd2_merge_q,                      # §2.9
-        # ---- rotation block, fourth spin (VERDICT r06 item 2): rows
-        # ---- 31-50 carry 20 queries with no prior driver-green row —
-        # ---- the TPC-derived shapes never gated (q2 decorrelated MIN,
-        # ---- q4 EXISTS, q7/q8/q9 multi-join volume/share/profit, q10,
-        # ---- q11 HAVING-over-share, q12, q16 distinct-count, q19
-        # ---- disjunctive pushdown, q21 double-anti-correlation, q22
-        # ---- NOT-EXISTS + avg subquery) plus the never-gated composite
-        # ---- slate (SCD2 time travel, snapshot diff, source overlap,
-        # ---- session conversion, split leakage, dataset card, the
-        # ---- spark.sql API twin, URL canonicalization). The r6 block
-        # ---- (round-trip twins, pagerank, analytics slate) moves to the
-        # ---- tail — all 20 of its rows are driver-green in
-        # ---- CORRECTNESS_r06.json and stay triple-tier parity-checked.
+        # Window layout, round 8 (fifth rotation, VERDICT r07 item 2):
+        # rows 1-14 are the SURVEY §2 flagship spine pinned by the
+        # round-3 contract (tests/test_registry_contract.py); rows 15-50
+        # carry 36 FIRST-TIME queries — the 3 operators added this round
+        # (k-core peeling, label-propagation communities, exact-substring
+        # span dedup), the 20 never-gated rows the r7 verdict named, and
+        # 13 more never-gated rows. Everything displaced below the marker
+        # is driver-green in CORRECTNESS_r04-r07 and stays covered by the
+        # committed full-suite parity sweeps (tools/check_parity.py,
+        # PARITY_r{N}*.txt at sf0.01 / sf0.1 / sf1). The 16 remaining
+        # never-gated rows are deferred to the round-9 rotation.
+        # ---- §2 flagship spine (all driver-green since r6/r7) ----
+        "q1_pricing_summary": q1_pricing_summary,
+        "q5_nation_revenue": q5_nation_revenue,
+        "metadata_pipeline": metadata_pipeline,
+        "filter_dsl_scan": filter_dsl_scan,
+        "agg_dispatch": agg_dispatch,
+        "duration_buckets": duration_buckets,
+        "dq_summary": dq_summary,
+        "word_count": word_count,
+        "exact_dedup": exact_dedup,
+        "window_latest_order": window_latest_order,
+        "top_k_per_group": top_k_per_group,
+        "json_flatten": json_flatten,
+        "cdc_merge": cdc_merge,
+        "scd2_merge": scd2_merge_q,
+        # ---- NEW round-8 operators ----
+        "kcore_nodes": kcore_nodes,
+        "lpa_communities": lpa_communities_parts,
+        "exact_substring_dedup": exact_substring_dedup_q,
+        # ---- fifth rotation: the 20 never-gated rows named by
+        # ---- the r7 verdict ----
+        "q2_cheapest_parts": q2_cheapest_parts,
+        "q15_top_suppliers": q15_top_suppliers,
+        "q20_excess_shippers": q20_excess_shippers,
+        "cube_agg": cube_agg,
+        "asof_join_tolerance": asof_join_tolerance,
+        "null_safe_join": null_safe_join,
+        "fuzzy_match_names": fuzzy_match_names,
+        "cdc_changed_columns": cdc_changed_columns,
+        "incremental_agg": incremental_agg,
+        "compaction_plan": compaction_plan_q,
+        "geo_nearby_customers": geo_nearby_customers,
+        "unpivot_metrics": unpivot_metrics,
+        "window_navigation": window_navigation,
+        "percent_rank_quality": percent_rank_quality,
+        "dau_wau": dau_wau,
+        "first_touch_attribution": first_touch_attribution,
+        "mad_outliers": mad_outliers,
+        "hits_supply_graph": hits_supply_graph,
+        "containment_pairs": containment_pairs,
+        "script_mix": script_mix,
+        # ---- fifth rotation: 13 more never-gated rows ----
+        "media_chunks": media_chunks,
+        "pack_sequences": pack_sequences,
+        "quantile_profile": quantile_profile,
+        "histogram_profile": histogram_profile,
+        "corr_stats": corr_stats,
+        "repetition_stats": repetition_stats,
+        "quality_filter": quality_filter,
+        "unigram_lm_quality": unigram_lm_quality,
+        "weighted_sample_docs": weighted_sample_docs,
+        "zorder_layout": zorder_layout,
+        "global_shuffle_order": global_shuffle_order,
+        "bloom_join_orders": bloom_join_orders,
+        "iqr_outlier_events": iqr_outlier_events,
+        # ---- entries below are covered by tools/check_parity.py
+        # ---- (full-suite log committed per round as PARITY_r{N}.txt);
+        # ---- every row here has a driver-green CORRECTNESS record
+        # ---- except the 16 round-9 deferrals noted above ----
+        "text_normalize": text_normalize,
+        "domain_balance": domain_balance,
+        "feature_hash_tf": feature_hash_tf_q,
+        "grouped_split_docs": grouped_split_docs,
+        "logistic_quality": logistic_quality,
+        "strip_markup": strip_markup_q,
+        "temperature_mixture": temperature_mixture_q,
+        "hard_negatives": hard_negatives,
+        "skew_profile_events": skew_profile_events,
+        "json_props_extract": json_props_extract,
+        "vector_stats": vector_stats,
+        "quality_percentile_gate": quality_percentile_gate,
+        "event_lift": event_lift,
+        "top_terms_per_source": top_terms_per_source,
+        "q3_top_revenue_orders": q3_top_revenue_orders,
+        "triangle_count": triangle_count,
+        "rrf_fusion": rrf_fusion,
+        "js_divergence_sources": js_divergence_sources,
+        "rolling_median_7d": rolling_median_7d,
+        "embargo_split": embargo_split,
+        "ppr_seed_expansion": ppr_seed_expansion,
+        "butterfly_count": butterfly_count,
+        "graph_degree_stats": graph_degree_stats,
+        "set_ops": set_ops,
+        "having_clause": having_clause,
+        "flatten_deep": flatten_deep,
+        "array_explode": array_explode,
+        "dq_file_completeness": dq_file_completeness,
+        "dq_profile": dq_profile,
+        "multimodal_features": multimodal_features,
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "q4_priority_exists": q4_priority_exists,
         "q7_volume_shipping": q7_volume_shipping,
@@ -4624,19 +4723,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_card": dataset_card,
         "sql_api_revenue": sql_api_revenue,
         "url_canonicalize": url_canonicalize,
-        # ---- entries below are covered by tools/check_parity.py
-        # ---- (full-suite log committed per round as PARITY_r{N}.txt).
-        # ---- First the five displaced r6-green projection flagships,
-        # ---- then the r6 rotation block, driver-green in
-        # ---- CORRECTNESS_r06.json.
-        "projection_cast_nvl": projection_cast_nvl,      # P3/F2 (r6 green)
-        "snake_case_projection": snake_case_projection,  # P4/P5 (r6 green)
-        "tz_convert": tz_convert,                        # F4 (r6 green)
-        "string_ops": string_ops,                        # F12 (r6 green)
-        "date_parse_safe": date_parse_safe,              # F14 (r6 green)
-        "lookup_mapping": lookup_mapping,                # F3 (r6 green)
-        "audit_columns": audit_columns,                  # F7 (r6 green)
-        "date_sequence_backfill": date_sequence_backfill,  # F13 (r6 green)
+        "projection_cast_nvl": projection_cast_nvl,
+        "snake_case_projection": snake_case_projection,
+        "tz_convert": tz_convert,
+        "string_ops": string_ops,
+        "date_parse_safe": date_parse_safe,
+        "lookup_mapping": lookup_mapping,
+        "audit_columns": audit_columns,
+        "date_sequence_backfill": date_sequence_backfill,
         "csv_roundtrip_parity": csv_roundtrip_parity,
         "json_roundtrip_parity": json_roundtrip_parity,
         "pagerank_parts": pagerank_parts,
@@ -4677,8 +4771,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_chi2": drift_chi2,
         "ols_fit": ols_fit,
         "grouping_sets_agg": grouping_sets_agg,
-        # ---- the r4 risky-pipeline block continues — all 20 of its
-        # ---- rows are driver-green in CORRECTNESS_r04.json.
         "sessionize": sessionize,
         "session_window_agg": session_window_agg,
         "funnel_conversion": funnel_conversion,
@@ -4723,8 +4815,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_events": winsorize_events,
         "simhash_fp": simhash_fp,
         "embedding_topk": embedding_topk,
-        "media_chunks": media_chunks,
-        "pack_sequences": pack_sequences,
         "lang_id": lang_id,
         "text_quality": text_quality,
         "token_stats": token_stats,
@@ -4743,54 +4833,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_dormant": anti_join_dormant,
         "stratified_sample_docs": stratified_sample_docs,
         "train_holdout_split": train_holdout_split,
-        "unigram_lm_quality": unigram_lm_quality,
-        "quantile_profile": quantile_profile,
-        "weighted_sample_docs": weighted_sample_docs,
-        "histogram_profile": histogram_profile,
-        "corr_stats": corr_stats,
-        "repetition_stats": repetition_stats,
-        "quality_filter": quality_filter,
-        "q2_cheapest_parts": q2_cheapest_parts,
-        "q15_top_suppliers": q15_top_suppliers,
-        "q20_excess_shippers": q20_excess_shippers,
-        "zorder_layout": zorder_layout,
-        "cube_agg": cube_agg,
-        "text_normalize": text_normalize,
-        "domain_balance": domain_balance,
-        "global_shuffle_order": global_shuffle_order,
-        "iqr_outlier_events": iqr_outlier_events,
-        "bloom_join_orders": bloom_join_orders,
         "chunk_documents": chunk_documents_q,
-        "feature_hash_tf": feature_hash_tf_q,
-        "incremental_agg": incremental_agg,
-        "grouped_split_docs": grouped_split_docs,
-        "compaction_plan": compaction_plan_q,
-        "logistic_quality": logistic_quality,
-        "strip_markup": strip_markup_q,
-        "temperature_mixture": temperature_mixture_q,
-        "hard_negatives": hard_negatives,
-        "skew_profile_events": skew_profile_events,
-        "json_props_extract": json_props_extract,
-        "window_navigation": window_navigation,
-        "null_safe_join": null_safe_join,
-        "fuzzy_match_names": fuzzy_match_names,
-        "vector_stats": vector_stats,
-        "percent_rank_quality": percent_rank_quality,
-        "cdc_changed_columns": cdc_changed_columns,
-        "quality_percentile_gate": quality_percentile_gate,
-        "geo_nearby_customers": geo_nearby_customers,
-        "unpivot_metrics": unpivot_metrics,
-        "event_lift": event_lift,
-        "asof_join_tolerance": asof_join_tolerance,
-        "dau_wau": dau_wau,
-        "first_touch_attribution": first_touch_attribution,
-        "top_terms_per_source": top_terms_per_source,
-        "mad_outliers": mad_outliers,
         "dense_rank_ties": dense_rank_ties,
-        # ---- round-7 additions (tail: parity-gated, not driver-window)
-        "hits_supply_graph": hits_supply_graph,
-        "containment_pairs": containment_pairs,
-        "script_mix": script_mix,
     }
 
 

@@ -4260,3 +4260,114 @@ r AS (
 SELECT h.bucket_log2, h.n_nodes, r.assortativity
 FROM hist h CROSS JOIN r
 """
+
+
+# Affinity-graph CTE prefix shared by the round-8 graph oracles —
+# identical to the triangle_count scan (1995-1997 shipping window).
+_AFF = """lp AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'),
+und AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM lp a JOIN lp b ON a.k = b.k AND a.p < b.p)"""
+
+# 14-core by peeling, unrolled to exactly max_rounds=5 — the operator's
+# cap is the contract (result = graph after min(fixpoint, 5) peels), and
+# peel monotonicity makes any post-fixpoint unrolled round a no-op, so
+# the unroll replays graph.kcore(k=14, max_rounds=5) bit-for-bit.
+# MATERIALIZED is load-bearing: each e/low references its predecessor
+# 2-3 times, so DuckDB's default CTE inlining would expand the 5-round
+# chain exponentially (observed as a hang); materializing makes each
+# round run once, like the operator.
+_kc = [f"WITH {_AFF},\ne0 AS MATERIALIZED (SELECT u, v FROM und)"]
+for _i in range(5):
+    _kc.append(f""",
+low{_i} AS MATERIALIZED (
+  SELECT node FROM (SELECT u AS node FROM e{_i} UNION ALL SELECT v FROM e{_i})
+  GROUP BY 1 HAVING count(*) < 14),
+e{_i + 1} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{_i} e
+  LEFT JOIN low{_i} lu ON lu.node = e.u
+  LEFT JOIN low{_i} lv ON lv.node = e.v
+  WHERE lu.node IS NULL AND lv.node IS NULL)""")
+_kc.append("""
+SELECT CAST(node AS BIGINT) AS node,
+  CAST(count(*) AS BIGINT) AS core_degree
+FROM (SELECT u AS node FROM e5 UNION ALL SELECT v AS node FROM e5)
+GROUP BY 1
+""")
+ORACLES["kcore_nodes"] = "".join(_kc)
+
+# Synchronous label propagation, unrolled to exactly iterations=4 —
+# mirrors graph.lpa_communities: every node starts as its own label,
+# each round takes the most frequent neighbor label, ties to the
+# SMALLEST label (row_number ordered cnt DESC, label ASC replays the
+# operator's max(struct(cnt, -label)) arg-max).
+_lpa = [
+    f"""WITH {_AFF},
+adj AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM und
+  UNION ALL SELECT v AS src, u AS dst FROM und),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM adj)"""
+]
+for _i in range(1, 5):
+    _lpa.append(f""",
+c{_i} AS (
+  SELECT a.dst AS node, l.label, count(*) AS cnt
+  FROM adj a JOIN l{_i - 1} l ON l.node = a.src
+  GROUP BY 1, 2),
+l{_i} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+      row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+    FROM c{_i})
+  WHERE rn = 1)""")
+_lpa.append("""
+SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS community
+FROM l4
+""")
+ORACLES["lpa_communities"] = "".join(_lpa)
+
+# Exact-substring span dedup: stride-1 8-token windows fingerprinted
+# corpus-wide (md5 of the joined window text, same bytes both engines),
+# first occurrence ordered by (doc_id, start) wins, every token covered
+# by a later occurrence is removed — mirrors chunking.exact_substring_
+# dedup(window_size=8). Docs shorter than the window emit no windows
+# (range(0, n-7) is empty) and survive verbatim; a fully-duplicated doc
+# survives as an empty text_clean via the LEFT JOIN + coalesce.
+ORACLES["exact_substring_dedup"] = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS tk FROM documents),
+w0 AS (
+  SELECT doc_id, tk, unnest(range(0, len(tk) - 7)) AS s
+  FROM toks WHERE len(tk) >= 8),
+wins AS (
+  SELECT doc_id, CAST(s AS INT) AS start,
+    md5(array_to_string(tk[CAST(s AS INT) + 1 : CAST(s AS INT) + 8], ' ')) AS fp
+  FROM w0),
+rm AS (
+  SELECT doc_id, start FROM (
+    SELECT doc_id, start,
+      row_number() OVER (PARTITION BY fp ORDER BY doc_id, start) AS rn
+    FROM wins)
+  WHERE rn > 1),
+t0 AS (
+  SELECT doc_id, tk, unnest(range(0, len(tk))) AS i0
+  FROM toks WHERE len(tk) > 0),
+tok AS (SELECT doc_id, CAST(i0 AS INT) AS i, tk[CAST(i0 AS INT) + 1] AS t FROM t0),
+kept AS (
+  SELECT tk.doc_id, tk.i, tk.t
+  FROM tok tk
+  WHERE NOT EXISTS (
+    SELECT 1 FROM rm
+    WHERE rm.doc_id = tk.doc_id AND rm.start <= tk.i AND tk.i < rm.start + 8)),
+ka AS (
+  SELECT doc_id,
+    array_to_string(list(t ORDER BY i), ' ') AS text_clean,
+    count(*) AS n_kept
+  FROM kept GROUP BY 1)
+SELECT CAST(tx.doc_id AS BIGINT) AS doc_id,
+  coalesce(ka.text_clean, '') AS text_clean,
+  CAST(len(tx.tk) AS BIGINT) AS n_tokens_total,
+  CAST(len(tx.tk) - coalesce(ka.n_kept, 0) AS BIGINT) AS n_tokens_removed
+FROM toks tx LEFT JOIN ka ON ka.doc_id = tx.doc_id
+"""
