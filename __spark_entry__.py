@@ -4600,6 +4600,62 @@ def exact_substring_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_ops.exact_substring_dedup(docs, window_size=8)
 
 
+def ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss of the part-affinity graph (``graph.ktruss``,
+    max_rounds=3): iteratively drop every edge in fewer than 2
+    triangles, recount support on the survivors — the EDGE-level
+    cohesion filter one notch stronger than ``kcore_nodes`` (a k-core
+    can be triangle-free; a truss edge is certified by closed
+    triangles). The affinity graph sheds ~half its edges in round one
+    (median edge support is 2), so per-round O(m^1.5) wedge cost decays
+    fast. The max_rounds=3 cap is the oracle-replay contract, exactly
+    as in ``kcore_nodes``. Integer counts only."""
+    from datapipelines_essentials_python_spark.operators import graph as graph_ops
+
+    edges = _affinity_edges(spark, sf_dir)
+    return graph_ops.ktruss(edges, k=4, max_rounds=3).select(
+        F.col("u").cast("long").alias("u"),
+        F.col("v").cast("long").alias("v"),
+        "support",
+    )
+
+
+def link_prediction_aa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction (``graph.adamic_adar``, top-50) over
+    the part-affinity graph: the non-adjacent part pairs with the
+    strongest common-neighbor evidence, hubs discounted by 1/ln(degree)
+    — "parts that should co-occur but don't yet", the basket
+    recommendation primitive. Wedges enumerate by center (one
+    adjacency self-join, Σ C(deg, 2) rows — mean degree ~23 here; the
+    ``max_degree`` hub cap exists for graphs that need it); per-center
+    contributions are 6-dp-quantized decimals so the sum is
+    order-independent and the oracle replays libm ln exactly (the BM25
+    discipline). Total order (aa_micro DESC, u, v)."""
+    from datapipelines_essentials_python_spark.operators import graph as graph_ops
+
+    edges = _affinity_edges(spark, sf_dir)
+    return graph_ops.adamic_adar(edges, top_n=50).select(
+        F.col("u").cast("long").alias("u"),
+        F.col("v").cast("long").alias("v"),
+        "common_neighbors",
+        "aa_micro",
+    )
+
+
+def ngram_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 8-gram novelty in admission (doc-id) order
+    (``chunking.ngram_novelty``): the fraction of a doc's distinct
+    stride-1 windows whose FIRST corpus occurrence is this doc — the
+    dual of ``substring_dup_profile`` (repetition anywhere) and the
+    dedup-aware corpus-growth signal (admit only docs above a novelty
+    floor). First-occurrence is min(doc_id) per fingerprint — a
+    combinable agg, deliberately not a row_number window, so
+    boilerplate hot keys partial-aggregate map-side instead of sorting
+    one partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_ops.ngram_novelty(docs, window=8, stride=1)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # The driver's CORRECTNESS gate records only the first 50 entries.
@@ -4835,6 +4891,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_holdout_split": train_holdout_split,
         "chunk_documents": chunk_documents_q,
         "dense_rank_ties": dense_rank_ties,
+        # ---- round-8 additions (tail: parity-gated; round-9 gate
+        # ---- candidates alongside the 16 deferred rotation rows)
+        "ktruss_edges": ktruss_edges,
+        "link_prediction_aa": link_prediction_aa,
+        "ngram_novelty": ngram_novelty_q,
     }
 
 

@@ -239,6 +239,9 @@ HEADLINE = [
     "kcore_nodes",
     "lpa_communities",
     "exact_substring_dedup",
+    "ktruss_edges",
+    "link_prediction_aa",
+    "ngram_novelty",
 ]
 
 

@@ -296,3 +296,92 @@ def exact_substring_dedup(
         F.col("n").cast("long").alias("n_tokens_total"),
         (F.col("n") - F.size(kept)).cast("long").alias("n_tokens_removed"),
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    stride: int = 1,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY against the rest of the corpus in
+    ``id_col`` order: the fraction of a document's ``window``-token
+    windows whose first corpus-wide occurrence is in THIS document —
+    the dataset-curation dual of :func:`substring_dup_profile` (that
+    one asks "how much of me is repeated anywhere"; this one asks "how
+    much of me is new given everything admitted before me"), the
+    streaming-admission signal for dedup-aware corpus growth.
+
+    A window is novel for document ``d`` when ``d`` is the MINIMUM doc
+    id containing its fingerprint; ties within a document count once
+    (novelty is over DISTINCT windows of the doc, so a doc repeating
+    its own fresh phrase five times still scores it as one novel
+    window out of its distinct-window total).
+
+    Spark-first shape, deliberately window-free: first-occurrence
+    assignment is ``min(id)`` per fingerprint — a combinable agg, NOT a
+    ``row_number`` over the fingerprint (min is skew-immune: a
+    boilerplate fingerprint repeated 10^6 times partial-aggregates
+    map-side instead of sorting one hot partition). One distinct
+    (doc, fp) projection, one fp-keyed min, one join riding the same
+    exchange, one doc-keyed agg. md5 fingerprints keep the shuffle key
+    fixed-width (the :func:`substring_dup_profile` discipline).
+
+    → ``(id, n_windows, n_novel, novelty_ratio)`` per document, where
+    ``n_windows`` counts the doc's DISTINCT windows; docs shorter than
+    ``window`` have no windows and report ``(0, 0, 1.0)`` — a short
+    unique snippet is all-new by convention.
+    """
+    if window < 2:
+        raise ValueError(f"ngram_novelty needs window >= 2, got {window}")
+    if stride < 1:
+        raise ValueError(f"ngram_novelty needs stride >= 1, got {stride}")
+    w = int(window)
+    base = df.select(F.col(id_col), _toks(text_col).alias("toks")).withColumn(
+        "n", F.size("toks")
+    )
+    starts = F.when(
+        F.col("n") >= w,
+        F.sequence(F.lit(0), F.col("n") - F.lit(w), F.lit(int(stride))),
+    ).otherwise(F.array().cast("array<int>"))
+    wins = (
+        base.select(F.col(id_col), F.explode(starts).alias("start"), "toks")
+        .select(
+            F.col(id_col),
+            F.md5(
+                F.array_join(F.slice(F.col("toks"), F.col("start") + 1, w), " ")
+            ).alias("fp"),
+        )
+        .distinct()
+    )
+    first = wins.groupBy("fp").agg(F.min(id_col).alias("__first"))
+    per_doc = (
+        wins.join(first, "fp")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum(
+                F.when(F.col(id_col) == F.col("__first"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return base.select(id_col).join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_windows"), F.lit(0).cast("long")).alias(
+            "n_windows"
+        ),
+        F.coalesce(F.col("n_novel"), F.lit(0).cast("long")).alias("n_novel"),
+        F.when(
+            F.coalesce(F.col("n_windows"), F.lit(0)) > 0,
+            F.round(
+                F.col("n_novel").cast("double")
+                / F.col("n_windows").cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("novelty_ratio"),
+    )

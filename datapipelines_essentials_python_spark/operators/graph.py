@@ -793,3 +793,205 @@ def lpa_communities(
         if materialize:
             labels = labels.localCheckpoint(eager=True)
     return labels.select("node", F.col("label").alias("community"))
+
+
+def edge_support(edges: DataFrame, materialize: bool = True) -> DataFrame:
+    """Per-edge triangle support over an undirected graph: how many
+    triangles each edge participates in — the edge-level analogue of
+    :func:`triangle_counts` and the inner step of :func:`ktruss`.
+
+    Same degree-ordered orientation as ``triangle_counts`` (each
+    triangle enumerated exactly once, wedge work O(m^1.5) under any
+    skew); each enumerated triangle ``(a, b, c)`` credits its three
+    edges in canonical ``(min, max)`` form, one keyed count, then a
+    left join back to the full edge list so triangle-free edges report
+    support 0.
+
+    → ``(u, v, support)`` with ``u < v``, one row per edge of the
+    normalized graph.
+    """
+    und = undirected_edges(edges)
+    if materialize:
+        und = und.localCheckpoint(eager=True)
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("__du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("__dv"))
+    low_first = F.struct(F.col("__du"), F.col("u")) < F.struct(
+        F.col("__dv"), F.col("v")
+    )
+    oriented = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(low_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(low_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    if materialize:
+        oriented = oriented.localCheckpoint(eager=True)
+    wedges = oriented.select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    ).join(
+        oriented.select(F.col("src").alias("b"), F.col("dst").alias("c")),
+        "b",
+    )
+    closing = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = wedges.join(closing, ["a", "c"])
+    sides = (
+        tri.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .unionByName(tri.select(F.col("b").alias("x"), F.col("c").alias("y")))
+        .unionByName(tri.select(F.col("a").alias("x"), F.col("c").alias("y")))
+    )
+    sup = sides.select(
+        F.least(F.col("x"), F.col("y")).alias("u"),
+        F.greatest(F.col("x"), F.col("y")).alias("v"),
+    ).groupBy("u", "v").agg(F.count(F.lit(1)).cast("long").alias("support"))
+    return und.join(sup, ["u", "v"], "left").select(
+        "u",
+        "v",
+        F.coalesce(F.col("support"), F.lit(0).cast("long")).alias("support"),
+    )
+
+
+def ktruss(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 3,
+    materialize: bool = True,
+) -> DataFrame:
+    """k-truss subgraph by iterative support peeling (Cohen, 2008): drop
+    every edge in fewer than ``k − 2`` triangles, recount support on the
+    surviving subgraph, repeat — the EDGE-level cohesion filter one
+    notch stronger than :func:`kcore` (every k-truss is inside the
+    (k−1)-core, but a k-core can be triangle-free): the standard
+    community-backbone / spam-link filter on co-occurrence graphs.
+
+    As with ``kcore``, the ``max_rounds`` cap is part of the CONTRACT
+    (result = graph after min(fixpoint, max_rounds) peel rounds): truss
+    peeling is monotone, so once the fixpoint is reached every further
+    unrolled round is a no-op and the early exit changes nothing — the
+    SQL oracle unrolls exactly ``max_rounds`` support-filter rounds and
+    one final support count, replaying the result bit-for-bit.
+
+    Cost shape: each round is one :func:`edge_support` pass — O(m^1.5)
+    wedge work on the SURVIVING edges — and the first round removes the
+    long tail (the affinity graph sheds ~half its edges in round one),
+    so per-round cost decays quickly. All counts integer; no floats
+    anywhere.
+
+    → ``(u, v, support)``: the surviving edges with their support inside
+    the surviving subgraph (all ≥ k−2 once the fixpoint is reached
+    within the cap).
+    """
+    if k < 3:
+        raise ValueError(f"ktruss needs k >= 3, got {k}")
+    if max_rounds < 1:
+        raise ValueError(f"ktruss needs max_rounds >= 1, got {max_rounds}")
+    thresh = k - 2
+
+    def _as_directed(e: DataFrame) -> DataFrame:
+        # edge_support normalizes via undirected_edges(src, dst); the
+        # loop state is already canonical (u < v), so this rename is a
+        # no-op normalization, not a re-shuffle of new information.
+        return e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+
+    cur = undirected_edges(edges)
+    if materialize:
+        cur = cur.localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        sup = edge_support(_as_directed(cur), materialize=materialize)
+        kept = sup.where(F.col("support") >= thresh).select("u", "v")
+        if materialize:
+            kept = kept.localCheckpoint(eager=True)
+        # 1-row scalar action — the convergence test (same discipline as
+        # kcore); reads checkpointed state, not re-derived lineage.
+        if kept.count() == cur.count():
+            cur = kept
+            break
+        cur = kept
+    return edge_support(_as_directed(cur), materialize=materialize)
+
+
+def adamic_adar(
+    edges: DataFrame,
+    top_n: int = 50,
+    max_degree: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Adamic–Adar link prediction over an undirected graph: for each
+    NON-adjacent pair ``(u, v)``, ``AA = Σ_{w ∈ N(u)∩N(v)} 1/ln(deg w)``
+    — common neighbors weighted so that promiscuous hubs certify less
+    (Adamic & Adar, 2003). The classic "parts that should co-occur but
+    don't yet" recommender over the affinity graph.
+
+    Spark-first shape: enumerate wedges by their CENTER ``w`` — one
+    self-join of the symmetrized adjacency producing each unordered
+    endpoint pair once (``u < v``) — then one keyed sum and one
+    left-anti join dropping pairs that are already edges, then the
+    bounded top-N. Per-center fan-out is C(deg w, 2), so total work is
+    Σ C(deg, 2); ``max_degree`` is the hub cap for skewed graphs —
+    dropping centers above it bounds the quadratic term at
+    C(max_degree, 2) per node and loses only the contributions ln
+    already crushes (a 10^6-degree hub certifies 1/ln(10^6) ≈ 0.07 per
+    pair but would cost 5·10^11 wedge rows).
+
+    Numeric contract: per-center contributions ``1/ln(deg w)`` are
+    rounded to 6 dp and summed as DECIMAL(18,6) — order-independent,
+    partitioning-invariant, and the oracle replays libm ln exactly (the
+    BM25 discipline). Output score is an integer micro-score
+    (``aa_micro = round(AA, 6) · 10^6``) with a total order
+    ``(aa_micro DESC, u ASC, v ASC)``.
+
+    → top-N ``(u, v, common_neighbors, aa_micro)``.
+    """
+    if top_n < 1:
+        raise ValueError(f"adamic_adar needs top_n >= 1, got {top_n}")
+    und = undirected_edges(edges)
+    if materialize:
+        und = und.localCheckpoint(eager=True)
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    if max_degree is not None:
+        deg = deg.where(F.col("degree") <= F.lit(int(max_degree)))
+    # contribution carried on the center row: one decimal per wedge
+    centers = deg.where(F.col("degree") >= 2).select(
+        F.col("node").alias("w"),
+        F.round(F.lit(1.0) / F.log(F.col("degree").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("contrib"),
+    )
+    adj = und.select(F.col("u").alias("w"), F.col("v").alias("n")).unionByName(
+        und.select(F.col("v").alias("w"), F.col("u").alias("n"))
+    )
+    wedge = (
+        adj.withColumnRenamed("n", "a")
+        .join(adj.withColumnRenamed("n", "b"), "w")
+        .where(F.col("a") < F.col("b"))
+        .join(centers, "w")
+    )
+    pairs = wedge.groupBy(F.col("a").alias("u"), F.col("b").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+        F.sum("contrib").alias("aa_dec"),
+    )
+    candidates = pairs.join(und, ["u", "v"], "left_anti")
+    return (
+        candidates.select(
+            "u",
+            "v",
+            "common_neighbors",
+            F.round(F.col("aa_dec").cast("double") * 1e6)
+            .cast("long")
+            .alias("aa_micro"),
+        )
+        .orderBy(F.desc("aa_micro"), F.asc("u"), F.asc("v"))
+        .limit(top_n)
+    )

@@ -4371,3 +4371,113 @@ SELECT CAST(tx.doc_id AS BIGINT) AS doc_id,
   CAST(len(tx.tk) - coalesce(ka.n_kept, 0) AS BIGINT) AS n_tokens_removed
 FROM toks tx LEFT JOIN ka ON ka.doc_id = tx.doc_id
 """
+
+
+# Per-round edge-support block for the 4-truss unroll: same degree-
+# ordered orientation as the triangle_count oracle, each triangle
+# crediting its three canonical edges. MATERIALIZED everywhere for the
+# same reason as the kcore unroll (each round is referenced 2-3 times).
+def _truss_round(src: str, dst: str) -> str:
+    return f""",
+deg_{dst} AS MATERIALIZED (
+  SELECT node, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM {src} UNION ALL SELECT v AS node FROM {src})
+  GROUP BY 1),
+o_{dst} AS MATERIALIZED (
+  SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
+         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst
+  FROM {src} e
+  JOIN deg_{dst} du ON du.node = e.u
+  JOIN deg_{dst} dv ON dv.node = e.v),
+tri_{dst} AS MATERIALIZED (
+  SELECT w.a, w.b, w.c
+  FROM (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM o_{dst} e1 JOIN o_{dst} e2 ON e1.dst = e2.src) w
+  JOIN o_{dst} e3 ON e3.src = w.a AND e3.dst = w.c),
+sup_{dst} AS MATERIALIZED (
+  SELECT least(x, y) AS u, greatest(x, y) AS v, count(*) AS s
+  FROM (SELECT a AS x, b AS y FROM tri_{dst}
+        UNION ALL SELECT b AS x, c AS y FROM tri_{dst}
+        UNION ALL SELECT a AS x, c AS y FROM tri_{dst})
+  GROUP BY 1, 2),
+{dst} AS MATERIALIZED (
+  SELECT e.u, e.v
+  FROM {src} e JOIN sup_{dst} s ON s.u = e.u AND s.v = e.v
+  WHERE s.s >= 2)"""
+
+
+_kt = [f"WITH {_AFF},\ne0 AS MATERIALIZED (SELECT u, v FROM und)"]
+for _i in range(3):
+    _kt.append(_truss_round(f"e{_i}", f"e{_i + 1}"))
+# final support count over the surviving edge set (support 0 kept via
+# LEFT JOIN — mirrors graph.edge_support's closing left join)
+_kt.append(_truss_round("e3", "efin").rsplit(",\nefin AS MATERIALIZED", 1)[0])
+_kt.append("""
+SELECT CAST(e.u AS BIGINT) AS u, CAST(e.v AS BIGINT) AS v,
+  CAST(coalesce(s.s, 0) AS BIGINT) AS support
+FROM e3 e LEFT JOIN sup_efin s ON s.u = e.u AND s.v = e.v
+""")
+ORACLES["ktruss_edges"] = "".join(_kt)
+
+# Adamic-Adar top-50 — mirrors graph.adamic_adar: wedges by center,
+# per-center contribution round(1/ln(deg), 6) summed as DECIMAL(18,6)
+# (order-independent), integer micro-score, total order.
+ORACLES["link_prediction_aa"] = f"""
+WITH {_AFF},
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+  GROUP BY 1),
+centers AS (
+  SELECT node AS w,
+    CAST(round(1.0 / ln(CAST(d AS DOUBLE)), 6) AS DECIMAL(18,6)) AS contrib
+  FROM deg WHERE d >= 2),
+adj AS MATERIALIZED (
+  SELECT u AS w, v AS n FROM und UNION ALL SELECT v AS w, u AS n FROM und),
+wedge AS (
+  SELECT a.w, a.n AS a, b.n AS b
+  FROM adj a JOIN adj b ON a.w = b.w AND a.n < b.n),
+pairs AS (
+  SELECT wd.a AS u, wd.b AS v,
+    CAST(count(*) AS BIGINT) AS common_neighbors,
+    sum(c.contrib) AS aa_dec
+  FROM wedge wd JOIN centers c ON c.w = wd.w
+  GROUP BY 1, 2),
+cand AS (
+  SELECT p.* FROM pairs p
+  LEFT JOIN und e ON e.u = p.u AND e.v = p.v
+  WHERE e.u IS NULL)
+SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v, common_neighbors,
+  CAST(round(CAST(aa_dec AS DOUBLE) * 1e6) AS BIGINT) AS aa_micro
+FROM cand
+ORDER BY aa_micro DESC, u ASC, v ASC
+LIMIT 50
+"""
+
+# Per-doc 8-gram novelty — mirrors chunking.ngram_novelty(window=8,
+# stride=1): DISTINCT (doc, fp) windows, first occurrence = min(doc_id)
+# per fingerprint, short/empty docs report (0, 0, 1.0).
+ORACLES["ngram_novelty"] = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS tk FROM documents),
+w0 AS (
+  SELECT doc_id, tk, unnest(range(0, len(tk) - 7)) AS s
+  FROM toks WHERE len(tk) >= 8),
+wins AS (
+  SELECT DISTINCT doc_id,
+    md5(array_to_string(tk[CAST(s AS INT) + 1 : CAST(s AS INT) + 8], ' ')) AS fp
+  FROM w0),
+first AS (SELECT fp, min(doc_id) AS f FROM wins GROUP BY 1),
+pd AS (
+  SELECT w.doc_id,
+    CAST(count(*) AS BIGINT) AS n_windows,
+    CAST(SUM(CASE WHEN w.doc_id = f.f THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+  FROM wins w JOIN first f ON f.fp = w.fp
+  GROUP BY 1)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+  CAST(coalesce(pd.n_windows, 0) AS BIGINT) AS n_windows,
+  CAST(coalesce(pd.n_novel, 0) AS BIGINT) AS n_novel,
+  CASE WHEN coalesce(pd.n_windows, 0) > 0
+       THEN round(CAST(pd.n_novel AS DOUBLE) / CAST(pd.n_windows AS DOUBLE), 6)
+       ELSE CAST(1.0 AS DOUBLE) END AS novelty_ratio
+FROM toks t LEFT JOIN pd ON pd.doc_id = t.doc_id
+"""

@@ -267,3 +267,176 @@ def test_exact_substring_dedup_plan_no_python(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEval" not in plan
     assert "md5" in plan.lower()
+
+
+# -------------------------------------------------------- edge support
+
+
+def test_edge_support_square_with_diagonal(spark):
+    """Square 1-2-3-4 plus diagonal 1-3: two triangles (1,2,3) and
+    (1,3,4). The diagonal sits in both (support 2); every rim edge sits
+    in exactly one."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4), (1, 3)], "src long, dst long"
+    )
+    out = {(r["u"], r["v"]): r["support"] for r in graph.edge_support(edges).collect()}
+    assert out == {(1, 2): 1, (2, 3): 1, (3, 4): 1, (1, 4): 1, (1, 3): 2}
+
+
+def test_edge_support_triangle_free_reports_zero(spark):
+    """A path has no triangles; every edge reports support 0 (left-join
+    completion, not row loss)."""
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    out = {(r["u"], r["v"]): r["support"] for r in graph.edge_support(edges).collect()}
+    assert out == {(1, 2): 0, (2, 3): 0}
+
+
+# -------------------------------------------------------------- k-truss
+
+
+def test_ktruss_peels_pendant_triangle_chain(spark):
+    """Two triangles sharing node 3 plus a pendant edge: the 3-truss
+    (support >= 1) keeps both triangles and drops the pendant; each
+    surviving edge sits in exactly its own triangle."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5), (5, 6)],
+        "src long, dst long",
+    )
+    out = {(r["u"], r["v"]): r["support"] for r in graph.ktruss(edges, k=3).collect()}
+    assert out == {
+        (1, 2): 1, (2, 3): 1, (1, 3): 1,
+        (3, 4): 1, (4, 5): 1, (3, 5): 1,
+    }
+
+
+def test_ktruss_cascade_needs_recount(spark):
+    """K4 minus one edge (1-2, 1-3, 1-4, 2-3, 2-4): the 4-truss
+    (support >= 2) first drops 3-x edges... iterating matters: edges
+    (1,2) start at support 2 but lose it once their certifying
+    triangles break. Fixpoint is empty."""
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)], "src long, dst long"
+    )
+    assert graph.ktruss(edges, k=4, max_rounds=4).count() == 0
+
+
+def test_ktruss_k4_keeps_k4(spark):
+    """The complete graph K4 is its own 4-truss: every edge in 2
+    triangles."""
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)], "src long, dst long"
+    )
+    out = graph.ktruss(edges, k=4).collect()
+    assert len(out) == 6 and all(r["support"] == 2 for r in out)
+
+
+def test_ktruss_validates_args(spark):
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        graph.ktruss(edges, k=2)
+    with pytest.raises(ValueError):
+        graph.ktruss(edges, k=4, max_rounds=0)
+
+
+# ----------------------------------------------------------- Adamic-Adar
+
+
+def test_adamic_adar_scores_and_excludes_edges(spark):
+    """Path 1-2-3 plus 3-4: pair (1,3) is adjacent (excluded); (1,3)?
+    no — (1,3) is NOT an edge here. Wedges: center 2 -> (1,3); center 3
+    -> (2,4). Each center has degree 2 -> contribution 1/ln(2)."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    rows = {(r["u"], r["v"]): r for r in graph.adamic_adar(edges, top_n=10).collect()}
+    import math
+    micro = round(round(1.0 / math.log(2.0), 6) * 1e6)
+    assert set(rows) == {(1, 3), (2, 4)}
+    for r in rows.values():
+        assert r["common_neighbors"] == 1
+        assert r["aa_micro"] == micro
+
+
+def test_adamic_adar_existing_edges_are_anti_joined(spark):
+    """Triangle 1-2-3: every 2-path closes an existing edge, so there
+    are no predictions."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src long, dst long"
+    )
+    assert graph.adamic_adar(edges, top_n=10).count() == 0
+
+
+def test_adamic_adar_hub_cap_drops_center(spark):
+    """Star center 9 connects 1..4 (degree 4); with max_degree=3 the
+    star's wedges vanish and nothing is predicted."""
+    edges = spark.createDataFrame(
+        [(9, 1), (9, 2), (9, 3), (9, 4)], "src long, dst long"
+    )
+    assert graph.adamic_adar(edges, top_n=10).count() == 6  # C(4,2) via center 9
+    assert graph.adamic_adar(edges, top_n=10, max_degree=3).count() == 0
+
+
+def test_adamic_adar_more_common_neighbors_rank_higher(spark):
+    """Pairs (1,2) and (5,6) each share two degree-2 centers; (3,4)
+    shares only one: the two-witness pairs outrank the one-witness pair,
+    and the equal-score tie breaks on (u, v) ascending."""
+    edges = spark.createDataFrame(
+        [(1, 5), (2, 5), (1, 6), (2, 6), (3, 7), (4, 7)],
+        "src long, dst long",
+    )
+    out = graph.adamic_adar(edges, top_n=3).collect()
+    assert [(r["u"], r["v"], r["common_neighbors"]) for r in out] == [
+        (1, 2, 2),
+        (5, 6, 2),
+        (3, 4, 1),
+    ]
+    assert out[0]["aa_micro"] == out[1]["aa_micro"] > out[2]["aa_micro"]
+
+
+# -------------------------------------------------------- n-gram novelty
+
+
+def test_ngram_novelty_first_doc_wins(spark):
+    from datapipelines_essentials_python_spark.operators.chunking import (
+        ngram_novelty,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),       # both 3-gram windows first seen here
+            (2, "a b c x"),       # shares window 'a b c' -> 1 of 2 novel
+            (3, "a b"),           # shorter than window -> (0, 0, 1.0)
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty(df, window=3).collect()}
+    assert (out[1]["n_windows"], out[1]["n_novel"]) == (2, 2)
+    assert (out[2]["n_windows"], out[2]["n_novel"]) == (2, 1)
+    assert out[2]["novelty_ratio"] == 0.5
+    assert (out[3]["n_windows"], out[3]["n_novel"], out[3]["novelty_ratio"]) == (
+        0, 0, 1.0,
+    )
+
+
+def test_ngram_novelty_distinct_windows_within_doc(spark):
+    """A doc repeating its own fresh phrase counts it once: 'a b a b'
+    at window 2 has windows {ab, ba} distinct -> 2 windows, both novel."""
+    from datapipelines_essentials_python_spark.operators.chunking import (
+        ngram_novelty,
+    )
+
+    df = spark.createDataFrame([(7, "a b a b")], "doc_id long, text string")
+    r = ngram_novelty(df, window=2).collect()[0]
+    assert (r["n_windows"], r["n_novel"], r["novelty_ratio"]) == (2, 2, 1.0)
+
+
+def test_ngram_novelty_no_ranking_window_in_plan(spark):
+    """The scale contract: first-occurrence is a combinable min agg, not
+    a row_number over the fingerprint — no WindowExec in the plan."""
+    from datapipelines_essentials_python_spark.operators.chunking import (
+        ngram_novelty,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = ngram_novelty(df, window=2)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
