@@ -4656,6 +4656,29 @@ def ngram_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_ops.ngram_novelty(docs, window=8, stride=1)
 
 
+def bfs_reach_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances (``graph.bfs_distances``,
+    max_hops=3) from the deterministic seed set ``node % 97 == 0`` over
+    the part-affinity graph — the impact-radius primitive (how far does
+    a recalled part propagate through co-order affinity?). Per hop: one
+    frontier join + one combinable min(dist) fold, cost proportional to
+    the FRONTIER's edges (not the visited set); the max_hops cap is the
+    oracle-replay contract, as in kcore/ktruss."""
+    from datapipelines_essentials_python_spark.operators import graph as graph_ops
+
+    edges = _affinity_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.where(F.col("node") % 97 == 0)
+    return graph_ops.bfs_distances(edges, seeds, max_hops=3).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("dist").cast("int").alias("dist"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # The driver's CORRECTNESS gate records only the first 50 entries.
@@ -4896,6 +4919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss_edges": ktruss_edges,
         "link_prediction_aa": link_prediction_aa,
         "ngram_novelty": ngram_novelty_q,
+        "bfs_reach_3hop": bfs_reach_3hop,
     }
 
 

@@ -995,3 +995,71 @@ def adamic_adar(
         .orderBy(F.desc("aa_micro"), F.asc("u"), F.asc("v"))
         .limit(top_n)
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    materialize: bool = True,
+) -> DataFrame:
+    """Multi-source BFS hop distances over an undirected graph: the
+    minimum number of edges from any seed to each reachable node, capped
+    at ``max_hops`` — the impact-radius / recall-expansion primitive
+    (how far does a recalled part, a poisoned document, a flagged
+    supplier propagate?). Complements :func:`personalized_pagerank`:
+    PPR weights the neighborhood, BFS bounds it.
+
+    ``seeds`` is a one-column ``(node)`` DataFrame; seed rows not
+    present in the graph are still reported at distance 0 (the caller
+    asked about them; unreachable non-seeds are simply absent).
+
+    The ``max_hops`` cap is the CONTRACT (the kcore/ktruss discipline):
+    the result is exactly "min-distance ≤ max_hops", so the SQL oracle
+    unrolls ``max_hops`` frontier expansions and replays it — BFS
+    layers are monotone, so the early exit when a frontier empties
+    changes nothing.
+
+    Spark-first shape, per hop: one hash join publishing the CURRENT
+    frontier (nodes first reached last round — not the whole visited
+    set) along the symmetrized adjacency, then one map-side-combined
+    ``min(dist)`` agg folding new candidates into the visited state —
+    no window, no driver-side frontier. State is one (node, dist) row
+    per visited node, pinned per round with ``localCheckpoint``; the
+    adjacency is pinned once. Per-hop cost is proportional to the
+    FRONTIER's edges, the textbook distributed-BFS bound.
+
+    → ``(node, dist)``, one row per node within ``max_hops`` of a seed.
+    """
+    if max_hops < 0:
+        raise ValueError(f"bfs_distances needs max_hops >= 0, got {max_hops}")
+    und = undirected_edges(edges)
+    adj = und.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionByName(und.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    if materialize:
+        adj = adj.localCheckpoint(eager=True)
+    dist = seeds.select(F.col("node")).distinct().select(
+        "node", F.lit(0).cast("int").alias("dist")
+    )
+    if materialize:
+        dist = dist.localCheckpoint(eager=True)
+    for h in range(1, max_hops + 1):
+        frontier = dist.where(F.col("dist") == h - 1).select(
+            F.col("node").alias("src")
+        )
+        nxt = adj.join(frontier, "src").select(
+            F.col("dst").alias("node"), F.lit(h).cast("int").alias("dist")
+        )
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("node")
+            .agg(F.min("dist").cast("int").alias("dist"))
+        )
+        if materialize:
+            dist = dist.localCheckpoint(eager=True)
+        # 1-row scalar action — frontier-empty exit (reads checkpointed
+        # state); a no-op for the result, pure round-skipping.
+        if dist.where(F.col("dist") == h).limit(1).count() == 0:
+            break
+    return dist

@@ -4481,3 +4481,30 @@ SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
        ELSE CAST(1.0 AS DOUBLE) END AS novelty_ratio
 FROM toks t LEFT JOIN pd ON pd.doc_id = t.doc_id
 """
+
+
+# Multi-source BFS, unrolled to exactly max_hops=3 — mirrors
+# graph.bfs_distances from the node % 97 == 0 seed set: each round folds
+# frontier neighbors into the visited set with a min(dist). MATERIALIZED
+# per round (the kcore unroll lesson).
+_bfs = [
+    f"""WITH {_AFF},
+adj AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM und
+  UNION ALL SELECT v AS src, u AS dst FROM und),
+d0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node, 0 AS dist FROM adj WHERE src % 97 = 0)"""
+]
+for _i in range(1, 4):
+    _bfs.append(f""",
+d{_i} AS MATERIALIZED (
+  SELECT node, CAST(min(dist) AS INT) AS dist FROM (
+    SELECT node, dist FROM d{_i - 1}
+    UNION ALL
+    SELECT a.dst AS node, {_i} AS dist
+    FROM adj a JOIN d{_i - 1} f ON f.node = a.src AND f.dist = {_i - 1})
+  GROUP BY 1)""")
+_bfs.append("""
+SELECT CAST(node AS BIGINT) AS node, CAST(dist AS INT) AS dist FROM d3
+""")
+ORACLES["bfs_reach_3hop"] = "".join(_bfs)

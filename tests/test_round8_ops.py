@@ -440,3 +440,39 @@ def test_ngram_novelty_no_ranking_window_in_plan(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     plan = ngram_novelty(df, window=2)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+# ------------------------------------------------------------------ BFS
+
+
+def test_bfs_distances_layers_and_cap(spark):
+    """Path 1-2-3-4-5 from seed {1}: hop layers are exact; max_hops=2
+    truncates at distance 2 (node 4, 5 absent)."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    full = {r["node"]: r["dist"] for r in graph.bfs_distances(edges, seeds, max_hops=4).collect()}
+    assert full == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+    capped = {r["node"]: r["dist"] for r in graph.bfs_distances(edges, seeds, max_hops=2).collect()}
+    assert capped == {1: 0, 2: 1, 3: 2}
+
+
+def test_bfs_distances_multi_source_min(spark):
+    """Seeds {1, 5} on the path 1-2-3-4-5: node 3 is 2 hops from both,
+    node 4 is 1 hop from seed 5 — the min wins."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,), (5,)], "node long")
+    out = {r["node"]: r["dist"] for r in graph.bfs_distances(edges, seeds, max_hops=3).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 4: 1, 5: 0}
+
+
+def test_bfs_distances_disconnected_and_foreign_seed(spark):
+    """A seed not in the graph still reports dist 0; the disconnected
+    component stays absent."""
+    edges = spark.createDataFrame([(1, 2), (8, 9)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,), (99,)], "node long")
+    out = {r["node"]: r["dist"] for r in graph.bfs_distances(edges, seeds, max_hops=3).collect()}
+    assert out == {1: 0, 2: 1, 99: 0}
