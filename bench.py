@@ -242,6 +242,7 @@ HEADLINE = [
     "ktruss_edges",
     "link_prediction_aa",
     "ngram_novelty",
+    "bfs_reach_3hop",
 ]
 
 
