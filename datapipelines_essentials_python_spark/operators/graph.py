@@ -722,7 +722,11 @@ def kcore(
         # 1-row scalar action — the convergence test; reads checkpointed
         # state, not re-derived lineage.
         if low.count() == 0:
-            break
+            # fixpoint: ``deg`` was computed on the unchanged ``und``,
+            # so it IS the result — returning it saves the closing
+            # degree pass (the cap-exit path below still needs one,
+            # because its last filter ran after the last count).
+            return deg
         und = und.join(
             low.select(F.col("node").alias("u")), "u", "left_anti"
         ).join(low.select(F.col("node").alias("v")), "v", "left_anti")
@@ -911,8 +915,11 @@ def ktruss(
         # 1-row scalar action — the convergence test (same discipline as
         # kcore); reads checkpointed state, not re-derived lineage.
         if kept.count() == cur.count():
-            cur = kept
-            break
+            # fixpoint: every edge of ``cur`` kept its support, so the
+            # ``sup`` just computed IS edge_support of the final set —
+            # skip the closing O(m^1.5) pass. (Cap exit below still
+            # recounts: its last filter changed the edge set.)
+            return sup
         cur = kept
     return edge_support(_as_directed(cur), materialize=materialize)
 
