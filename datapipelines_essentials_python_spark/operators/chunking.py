@@ -239,10 +239,11 @@ def exact_substring_dedup(
        fingerprinted with ``md5`` so the corpus-wide shuffle key is a
        fixed 32-byte hash, never the w-token text (the stride-1 blow-up
        is ~w× the corpus; hashing keeps the shuffle payload flat);
-    2. first-occurrence marking: one window over the fingerprint
-       (``row_number`` ordered by ``(id, start)``) — occurrences with
-       ``rn > 1`` mark their covered interval ``[start, start+w)`` for
-       removal;
+    2. first-occurrence marking: one fingerprint-keyed
+       ``min(struct(id, start))`` — a combinable agg (map-side partials,
+       skew-immune on boilerplate hot keys; a ranking window would sort
+       one hot partition) — every non-first occurrence marks its covered
+       interval ``[start, start+w)`` for removal;
     3. reassembly: removal starts collect per doc (one keyed agg), then
        a per-token ``filter(toks, (t, i) -> ¬∃ s: s ≤ i < s+w)`` — the
        per-doc interval array is bounded by the doc's own duplicated-
@@ -278,10 +279,19 @@ def exact_substring_dedup(
             F.array_join(F.slice(F.col("toks"), F.col("start") + 1, w), " ")
         ).alias("fp"),
     )
-    w_first = Window.partitionBy("fp").orderBy(id_col, "start")
+    # first occurrence = min (id, start) per fingerprint — a COMBINABLE
+    # agg with map-side partials, deliberately not a row_number window:
+    # a boilerplate fingerprint repeated 10^6 times partial-aggregates
+    # instead of sorting one hot partition (the skew note in SCALE.md).
+    first = wins.groupBy("fp").agg(
+        F.min(F.struct(F.col(id_col), F.col("start"))).alias("__first")
+    )
     removed = (
-        wins.withColumn("rn", F.row_number().over(w_first))
-        .where(F.col("rn") > 1)
+        wins.join(first, "fp")
+        .where(
+            (F.col(id_col) != F.col(f"__first.{id_col}"))
+            | (F.col("start") != F.col("__first.start"))
+        )
         .groupBy(id_col)
         .agg(F.collect_list("start").alias("rm"))
     )

@@ -476,3 +476,19 @@ def test_bfs_distances_disconnected_and_foreign_seed(spark):
     seeds = spark.createDataFrame([(1,), (99,)], "node long")
     out = {r["node"]: r["dist"] for r in graph.bfs_distances(edges, seeds, max_hops=3).collect()}
     assert out == {1: 0, 2: 1, 99: 0}
+
+
+def test_exact_substring_dedup_no_ranking_window_in_plan(spark):
+    """Scale contract: first-occurrence marking is a combinable
+    min(struct) agg on the fingerprint, not a row_number window — no
+    WindowExec anywhere in the plan."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e")], "doc_id long, text string"
+    )
+    plan = (
+        exact_substring_dedup(df, window_size=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
