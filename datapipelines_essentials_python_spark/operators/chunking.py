@@ -87,18 +87,31 @@ def span_dedup(
     whose every block is a repeat disappears from the output (it is a
     full duplicate at block granularity).
 
-    Two shuffles at scale: one keyed on block text (the dedup window),
-    one on the doc id (reassembly) — both partial-agg friendly.
+    Two shuffle keys at scale: the block text (first-occurrence via a
+    combinable min(struct) agg — skew-immune on repeated boilerplate
+    blocks) and the doc id (per-doc total window + reassembly agg, both
+    riding one id exchange; the window's group is bounded by the doc's
+    own block count).
     """
     blocks = chunk_documents(
         df, text_col=text_col, id_col=id_col, chunk_size=block_size, stride=block_size
     ).select(id_col, F.col("chunk_id").alias("block_idx"), F.col("chunk_text"))
-    w_first = Window.partitionBy("chunk_text").orderBy(id_col, "block_idx")
+    # first occurrence = min (id, block_idx) per block text — combinable
+    # agg with map-side partials instead of a row_number window, so a
+    # boilerplate block repeated 10^6 times never sorts on one partition
+    # (the exact_substring_dedup discipline); the join back on the block
+    # text rides the same exchange.
+    first = blocks.groupBy("chunk_text").agg(
+        F.min(F.struct(F.col(id_col), F.col("block_idx"))).alias("__first")
+    )
     w_doc = Window.partitionBy(id_col)
-    marked = blocks.withColumn("rn", F.row_number().over(w_first)).withColumn(
+    marked = blocks.join(first, "chunk_text").withColumn(
         "n_blocks_total", F.count(F.lit(1)).over(w_doc)
     )
-    kept = marked.where(F.col("rn") == 1)
+    kept = marked.where(
+        (F.col(id_col) == F.col(f"__first.{id_col}"))
+        & (F.col("block_idx") == F.col("__first.block_idx"))
+    )
     reassembled = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
