@@ -321,6 +321,39 @@ def exact_substring_dedup(
     )
 
 
+def window_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    stride: int = 1,
+) -> DataFrame:
+    """DISTINCT per-document window fingerprints → ``(id, fp)``: every
+    ``window``-token window at the given stride, md5-hashed (fixed-width
+    shuffle key), deduplicated within the document — the shared
+    projection under :func:`ngram_novelty` and the streaming novelty
+    admission (one fingerprint definition, two execution modes). Docs
+    shorter than ``window`` emit no rows."""
+    w = int(window)
+    base = df.select(F.col(id_col), _toks(text_col).alias("toks")).withColumn(
+        "n", F.size("toks")
+    )
+    starts = F.when(
+        F.col("n") >= w,
+        F.sequence(F.lit(0), F.col("n") - F.lit(w), F.lit(int(stride))),
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        base.select(F.col(id_col), F.explode(starts).alias("start"), "toks")
+        .select(
+            F.col(id_col),
+            F.md5(
+                F.array_join(F.slice(F.col("toks"), F.col("start") + 1, w), " ")
+            ).alias("fp"),
+        )
+        .distinct()
+    )
+
+
 def ngram_novelty(
     df: DataFrame,
     text_col: str = "text",
@@ -360,23 +393,8 @@ def ngram_novelty(
         raise ValueError(f"ngram_novelty needs window >= 2, got {window}")
     if stride < 1:
         raise ValueError(f"ngram_novelty needs stride >= 1, got {stride}")
-    w = int(window)
-    base = df.select(F.col(id_col), _toks(text_col).alias("toks")).withColumn(
-        "n", F.size("toks")
-    )
-    starts = F.when(
-        F.col("n") >= w,
-        F.sequence(F.lit(0), F.col("n") - F.lit(w), F.lit(int(stride))),
-    ).otherwise(F.array().cast("array<int>"))
-    wins = (
-        base.select(F.col(id_col), F.explode(starts).alias("start"), "toks")
-        .select(
-            F.col(id_col),
-            F.md5(
-                F.array_join(F.slice(F.col("toks"), F.col("start") + 1, w), " ")
-            ).alias("fp"),
-        )
-        .distinct()
+    wins = window_fingerprints(
+        df, text_col=text_col, id_col=id_col, window=window, stride=stride
     )
     first = wins.groupBy("fp").agg(F.min(id_col).alias("__first"))
     per_doc = (
@@ -391,7 +409,7 @@ def ngram_novelty(
             .alias("n_novel"),
         )
     )
-    return base.select(id_col).join(per_doc, id_col, "left").select(
+    return df.select(F.col(id_col)).join(per_doc, id_col, "left").select(
         F.col(id_col),
         F.coalesce(F.col("n_windows"), F.lit(0).cast("long")).alias(
             "n_windows"

@@ -546,3 +546,106 @@ def streaming_transition_profile(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def streaming_novelty_admission(
+    stream: DataFrame,
+    seen_fps_path: str,
+    id_col: str,
+    text_col: str,
+    sink: Callable[[DataFrame, int], None],
+    window: int = 8,
+    novelty_floor: float = 0.5,
+    checkpoint_dir: str | None = None,
+    query_name: str = "novelty_admission",
+) -> StreamingQuery:
+    """Streaming novelty-gated corpus admission — the streaming twin of
+    ``chunking.ngram_novelty``: each micro-batch's documents are scored
+    by the fraction of their DISTINCT ``window``-token fingerprints
+    never seen before (neither in the served store nor in an
+    earlier-id document of the same batch), and only docs at/above
+    ``novelty_floor`` reach the sink (with the novelty columns attached
+    for audit). One fingerprint definition — ``chunking.window_
+    fingerprints`` — two execution modes, the ``streaming_cdc_upsert`` /
+    ``merge_cdc`` contract.
+
+    ``seen_fps_path`` is a parquet directory holding one ``fp`` string
+    column: ALL fingerprints ever seen (admitted or not — novelty is
+    "new to the corpus stream", not "new to the kept set", which is
+    what makes the streaming result REPLAYABLE: it equals the batch
+    ``ngram_novelty`` over the concatenated input whenever arrival
+    order matches ``id_col`` order, regardless of the gate). The store
+    is re-read at each batch and appended after scoring — a nonexistent
+    path starts empty. At scale the store is a narrow single-column
+    table: the per-batch cost is one anti-join of batch fingerprints
+    against it (Bloom/DPP-prunable) plus batch-sized aggregation.
+    """
+    from pyspark.sql.utils import AnalysisException
+    from datapipelines_essentials_python_spark.operators.chunking import (
+        window_fingerprints,
+    )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        fps = window_fingerprints(
+            batch_df, text_col=text_col, id_col=id_col, window=window
+        ).localCheckpoint(eager=True)
+        try:
+            seen = spark.read.parquet(seen_fps_path).select("fp").distinct()
+        except AnalysisException:
+            seen = spark.createDataFrame([], "fp string")
+        unseen = fps.join(seen, "fp", "left_anti")
+        first = unseen.groupBy("fp").agg(F.min(id_col).alias("__first"))
+        novel = (
+            unseen.join(first, "fp")
+            .where(F.col(id_col) == F.col("__first"))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
+        )
+        totals = fps.groupBy(id_col).agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows")
+        )
+        scored = (
+            batch_df.join(totals, id_col, "left")
+            .join(novel, id_col, "left")
+            .select(
+                "*",
+                F.coalesce(F.col("n_windows"), F.lit(0).cast("long")).alias(
+                    "__nw"
+                ),
+                F.coalesce(F.col("n_novel"), F.lit(0).cast("long")).alias(
+                    "__nn"
+                ),
+            )
+            .drop("n_windows", "n_novel")
+            .select(
+                "*",
+                F.col("__nw").alias("n_windows"),
+                F.col("__nn").alias("n_novel"),
+                F.when(
+                    F.col("__nw") > 0,
+                    F.round(
+                        F.col("__nn").cast("double")
+                        / F.col("__nw").cast("double"),
+                        6,
+                    ),
+                )
+                .otherwise(F.lit(1.0))
+                .alias("novelty_ratio"),
+            )
+            .drop("__nw", "__nn")
+        )
+        sink(
+            scored.where(F.col("novelty_ratio") >= F.lit(novelty_floor)),
+            epoch_id,
+        )
+        # grow the store AFTER scoring: every fingerprint of this batch
+        # is "seen" for later batches, admitted or not
+        fps.select("fp").distinct().write.mode("append").parquet(seen_fps_path)
+
+    writer = stream.writeStream.queryName(query_name).foreachBatch(_process)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -559,3 +559,108 @@ def test_streaming_transition_profile_matches_full_rescan(spark, tmp_path):
     assert ("c", "d") in got  # the cross-batch boundary pair specifically
     last = {r["key"]: r["last_state"] for r in state["last"].collect()}
     assert last == {"u1": "b", "u2": "b", "u3": "x"}
+
+
+def test_streaming_novelty_admission_matches_batch_rescan(spark, tmp_path):
+    """Multi-batch streaming novelty == batch ngram_novelty over the
+    concatenated input (arrival order == id order): the seen-fp store
+    carries first-occurrence across micro-batches, and within a batch
+    the min-id doc claims the window."""
+    from datapipelines_essentials_python_spark.operators.chunking import (
+        ngram_novelty,
+    )
+    from datapipelines_essentials_python_spark.streaming.cdc_stream import (
+        streaming_novelty_admission,
+    )
+
+    schema = "doc_id long, text string"
+    b1 = [
+        (1, "w1 w2 w3 w4 tail one"),
+        (2, "w1 w2 w3 w4 other suffix"),   # shares windows with doc 1
+    ]
+    b2 = [
+        (3, "w1 w2 w3 w4 tail one"),       # full repeat of doc 1 -> low novelty
+        (4, "completely fresh phrasing never seen anywhere"),
+    ]
+    src = str(tmp_path / "nov_src")
+    # two files -> maxFilesPerTrigger=1 forces two micro-batches in order
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    scored = {}
+
+    def sink(batch_df, epoch_id):
+        for r in batch_df.collect():
+            scored[r["doc_id"]] = (
+                r["n_windows"], r["n_novel"], r["novelty_ratio"],
+            )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_novelty_admission(
+        stream,
+        seen_fps_path=str(tmp_path / "nov_fps"),
+        id_col="doc_id",
+        text_col="text",
+        sink=sink,
+        window=3,
+        novelty_floor=0.0,    # admit all -> sink sees every score
+        checkpoint_dir=str(tmp_path / "nov_ckpt"),
+        query_name="t_nov",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    full = spark.createDataFrame(b1 + b2, schema)
+    expect = {
+        r["doc_id"]: (r["n_windows"], r["n_novel"], r["novelty_ratio"])
+        for r in ngram_novelty(full, window=3).collect()
+    }
+    # Files may arrive as one batch per file but order by name — the
+    # writes above land lexicographically ordered, so ids arrive in
+    # order; the equality below is the whole contract.
+    assert scored == expect
+    assert scored[3][2] < 0.5  # the repeat scored as mostly stale
+
+
+def test_streaming_novelty_admission_gate_filters(spark, tmp_path):
+    from datapipelines_essentials_python_spark.streaming.cdc_stream import (
+        streaming_novelty_admission,
+    )
+
+    schema = "doc_id long, text string"
+    rows = [
+        (1, "a b c d e f"),
+        (2, "a b c d e f"),          # exact repeat -> novelty 0
+        (3, "x y z p q r"),
+    ]
+    src = str(tmp_path / "nov2_src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+
+    admitted = []
+
+    def sink(batch_df, epoch_id):
+        admitted.extend(r["doc_id"] for r in batch_df.collect())
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = streaming_novelty_admission(
+        stream,
+        seen_fps_path=str(tmp_path / "nov2_fps"),
+        id_col="doc_id",
+        text_col="text",
+        sink=sink,
+        window=3,
+        novelty_floor=0.5,
+        checkpoint_dir=str(tmp_path / "nov2_ckpt"),
+        query_name="t_nov2",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(admitted) == [1, 3]
