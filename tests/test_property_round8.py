@@ -171,3 +171,22 @@ def test_bfs_matches_reference_layers(spark, pairs, seeds):
         for r in graph.bfs_distances(df, sdf, max_hops=cap).collect()
     }
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(pairs=_edges_strategy(max_node=7, max_edges=14))
+def test_ktruss_endpoints_inside_kminus1_core(spark, pairs):
+    """Cohen's containment theorem: every edge of the k-truss has both
+    endpoints in the (k-1)-core (each truss edge carries k-2 triangles,
+    so each endpoint keeps degree >= k-1 inside the truss)."""
+    k = 4
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    truss_nodes = {
+        n
+        for r in graph.ktruss(df, k=k, max_rounds=30).collect()
+        for n in (r["u"], r["v"])
+    }
+    core_nodes = {
+        r["node"] for r in graph.kcore(df, k=k - 1, max_rounds=30).collect()
+    }
+    assert truss_nodes <= core_nodes
