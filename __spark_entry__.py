@@ -4679,6 +4679,75 @@ def bfs_reach_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document boilerplate removal
+    (``chunking.boilerplate_segments``, block_size=3, min_docs=3): every
+    3-token segment occurring in ≥ 3 DISTINCT documents is removed from
+    ALL of them, first occurrence included — the rule ``span_dedup`` /
+    ``exact_substring_dedup`` (first-occurrence-keep) structurally cannot
+    express. One block-text-keyed count-distinct (map-side partials on
+    the hot boilerplate keys) + one id-keyed reassembly; documents
+    survive as rows even when fully boilerplate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_ops.boilerplate_segments(
+        docs, block_size=3, min_docs=3
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text_clean",
+        "n_blocks_total",
+        "n_blocks_removed",
+    )
+
+
+def source_minhash_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated shingle-Jaccard between every source pair from per-source
+    MinHash signatures (``dedup.group_minhash_similarity``, 32 hashes) —
+    the bounded-state scale twin of ``source_overlap_matrix``: the exact
+    matrix shuffles every distinct shingle, this keeps 32 BIGINTs per
+    source via MinHash mergeability (min over the union = min of the
+    mins), so at 100 TB the compare state is sources × 32 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.group_minhash_similarity(
+        docs, group_col="source", text_col="text", n=3, num_hashes=32
+    )
+
+
+def random_walk_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic 3-step random walk from every part of the
+    part-affinity graph (``graph.random_walks``) — the DeepWalk positive-
+    pair generator with keyed-hash draws (next hop = neighbor minimizing
+    ``md5(seed|step|cur|nbr)``) so the oracle replays every hop. Per
+    step: one frontier⋈adjacency join + one combinable min(struct) argmin
+    — no ranking window, hot hubs partial-aggregate."""
+    from datapipelines_essentials_python_spark.operators import graph as graph_ops
+
+    edges = _affinity_edges(spark, sf_dir)
+    return graph_ops.random_walks(edges, walk_len=3, seed="walk").select(
+        F.col("start").cast("long").alias("start"),
+        F.col("step").cast("int").alias("step"),
+        F.col("node").cast("long").alias("node"),
+    )
+
+
+def token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token budget for a 10^6-token training run
+    (``sampling.token_budget``, α=0.5 temperature over TOKEN mass):
+    alloc_tokens = floor(target·q) and epochs = alloc/n_tokens — the
+    repeat-factor table every published data recipe reports (epochs > 1
+    = the domain is upsampled/repeated). One domain-keyed agg (token
+    counts ride the scan as ``size(split(text))``), then arithmetic over
+    the domain-cardinality table with two broadcast scalars; the
+    ``temperature_mixture`` numeric contract (sqrt-only α, DECIMAL(28,12)
+    mass quantization) keeps it oracle-exact."""
+    from datapipelines_essentials_python_spark.operators import sampling as samp_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    return samp_ops.token_budget(
+        docs, domain_col="source", text_col="text",
+        target_tokens=1_000_000, sqrt_passes=1,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # The driver's CORRECTNESS gate records only the first 50 entries.
@@ -4920,6 +4989,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction_aa": link_prediction_aa,
         "ngram_novelty": ngram_novelty_q,
         "bfs_reach_3hop": bfs_reach_3hop,
+        "boilerplate_removal": boilerplate_removal,
+        "source_minhash_matrix": source_minhash_matrix,
+        "random_walk_hops": random_walk_hops,
+        "token_budget_plan": token_budget_plan,
     }
 
 

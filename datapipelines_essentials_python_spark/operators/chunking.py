@@ -426,3 +426,77 @@ def ngram_novelty(
         .otherwise(F.lit(1.0))
         .alias("novelty_ratio"),
     )
+
+
+def boilerplate_segments(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_size: int = 8,
+    min_docs: int = 3,
+) -> DataFrame:
+    """C4's OTHER line rule: remove every segment that occurs in at least
+    ``min_docs`` DISTINCT documents — boilerplate (headers, footers,
+    license blurbs, navigation chrome) is repeated across many pages, so
+    ALL its occurrences go, including the first (C4 §2.2 "any line
+    appearing more than twice in the corpus"; reference has no corpus-wide
+    text ops — beyond-reference LLM-pipeline surface). Complements
+    :func:`span_dedup`, which keeps first occurrences and therefore
+    cannot remove boilerplate at its source, and
+    :func:`exact_substring_dedup`, whose first-occurrence-keep has the
+    same blind spot. Segments here are the same non-overlapping
+    ``block_size``-token blocks as ``span_dedup`` (documents are
+    single-line in this corpus, so the "line" granularity is a token
+    block).
+
+    Spark-first shape, two shuffle keys:
+
+    1. document frequency: one block-text-keyed
+       ``count(DISTINCT id)`` — two-phase with map-side partials, so the
+       very hot keys this operator exists to find (a footer repeated in
+       10^6 docs) partial-aggregate instead of sorting one partition;
+    2. reassembly: blocks left-anti the flagged set on the block text
+       (riding the same exchange), then one id-keyed sorted-collect. The
+       flagged set is df-thresholded and therefore far smaller than the
+       corpus — AQE will broadcast it when it fits.
+
+    Documents keep their identity: a fully-boilerplate document survives
+    as an empty ``text_clean`` with the removal accounted (unlike
+    ``span_dedup``'s row drop), so downstream joins never lose keys.
+
+    → ``(id, text_clean, n_blocks_total, n_blocks_removed)``.
+    """
+    if min_docs < 2:
+        raise ValueError(f"boilerplate_segments needs min_docs >= 2, got {min_docs}")
+    blocks = chunk_documents(
+        df, text_col=text_col, id_col=id_col,
+        chunk_size=block_size, stride=block_size,
+    ).select(id_col, F.col("chunk_id").alias("block_idx"), "chunk_text")
+    flagged = (
+        blocks.groupBy("chunk_text")
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .where(F.col("__df") >= F.lit(int(min_docs)))
+        .select("chunk_text")
+    )
+    kept = blocks.join(flagged, "chunk_text", "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("block_idx", "chunk_text"))),
+                lambda s: s["chunk_text"],
+            ),
+            " ",
+        ).alias("__clean"),
+        F.count(F.lit(1)).cast("long").alias("__n_kept"),
+    )
+    totals = blocks.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks_total")
+    )
+    return totals.join(reassembled, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("__clean"), F.lit("")).alias("text_clean"),
+        F.col("n_blocks_total"),
+        (
+            F.col("n_blocks_total") - F.coalesce(F.col("__n_kept"), F.lit(0))
+        ).cast("long").alias("n_blocks_removed"),
+    )

@@ -1017,3 +1017,70 @@ def keep_best_per_cluster(
             "n_members",
         )
     )
+
+
+def group_minhash_similarity(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """Estimated shingle-Jaccard between every GROUP pair (sources,
+    crawls, snapshots) from per-group MinHash signatures — the bounded-
+    state scale path next to the exact ``source_overlap_matrix``
+    diagnostic (the ``decontamination`` → ``decontamination_bloom``
+    pattern). The exact matrix shuffles every distinct shingle in the
+    corpus; this keeps ``num_hashes`` BIGINTs per group no matter how
+    many shingles feed it, because a group's signature is the
+    elementwise MIN of its documents' signatures — MinHash's
+    mergeability: min over the union = min of the mins (Broder 1997).
+
+    Spark-first shape: per-doc signatures (one narrow projection, each
+    shingle md5-hashed ONCE and fanned through the affine family — the
+    :func:`minhash_signature` evaluation discipline), posexploded to
+    ``(group, component, value)`` and min-folded by one keyed agg with
+    map-side partials; state is groups × num_hashes rows. The pair
+    compare self-joins that tiny table on the component index — fanout
+    per component is the group count, so the quadratic term is
+    groups², never docs².
+
+    ``jaccard_est = n_equal / num_hashes`` rounded to 6 — one
+    fixed-shape division, oracle-replayed exactly.
+
+    → ``(grp_a, grp_b, n_equal, jaccard_est)``, one row per unordered
+    group pair.
+    """
+    sigs = with_minhash(
+        df.select(F.col(group_col).alias("grp"), text_col),
+        text_col, n=n, num_hashes=num_hashes,
+    )
+    comp = (
+        sigs.select("grp", F.posexplode("sig").alias("pos", "v"))
+        .groupBy("grp", "pos")
+        .agg(F.min("v").alias("mv"))
+    )
+    a, b = comp.alias("a"), comp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.grp") < F.col("b.grp")),
+        )
+        .groupBy(
+            F.col("a.grp").alias("grp_a"), F.col("b.grp").alias("grp_b")
+        )
+        .agg(
+            F.sum(
+                (F.col("a.mv") == F.col("b.mv")).cast("long")
+            ).alias("n_equal")
+        )
+        .select(
+            "grp_a",
+            "grp_b",
+            "n_equal",
+            F.round(
+                F.col("n_equal").cast("double") / F.lit(float(num_hashes)), 6
+            ).alias("jaccard_est"),
+        )
+    )

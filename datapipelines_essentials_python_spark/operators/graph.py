@@ -1070,3 +1070,72 @@ def bfs_distances(
         if dist.where(F.col("dist") == h).limit(1).count() == 0:
             break
     return dist
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_len: int = 3,
+    seed: str = "walk",
+    materialize: bool = True,
+) -> DataFrame:
+    """One DETERMINISTIC random walk of ``walk_len`` steps from every
+    node of an undirected graph — the DeepWalk/node2vec positive-pair
+    generator (walk co-occurrences feed a skip-gram embedding) made
+    replayable: the "random" next hop from ``cur`` at step ``t`` is the
+    neighbor minimizing ``md5(seed|t|cur|neighbor)``, a keyed-hash draw
+    (the ``stratified_sample_docs`` determinism discipline), so identical
+    inputs give identical walks on any cluster, any partitioning — and
+    the SQL oracle replays them hop for hop.
+
+    Spark-first shape, per step: one hash join publishing the frontier
+    (walk id, current node) along the symmetrized adjacency, then one
+    map-side-combinable ``min(struct(hash, neighbor))`` per walk — an
+    argmin as a combinable agg, deliberately not a ranking window, so a
+    celebrity node with 10^6 neighbors partial-aggregates instead of
+    sorting one hot partition. State is one row per walk, pinned per
+    step with ``localCheckpoint`` (the :func:`bfs_distances` loop
+    discipline); cost per step is one frontier⋈adjacency join —
+    Σ deg(cur) work, the distributed random-walk bound.
+
+    Walks may revisit nodes (true random-walk semantics, no tabu); a
+    walk at an isolated node would simply stop early, though a graph
+    built from an edge list has none.
+
+    → ``(start, step, node)``: step 0 is the start itself, then one row
+    per completed hop — ``(walk_len+1)·|V|`` rows, the skip-gram window
+    input.
+    """
+    if walk_len < 1:
+        raise ValueError(f"random_walks needs walk_len >= 1, got {walk_len}")
+    und = undirected_edges(edges)
+    adj = und.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionByName(und.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    if materialize:
+        adj = adj.localCheckpoint(eager=True)
+    nodes = adj.select(F.col("src").alias("start")).distinct()
+    cur = nodes.select("start", F.col("start").alias("node"))
+    out = cur.select("start", F.lit(0).cast("int").alias("step"), "node")
+    for t in range(1, walk_len + 1):
+        draw = F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(seed),
+                F.lit(str(t)),
+                F.col("node").cast("string"),
+                F.col("dst").cast("string"),
+            )
+        )
+        cur = (
+            cur.join(adj, cur["node"] == adj["src"])
+            .select("start", draw.alias("h"), "dst")
+            .groupBy("start")
+            .agg(F.min(F.struct("h", "dst")).alias("__pick"))
+            .select("start", F.col("__pick.dst").alias("node"))
+        )
+        if materialize:
+            cur = cur.localCheckpoint(eager=True)
+        out = out.unionByName(
+            cur.select("start", F.lit(t).cast("int").alias("step"), "node")
+        )
+    return out

@@ -476,3 +476,70 @@ def embargoed_group_split(
         )
         .drop("__min_us", "__max_us", "__t_star")
     )
+
+
+def token_budget(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    target_tokens: int = 1_000_000,
+    sqrt_passes: int = 1,
+) -> DataFrame:
+    """Per-domain TOKEN budget for a fixed-size training run — the data-
+    recipe step after :func:`temperature_mixture` decides the shares:
+    given a target token count and temperature-scaled weights over the
+    domains' token mass, how many tokens does each domain contribute and
+    how many PASSES over it does that take (``epochs`` > 1 means the
+    domain repeats, the small-domain upsampling every published recipe
+    reports; < 1 means it is subsampled). Beyond-reference LLM-pipeline
+    surface; reference has no notion of token accounting.
+
+    Same numeric contract as ``temperature_mixture`` (α = 0.5^k via
+    correctly-rounded ``sqrt`` only, masses quantized to DECIMAL(28,12)
+    before the normalizing sum, outputs rounded to 6) so the oracle
+    replays every float. Weights are over token mass, not row counts —
+    a domain of few huge documents budgets by what it actually feeds
+    the tokenizer.
+
+    One domain-keyed agg (tokens per domain ride the parquet scan as
+    ``size(split(text))`` — no tokenizer UDF); everything after is
+    arithmetic over the domain-cardinality table with two broadcast
+    1-row scalars. ``alloc_tokens = floor(target · q)`` is exact-integer
+    on both engines.
+
+    → ``(domain, n_docs, n_tokens, q_temp, alloc_tokens, epochs)``.
+    """
+    if sqrt_passes < 1:
+        raise ValueError("sqrt_passes must be >= 1 (alpha = 0.5^k)")
+    if target_tokens < 1:
+        raise ValueError(f"token_budget needs target_tokens >= 1, got {target_tokens}")
+    from .text import tokens as _tokens
+
+    counts = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(_tokens(text_col))).cast("long").alias("n_tokens"),
+    )
+    total = counts.agg(F.sum("n_tokens").cast("double").alias("__total"))
+    with_p = counts.crossJoin(F.broadcast(total)).withColumn(
+        "__p_exact", F.col("n_tokens").cast("double") / F.col("__total")
+    )
+    mass = F.col("__p_exact")
+    for _ in range(sqrt_passes):
+        mass = F.sqrt(mass)
+    with_mass = with_p.withColumn("__mass", mass.cast("decimal(28,12)"))
+    norm = with_mass.agg(F.sum("__mass").alias("__z"))
+    q = F.col("__mass").cast("double") / F.col("__z").cast("double")
+    alloc = F.floor(F.lit(float(target_tokens)) * q).cast("long")
+    return (
+        with_mass.crossJoin(F.broadcast(norm))
+        .select(
+            "domain",
+            "n_docs",
+            "n_tokens",
+            F.round(q, 6).alias("q_temp"),
+            alloc.alias("alloc_tokens"),
+            F.round(
+                alloc.cast("double") / F.col("n_tokens").cast("double"), 6
+            ).alias("epochs"),
+        )
+    )

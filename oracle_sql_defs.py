@@ -4508,3 +4508,121 @@ _bfs.append("""
 SELECT CAST(node AS BIGINT) AS node, CAST(dist AS INT) AS dist FROM d3
 """)
 ORACLES["bfs_reach_3hop"] = "".join(_bfs)
+
+
+# C4-style boilerplate removal — mirrors chunking.boilerplate_segments
+# (block_size=3, min_docs=3): non-overlapping 3-token blocks, document
+# frequency ≥ 3 removes EVERY occurrence (first included); documents
+# survive as rows even when fully boilerplate.
+ORACLES["boilerplate_removal"] = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS tk FROM documents),
+blk0 AS (
+  SELECT doc_id, tk, unnest(range(0, len(tk), 3)) AS s
+  FROM toks WHERE len(tk) > 0),
+blk AS (
+  SELECT doc_id, CAST(s // 3 AS INT) AS block_idx,
+         array_to_string(tk[s + 1 : s + 3], ' ') AS chunk_text
+  FROM blk0),
+flagged AS (
+  SELECT chunk_text FROM blk GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3),
+kept AS (
+  SELECT b.doc_id, b.block_idx, b.chunk_text
+  FROM blk b ANTI JOIN flagged f ON f.chunk_text = b.chunk_text),
+ka AS (
+  SELECT doc_id,
+    array_to_string(list(chunk_text ORDER BY block_idx), ' ') AS text_clean,
+    count(*) AS n_kept
+  FROM kept GROUP BY 1),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_total FROM blk GROUP BY 1)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+  coalesce(ka.text_clean, '') AS text_clean,
+  t.n_total AS n_blocks_total,
+  CAST(t.n_total - coalesce(ka.n_kept, 0) AS BIGINT) AS n_blocks_removed
+FROM tot t LEFT JOIN ka ON ka.doc_id = t.doc_id
+"""
+
+# Per-source MinHash Jaccard matrix — mirrors dedup.group_minhash_similarity
+# (n=3, num_hashes=32): a source's signature component i is the min of
+# (a_i·h(shingle)+b_i) mod p over ALL its shingles (per-doc distinctness is
+# irrelevant under min), so the oracle skips the per-doc signature and
+# min-folds per (source, component) directly — same value, one agg.
+_SRC_MH_AFFINE = "\n    UNION ALL ".join(
+    f"SELECT source, {_i} AS pos, ({a} * v + {b}) % {_MINHASH_P} AS av FROM vals"
+    for _i, (a, b) in enumerate(_minhash_coeffs(32))
+)
+ORACLES["source_minhash_matrix"] = f"""
+WITH t AS (SELECT source, {TOKS} AS toks FROM documents),
+sh0 AS (SELECT source, unnest({SHINGLES}) AS sh FROM t),
+vals AS (
+  SELECT source, {_hex_to_long("md5(sh)", 8)} % {_MINHASH_P} AS v FROM sh0),
+affine AS (
+  SELECT source, pos, av FROM (
+    {_SRC_MH_AFFINE}
+  )),
+comp AS (
+  SELECT source, pos, min(av) AS mv FROM affine GROUP BY 1, 2)
+SELECT a.source AS grp_a, b.source AS grp_b,
+  CAST(sum(CASE WHEN a.mv = b.mv THEN 1 ELSE 0 END) AS BIGINT) AS n_equal,
+  round(CAST(sum(CASE WHEN a.mv = b.mv THEN 1 ELSE 0 END) AS DOUBLE) / 32.0, 6)
+    AS jaccard_est
+FROM comp a JOIN comp b ON a.pos = b.pos AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+# Deterministic random walks — mirrors graph.random_walks(walk_len=3,
+# seed='walk'): next hop from cur at step t is the neighbor minimizing
+# md5('walk|t|cur|nbr'); unrolled to 3 argmin rounds (row_number replays
+# Spark's min(struct(h, dst)) — h is an md5 hex string on both engines,
+# compared lexicographically, ties broken by dst).
+_RW = [
+    f"""WITH {_AFF},
+adj AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM und
+  UNION ALL SELECT v AS src, u AS dst FROM und),
+w0 AS MATERIALIZED (SELECT DISTINCT src AS start, src AS node FROM adj)"""
+]
+for _i in range(1, 4):
+    _RW.append(f""",
+w{_i} AS MATERIALIZED (
+  SELECT start, dst AS node FROM (
+    SELECT f.start, a.dst,
+      row_number() OVER (
+        PARTITION BY f.start
+        ORDER BY md5('walk|{_i}|' || CAST(f.node AS VARCHAR) || '|'
+                     || CAST(a.dst AS VARCHAR)), a.dst) AS rn
+    FROM w{_i - 1} f JOIN adj a ON a.src = f.node)
+  WHERE rn = 1)""")
+_RW.append("""
+SELECT CAST(start AS BIGINT) AS start, CAST(s.step AS INT) AS step,
+       CAST(node AS BIGINT) AS node
+FROM (
+  SELECT start, 0 AS step, node FROM w0
+  UNION ALL SELECT start, 1, node FROM w1
+  UNION ALL SELECT start, 2, node FROM w2
+  UNION ALL SELECT start, 3, node FROM w3) s
+""")
+ORACLES["random_walk_hops"] = "".join(_RW)
+
+# Per-source token budget — mirrors sampling.token_budget(target=10^6,
+# sqrt_passes=1): temperature weights over TOKEN mass with the
+# temperature_mixture numeric contract (sqrt-only α, DECIMAL(28,12) mass
+# quantization before the normalizing sum, outputs rounded to 6).
+ORACLES["token_budget_plan"] = f"""
+WITH counts AS (
+  SELECT source AS domain, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(len({TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+t AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total FROM counts),
+m AS (
+  SELECT domain, n_docs, n_tokens,
+    CAST(sqrt(CAST(n_tokens AS DOUBLE) / total) AS DECIMAL(28,12)) AS mass
+  FROM counts CROSS JOIN t),
+z AS (SELECT sum(mass) AS zz FROM m)
+SELECT domain, n_docs, n_tokens,
+  round(CAST(mass AS DOUBLE) / CAST(zz AS DOUBLE), 6) AS q_temp,
+  CAST(floor(1000000.0 * (CAST(mass AS DOUBLE) / CAST(zz AS DOUBLE))) AS BIGINT)
+    AS alloc_tokens,
+  round(CAST(floor(1000000.0 * (CAST(mass AS DOUBLE) / CAST(zz AS DOUBLE)))
+             AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS epochs
+FROM m CROSS JOIN z
+"""
