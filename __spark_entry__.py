@@ -4748,6 +4748,65 @@ def token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard link prediction (``graph.neighbor_jaccard``, top 50) over
+    the part-affinity graph — the set-size-normalized twin of
+    ``link_prediction_aa``: AA discounts hub wedge CENTERS, Jaccard
+    discounts hub ENDPOINTS, so the two rankings disagree exactly where
+    degree skew distorts co-occurrence. Same wedge-by-center plan, same
+    integer micro-score contract."""
+    from datapipelines_essentials_python_spark.operators import graph as graph_ops
+
+    edges = _affinity_edges(spark, sf_dir)
+    return graph_ops.neighbor_jaccard(edges, top_n=50).select(
+        F.col("u").cast("long").alias("u"),
+        F.col("v").cast("long").alias("v"),
+        "common_neighbors",
+        "jac_micro",
+    )
+
+
+def training_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth-generation curation pipeline composing THIS round's
+    operators: C4 boilerplate-segment removal
+    (``chunking.boilerplate_segments``) → minimum-signal gate (≥ 8 clean
+    tokens survive) → temperature token budgeting
+    (``sampling.token_budget``, 500k-token run) over the cleaned corpus.
+    Per-source audit row: raw docs, gate survivors, clean token mass,
+    temperatured share, allocated tokens, epochs.
+
+    Scale shape: boilerplate removal is the only corpus-sized work (one
+    block-text-keyed count-distinct + one id-keyed reassembly); the
+    source re-join is id-keyed on the same exchange; everything after
+    the gate is domain-cardinality arithmetic with two broadcast
+    scalars — no second corpus shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = chunk_ops.boilerplate_segments(
+        docs, block_size=3, min_docs=3
+    ).join(docs.select("doc_id", "source"), "doc_id")
+    gated = cleaned.where(
+        F.size(text_ops.tokens(F.col("text_clean"))) >= 8
+    )
+    from datapipelines_essentials_python_spark.operators import sampling as samp_ops
+
+    budget = samp_ops.token_budget(
+        gated, domain_col="source", text_col="text_clean",
+        target_tokens=500_000, sqrt_passes=1,
+    )
+    raw_counts = docs.groupBy(F.col("source").alias("domain")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_raw")
+    )
+    return raw_counts.join(budget, "domain", "left").select(
+        "domain",
+        "n_raw",
+        F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias("n_gated"),
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce(F.col("q_temp"), F.lit(0.0)).alias("q_temp"),
+        F.coalesce(F.col("alloc_tokens"), F.lit(0)).cast("long").alias("alloc_tokens"),
+        F.coalesce(F.col("epochs"), F.lit(0.0)).alias("epochs"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # The driver's CORRECTNESS gate records only the first 50 entries.
@@ -4993,6 +5052,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_minhash_matrix": source_minhash_matrix,
         "random_walk_hops": random_walk_hops,
         "token_budget_plan": token_budget_plan,
+        "link_prediction_jaccard": link_prediction_jaccard,
+        "training_pipeline_v4": training_pipeline_v4,
     }
 
 

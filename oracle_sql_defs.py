@@ -4626,3 +4626,94 @@ SELECT domain, n_docs, n_tokens,
              AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS epochs
 FROM m CROSS JOIN z
 """
+
+
+# Jaccard link prediction — mirrors graph.neighbor_jaccard(top_n=50):
+# wedge-by-center pair enumeration, endpoint degrees joined back,
+# jac = common / (du + dv - common) rounded to 6 then micro-scaled,
+# non-adjacent pairs only, (jac_micro DESC, u, v) total order.
+ORACLES["link_prediction_jaccard"] = f"""
+WITH {_AFF},
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+  GROUP BY 1),
+adj AS MATERIALIZED (
+  SELECT u AS w, v AS n FROM und UNION ALL SELECT v AS w, u AS n FROM und),
+wedge AS (
+  SELECT a.w, a.n AS a, b.n AS b
+  FROM adj a JOIN adj b ON a.w = b.w AND a.n < b.n),
+pairs AS (
+  SELECT wd.a AS u, wd.b AS v, CAST(count(*) AS BIGINT) AS common_neighbors
+  FROM wedge wd GROUP BY 1, 2),
+cand AS (
+  SELECT p.* FROM pairs p
+  LEFT JOIN und e ON e.u = p.u AND e.v = p.v
+  WHERE e.u IS NULL)
+SELECT CAST(c.u AS BIGINT) AS u, CAST(c.v AS BIGINT) AS v, c.common_neighbors,
+  CAST(round(round(CAST(c.common_neighbors AS DOUBLE)
+        / CAST(du.d + dv.d - c.common_neighbors AS DOUBLE), 6) * 1e6)
+    AS BIGINT) AS jac_micro
+FROM cand c JOIN deg du ON du.node = c.u JOIN deg dv ON dv.node = c.v
+ORDER BY jac_micro DESC, u ASC, v ASC
+LIMIT 50
+"""
+
+# v4 curation pipeline — boilerplate removal (block_size=3, min_docs=3)
+# -> >= 8 clean tokens gate -> token budget (target 500k, alpha=0.5) over
+# text_clean; per-source audit with raw counts left-joined so sources
+# wiped out by the gate still report (n_gated=0, zeros elsewhere).
+ORACLES["training_pipeline_v4"] = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS tk FROM documents),
+blk0 AS (
+  SELECT doc_id, tk, unnest(range(0, len(tk), 3)) AS s
+  FROM toks WHERE len(tk) > 0),
+blk AS (
+  SELECT doc_id, CAST(s // 3 AS INT) AS block_idx,
+         array_to_string(tk[s + 1 : s + 3], ' ') AS chunk_text
+  FROM blk0),
+flagged AS (
+  SELECT chunk_text FROM blk GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3),
+kept AS (
+  SELECT b.doc_id, b.block_idx, b.chunk_text
+  FROM blk b ANTI JOIN flagged f ON f.chunk_text = b.chunk_text),
+ka AS (
+  SELECT doc_id,
+    array_to_string(list(chunk_text ORDER BY block_idx), ' ') AS text_clean
+  FROM kept GROUP BY 1),
+clean AS (
+  SELECT t.doc_id, coalesce(ka.text_clean, '') AS text_clean
+  FROM toks t LEFT JOIN ka ON ka.doc_id = t.doc_id),
+gated AS (
+  SELECT d.source, c.text_clean
+  FROM clean c JOIN documents d ON d.doc_id = c.doc_id
+  WHERE len(list_filter(string_split(lower(c.text_clean), ' '), x -> x <> '')) >= 8),
+counts AS (
+  SELECT source AS domain, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(len(list_filter(string_split(lower(text_clean), ' '), x -> x <> '')))
+      AS BIGINT) AS n_tokens
+  FROM gated GROUP BY 1),
+t AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total FROM counts),
+m AS (
+  SELECT domain, n_docs, n_tokens,
+    CAST(sqrt(CAST(n_tokens AS DOUBLE) / total) AS DECIMAL(28,12)) AS mass
+  FROM counts CROSS JOIN t),
+z AS (SELECT sum(mass) AS zz FROM m),
+budget AS (
+  SELECT domain, n_docs, n_tokens,
+    round(CAST(mass AS DOUBLE) / CAST(zz AS DOUBLE), 6) AS q_temp,
+    CAST(floor(500000.0 * (CAST(mass AS DOUBLE) / CAST(zz AS DOUBLE))) AS BIGINT)
+      AS alloc_tokens
+  FROM m CROSS JOIN z),
+raw AS (
+  SELECT source AS domain, CAST(count(*) AS BIGINT) AS n_raw
+  FROM documents GROUP BY 1)
+SELECT r.domain, r.n_raw,
+  coalesce(b.n_docs, 0) AS n_gated,
+  coalesce(b.n_tokens, 0) AS n_tokens,
+  coalesce(b.q_temp, 0.0) AS q_temp,
+  coalesce(b.alloc_tokens, 0) AS alloc_tokens,
+  coalesce(round(CAST(b.alloc_tokens AS DOUBLE) / CAST(b.n_tokens AS DOUBLE), 6),
+           0.0) AS epochs
+FROM raw r LEFT JOIN budget b ON b.domain = r.domain
+"""

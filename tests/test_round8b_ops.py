@@ -239,3 +239,67 @@ def test_token_budget_validates_args(spark):
         token_budget(df, sqrt_passes=0)
     with pytest.raises(ValueError, match="target_tokens"):
         token_budget(df, target_tokens=0)
+
+
+# ---------------------------------------------------- neighbor_jaccard
+
+
+def test_neighbor_jaccard_values(spark):
+    """Path 1-2-3 plus pendant 3-4: the non-adjacent pair (1,3) shares
+    center 2; deg(1)=1, deg(3)=2 → jac = 1/(1+2-1) = 0.5."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    rows = {(r["u"], r["v"]): r for r in graph.neighbor_jaccard(edges).collect()}
+    assert rows[(1, 3)]["common_neighbors"] == 1
+    assert rows[(1, 3)]["jac_micro"] == 500000
+    # (2,4) shares center 3: deg(2)=2, deg(4)=1 → 1/(2+1-1) = 0.5
+    assert rows[(2, 4)]["jac_micro"] == 500000
+    # adjacent pairs never appear
+    assert (1, 2) not in rows and (2, 3) not in rows
+
+
+def test_neighbor_jaccard_discounts_hub_endpoints(spark):
+    """Two nodes joined through a hub AND through each other's dense
+    neighborhoods: Jaccard is common/union, so a pair with many
+    non-shared neighbors ranks below a pair whose neighborhoods
+    coincide — the endpoint normalization AA does not have."""
+    # a-b share their ONLY neighbor w (jac = 1.0);
+    # c-d share w too but each has 3 extra private neighbors
+    rows = [(100, 1), (101, 1)]  # a=100, b=101, w=1
+    rows += [(200, 1), (201, 1)]  # c=200, d=201
+    rows += [(200, 10), (200, 11), (200, 12)]
+    rows += [(201, 20), (201, 21), (201, 22)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    out = {(r["u"], r["v"]): r["jac_micro"]
+           for r in graph.neighbor_jaccard(edges, top_n=100).collect()}
+    assert out[(100, 101)] == 1000000
+    assert out[(200, 201)] == 142857  # 1/7 — the private mass dilutes
+    assert out[(100, 101)] > out[(200, 201)]
+
+
+def test_neighbor_jaccard_max_degree_caps_centers_not_endpoints(spark):
+    """Hub center above the cap is dropped from wedge enumeration —
+    pairs whose ONLY center is the hub vanish — while pairs through
+    small centers keep scoring with TRUE endpoint degrees."""
+    hub_edges = [(1000, i) for i in range(1, 6)]  # hub deg 5
+    hub_edges += [(6, 7), (7, 8)]  # path: center 7 deg 2
+    edges = spark.createDataFrame(hub_edges, "src long, dst long")
+    uncapped = {
+        (r["u"], r["v"]) for r in graph.neighbor_jaccard(edges, top_n=100).collect()
+    }
+    assert (3, 4) in uncapped  # leaf pair via the hub center
+    capped = {
+        (r["u"], r["v"]): r
+        for r in graph.neighbor_jaccard(edges, top_n=100, max_degree=4).collect()
+    }
+    # every pair among the hub's leaves had ONLY the hub as center -> gone
+    assert all(not (u in range(1, 6) and v in range(1, 6)) for u, v in capped)
+    # (6,8) via center 7 survives: deg(6)=deg(8)=1, common=1 -> jac 1.0
+    assert capped[(6, 8)]["jac_micro"] == 1000000
+
+
+def test_neighbor_jaccard_validates_top_n(spark):
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="top_n"):
+        graph.neighbor_jaccard(edges, top_n=0)
