@@ -243,6 +243,12 @@ HEADLINE = [
     "link_prediction_aa",
     "ngram_novelty",
     "bfs_reach_3hop",
+    "boilerplate_removal",
+    "source_minhash_matrix",
+    "random_walk_hops",
+    "token_budget_plan",
+    "link_prediction_jaccard",
+    "training_pipeline_v4",
 ]
 
 
