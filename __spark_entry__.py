@@ -4820,7 +4820,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # is driver-green in CORRECTNESS_r04-r07 and stays covered by the
         # committed full-suite parity sweeps (tools/check_parity.py,
         # PARITY_r{N}*.txt at sf0.01 / sf0.1 / sf1). The 16 remaining
-        # never-gated rows are deferred to the round-9 rotation.
+        # never-gated rows, plus the 10 operators added after this
+        # window was frozen (ktruss_edges, link_prediction_aa,
+        # ngram_novelty, bfs_reach_3hop, boilerplate_removal,
+        # source_minhash_matrix, random_walk_hops, token_budget_plan,
+        # link_prediction_jaccard, training_pipeline_v4 — all at the
+        # registry tail, all green in the r8 222/222 three-tier
+        # sweeps), are the round-9 rotation pool (26 rows).
         # ---- §2 flagship spine (all driver-green since r6/r7) ----
         "q1_pricing_summary": q1_pricing_summary,
         "q5_nation_revenue": q5_nation_revenue,
