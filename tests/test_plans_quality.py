@@ -602,3 +602,49 @@ def test_ewma_single_window_pass(spark):
     # and it is keyed, not global
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "key" in spec, f"unpartitioned window spec: {spec}"
+
+
+def test_boilerplate_removal_no_window_no_cartesian(spark):
+    """Boilerplate removal is aggs + hash joins only: the df-count is a
+    combinable count-distinct (no ranking window anywhere — hot
+    boilerplate keys must partial-aggregate), and nothing degenerates
+    into a cartesian product."""
+    plan = plan_of(entry_mod.queries()["boilerplate_removal"](spark, SF_DIR))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "PythonEval" not in plan.replace("BatchEvalPython", "PythonEval"), plan
+
+
+def test_source_minhash_matrix_no_window_bounded_joins(spark):
+    """The signature fold is agg-only (map-side MIN partials); the pair
+    compare is an equi-join on the component index — never cartesian,
+    never a window."""
+    plan = plan_of(entry_mod.queries()["source_minhash_matrix"](spark, SF_DIR))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_random_walk_hops_argmin_is_agg_not_window(spark):
+    """Every per-step argmin is a combinable min(struct) AGGREGATE —
+    zero Window nodes in the whole 3-step plan (a ranking window would
+    sort each frontier hub's candidates on one partition)."""
+    plan = plan_of(entry_mod.queries()["random_walk_hops"](spark, SF_DIR))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_link_prediction_jaccard_top_is_take_ordered(spark):
+    """The bounded top-N is TakeOrderedAndProject (driver-sized k), not
+    a global sort of the candidate pairs."""
+    plan = plan_of(entry_mod.queries()["link_prediction_jaccard"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_token_budget_scalars_are_broadcast(spark):
+    """Both normalizing scalars (total tokens, decimal mass sum) join
+    back as broadcast 1-row builds — no shuffle exchange keyed on the
+    domain table for a 2-scalar enrichment."""
+    plan = plan_of(entry_mod.queries()["token_budget_plan"](spark, SF_DIR))
+    assert plan.count("BroadcastNestedLoopJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
