@@ -4807,6 +4807,213 @@ def training_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark-estimated harmonic centrality (``graph.landmark_harmonic``,
+    max_hops=3) over the part-affinity graph: for each part, Σ 1/d to the
+    deterministic ~1% landmark sample ``node % 97 == 0`` — the
+    Eppstein-Wang sampled estimator, which is exactly how harmonic
+    centrality is run on graphs too big for all-pairs BFS. Per hop one
+    frontier⋈adjacency join + one (landmark, node)-keyed min fold;
+    contributions are integer micro-units ``1_000_000 // d`` so the sum
+    is exact on both engines; the max_hops cap is the oracle-replay
+    contract (kcore/bfs discipline)."""
+    from datapipelines_essentials_python_spark.operators import graph as graph_ops
+
+    edges = _affinity_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    landmarks = nodes.where(F.col("node") % 97 == 0)
+    return graph_ops.landmark_harmonic(edges, landmarks, max_hops=3).select(
+        F.col("node").cast("long").alias("node"),
+        "n_landmarks",
+        "harmonic_micro",
+    )
+
+
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust revenue trend per nation
+    (``relational.theil_sen_slope``): monthly order revenue (exact cents
+    via DECIMAL sums) per nation, then the median of all pairwise
+    monthly slopes — the outlier-immune trend a single blowout month
+    cannot drag the way it drags ``ols_fit``. The corpus-sized work is
+    one orders-keyed agg to ~80 (nation, month) rows; the C(80,2) pair
+    expansion is bounded arithmetic, never corpus-sized."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    monthly = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy(
+            "n_name",
+            (
+                (F.year("o_orderdate") - F.lit(1995)) * 12
+                + F.month("o_orderdate")
+                - F.lit(1)
+            ).alias("t"),
+        )
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    return rel_ops.theil_sen_slope(monthly, "n_name", "t", "rev_cents").select(
+        F.col("key").alias("n_name"), "n_points", "sen_slope"
+    )
+
+
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint per event type
+    (``relational.cusum_changepoint``): daily event value mass (exact
+    cents) per type, then the day maximizing ``|n·S_t − t·S_n|`` — the
+    cumulative-deviation changepoint estimator with the statistic
+    multiplied through by n so the whole decision is exact BIGINT
+    arithmetic (no float anywhere). One daily agg (corpus-sized work)
+    + one window over ≤ days-per-key pre-aggregated rows."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"), F.to_date("ts").alias("day")
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("v_cents")
+    )
+    return rel_ops.cusum_changepoint(
+        daily, "event_type", "day", "v_cents"
+    ).select(
+        F.col("key").alias("event_type"),
+        "n_days",
+        F.col("cp_day").cast("timestamp").alias("cp_day"),
+        "cusum_stat",
+    )
+
+
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-criteria skyline (``skyline.skyline``) over one brand's parts:
+    maximize lifetime revenue, maximize quantity sold, minimize retail
+    price — the Pareto-optimal "best value" set no single ranking can
+    express (ICDE'01 skyline semantics, generalizing the 2-D
+    ``pareto_frontier`` sweep to arbitrary dimensions). Two-phase
+    distributed plan: Arrow-batch local skylines, then one
+    candidate-sized global sweep — exact and partitioning-invariant;
+    per-part dims are exact cents/centi-units from DECIMAL sums."""
+    from datapipelines_essentials_python_spark.operators.skyline import skyline
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_brand") == "Brand#7"
+    )
+    dims = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_retailprice")),
+            li["l_partkey"] == part["p_partkey"],
+        )
+        .groupBy("p_partkey")
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("revenue_cents"),
+            (F.sum(F.col("l_quantity").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("qty_x100"),
+            (F.max(F.col("p_retailprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+    return skyline(
+        dims,
+        [("revenue_cents", "max"), ("qty_x100", "max"), ("price_cents", "min")],
+    ).select(
+        F.col("p_partkey").cast("long").alias("p_partkey"),
+        "revenue_cents",
+        "qty_x100",
+        "price_cents",
+    )
+
+
+def rolling_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median+MAD control chart per event type
+    (``relational.rolling_mad_anomaly``, 7-day RANGE frame): a day is
+    anomalous when ``|x − median| > 3·MAD`` of its trailing week — the
+    robust chart a traffic spike cannot self-blind. The decision is
+    pure BIGINT (×2/×4 scaled medians), zero float; frames hold ≤ 7
+    pre-aggregated daily rows (the ``rolling_median`` scale
+    contract)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("key"),
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
+            "day_idx"
+        ),
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("v_cents")
+    )
+    return rel_ops.rolling_mad_anomaly(
+        daily, "key", "day_idx", "v_cents", preceding=6, k_num=3
+    ).select(
+        F.col("key").alias("event_type"),
+        F.col("day_idx").cast("int").alias("day_idx"),
+        "v_cents",
+        "med_x2",
+        "mad_x4",
+        "is_anomaly",
+    )
+
+
+def source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's unigram distribution
+    (``text.token_entropy_by_group``) — the lexical-diversity gauge a
+    mixture curator reads next to token mass (templated spam is big but
+    near-zero-entropy). Per-token ``p·log2 p`` terms rounded to 9 dp
+    and summed as DECIMAL (order-independent, oracle-exact); one
+    (source, token) keyed count + one source-keyed fold."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.token_entropy_by_group(docs, "source", "text").select(
+        F.col("group").alias("source"),
+        "n_tokens",
+        "vocab_size",
+        "entropy",
+        "norm_entropy",
+    )
+
+
+def dow_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware daily outliers per event type
+    (``relational.dow_seasonal_outliers``): each day is fenced against
+    ITS OWN weekday's Tukey box (q1/q3 ± 1.5·IQR per (type, weekday)) —
+    weekly seasonality stops tripping the global fence and a broken
+    Tuesday stops hiding inside it. Exact: integer cents, dyadic
+    percentile interpolation, one exact 1.5·IQR product — deterministic
+    with no rounding."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"), F.to_date("ts").alias("day")
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("v_cents")
+    )
+    return rel_ops.dow_seasonal_outliers(
+        daily, "event_type", "day", "v_cents", k_iqr=1.5
+    ).select(
+        F.col("key").alias("event_type"),
+        F.col("day").cast("timestamp").alias("day"),
+        "dow",
+        F.col("v").alias("v_cents"),
+        "q1",
+        "med",
+        "q3",
+        "is_outlier",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # The driver's CORRECTNESS gate records only the first 50 entries.
@@ -5060,6 +5267,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_plan": token_budget_plan,
         "link_prediction_jaccard": link_prediction_jaccard,
         "training_pipeline_v4": training_pipeline_v4,
+        # ---- round-8 third batch (registry tail; round-9 rotation pool) ----
+        "harmonic_centrality": harmonic_centrality,
+        "theil_sen_trend": theil_sen_trend,
+        "cusum_changepoint": cusum_changepoint,
+        "skyline_parts": skyline_parts,
+        "rolling_mad_anomaly": rolling_mad_anomaly,
+        "source_token_entropy": source_token_entropy,
+        "dow_outlier_days": dow_outlier_days,
     }
 
 

@@ -1154,3 +1154,242 @@ def rolling_median(
         out_col,
         F.round(F.expr(f"percentile({value_col}, 0.5) OVER {frame}"), 6),
     )
+
+
+def theil_sen_slope(
+    df: DataFrame,
+    key_col: str,
+    t_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Theil-Sen robust trend per key: the MEDIAN of all pairwise slopes
+    ``(y_j − y_i) / (t_j − t_i)`` over the key's series — the estimator
+    with a 29% breakdown point, immune to the outlier days that drag an
+    OLS fit (:func:`ols_fit`'s robust twin; see Sen 1968, public).
+
+    CONTRACT: the input must already be aggregated to one row per
+    (key, t) at a BOUNDED time granularity (monthly buckets in the
+    registry query — ≤ ~100 points per key over the TPC-H date range),
+    because pair enumeration is C(n,2) per key. That pre-aggregation is
+    the scale story: the corpus-sized work is the one keyed agg the
+    caller already did; the pair self-join here touches only
+    keys × C(points, 2) rows — bounded-cardinality arithmetic, never
+    corpus-sized. ``t_col`` must be integer, ``y_col`` exact integer
+    units (cents): each slope is then ONE IEEE division of two exact
+    integers — bit-identical on any engine — rounded to 6; the median
+    of an even pair count is the midpoint average, one more fixed-shape
+    IEEE op, replayed exactly by ``median() OVER`` / ``percentile``.
+
+    → ``(key, n_points, sen_slope)``, one row per key with ≥ 2 points.
+    """
+    left = df.select(
+        F.col(key_col).alias("key"),
+        F.col(t_col).cast("long").alias("t1"),
+        F.col(y_col).cast("long").alias("y1"),
+    )
+    right = df.select(
+        F.col(key_col).alias("key"),
+        F.col(t_col).cast("long").alias("t2"),
+        F.col(y_col).cast("long").alias("y2"),
+    )
+    pairs = left.join(right, "key").where(F.col("t1") < F.col("t2"))
+    slope = F.round(
+        (F.col("y2") - F.col("y1")).cast("double")
+        / (F.col("t2") - F.col("t1")).cast("double"),
+        6,
+    )
+    n_pts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_points")
+    )
+    med = pairs.select("key", slope.alias("__s")).groupBy("key").agg(
+        F.round(F.percentile(F.col("__s"), 0.5), 6).alias("sen_slope")
+    )
+    return n_pts.join(med, "key").select("key", "n_points", "sen_slope")
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    key_col: str,
+    day_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Single most-likely changepoint per key by the CUSUM statistic:
+    the day maximizing ``|n·S_t − t·S_n|`` where ``S_t`` is the running
+    sum of the key's daily values — the standard cumulative-deviation
+    changepoint estimator (argmax of ``|S_t − (t/n)·S_n|``, Page's test
+    family, multiplied through by ``n`` so the whole statistic is EXACT
+    integer arithmetic; no float enters the comparison at all).
+
+    CONTRACT: input is pre-aggregated to one row per (key, day) with
+    ``value_col`` in exact integer units (cents) — so the window below
+    ranges over day-cardinality rows (≤ a few thousand per key),
+    bounded regardless of raw event volume; the corpus-sized work is
+    the daily agg the caller already did.
+
+    Shape: one cumulative-sum window + one total agg joined back on the
+    key, then a rank-1 filter on ``(stat DESC, day ASC)`` — earliest
+    day wins ties, making the result a total function of the input.
+
+    → ``(key, n_days, cp_day, cusum_stat)``, one row per key.
+    """
+    w_cum = (
+        Window.partitionBy("key")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    daily = df.select(
+        F.col(key_col).alias("key"),
+        F.col(day_col).alias("day"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    cum = daily.select(
+        "key",
+        "day",
+        F.sum("v").over(w_cum).alias("s_t"),
+        F.row_number().over(Window.partitionBy("key").orderBy("day")).alias(
+            "t"
+        ),
+    )
+    tot = daily.groupBy("key").agg(
+        F.sum("v").alias("s_n"), F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    stat = F.abs(
+        F.col("n_days") * F.col("s_t") - F.col("t") * F.col("s_n")
+    ).alias("cusum_stat")
+    ranked = cum.join(tot, "key").select(
+        "key",
+        "n_days",
+        "day",
+        stat,
+    )
+    w_pick = Window.partitionBy("key").orderBy(
+        F.desc("cusum_stat"), F.asc("day")
+    )
+    return (
+        ranked.withColumn("__r", F.row_number().over(w_pick))
+        .where(F.col("__r") == 1)
+        .select(
+            "key", "n_days", F.col("day").alias("cp_day"), "cusum_stat"
+        )
+    )
+
+
+def rolling_mad_anomaly(
+    df: DataFrame,
+    part_col: str,
+    day_col: str,
+    value_col: str,
+    preceding: int = 6,
+    k_num: int = 3,
+) -> DataFrame:
+    """Rolling median + rolling MAD anomaly flags over a trailing
+    integer-keyed RANGE frame — the robust control chart: a day is
+    anomalous when ``|x − median(frame)| > k · MAD(frame)``, immune to
+    the anomalies themselves inflating the threshold the way a rolling
+    mean/stddev chart self-blinds.
+
+    ENTIRELY exact integer arithmetic (no float in the decision): with
+    ``value_col`` in integer units (cents), the frame's sorted values
+    give ``med_x2 = a[lo] + a[hi]`` (2× the median; lo/hi the middle
+    indexes), per-value deviations ``|2x − med_x2]`` (2× scale), and
+    ``mad_x4`` as the two-middle sum of sorted deviations (4× scale);
+    the flag is then ``2·|2x − med_x2| > k·mad_x4`` — pure BIGINT
+    comparisons both engines replay bit-for-bit.
+
+    Same scale contract as :func:`rolling_median`: input pre-aggregated
+    to (key, day) rows, so each RANGE frame holds ≤ ``preceding + 1``
+    values and the whole computation is one shuffle on ``part_col``
+    plus per-row array math over ≤ 8-element lists.
+
+    → input columns + ``(med_x2, mad_x4, is_anomaly)``.
+    """
+    frame = (
+        Window.partitionBy(part_col)
+        .orderBy(F.col(day_col).cast("long"))
+        .rangeBetween(-int(preceding), 0)
+    )
+    arr = F.array_sort(
+        F.collect_list(F.col(value_col).cast("long")).over(frame)
+    )
+    out = df.withColumn("__arr", arr)
+    n = F.size(F.col("__arr"))
+    lo = ((n - 1) / 2).cast("int")
+    hi = (n / 2).cast("int")
+    out = out.withColumn(
+        "med_x2",
+        F.element_at(F.col("__arr"), lo + 1)
+        + F.element_at(F.col("__arr"), hi + 1),
+    )
+    dev = F.array_sort(
+        F.transform(
+            F.col("__arr"),
+            lambda x: F.abs(F.lit(2).cast("long") * x - F.col("med_x2")),
+        )
+    )
+    out = out.withColumn(
+        "mad_x4",
+        F.element_at(dev, lo + 1) + F.element_at(dev, hi + 1),
+    )
+    return out.drop("__arr").withColumn(
+        "is_anomaly",
+        F.lit(2).cast("long")
+        * F.abs(
+            F.lit(2).cast("long") * F.col(value_col).cast("long")
+            - F.col("med_x2")
+        )
+        > F.lit(int(k_num)).cast("long") * F.col("mad_x4"),
+    )
+
+
+def dow_seasonal_outliers(
+    df: DataFrame,
+    key_col: str,
+    day_col: str,
+    value_col: str,
+    k_iqr: float = 1.5,
+) -> DataFrame:
+    """Seasonality-aware outlier flags: a day is anomalous relative to
+    ITS OWN day-of-week's distribution, not the whole series — the fix
+    for the failure mode of :func:`iqr_outliers` on weekly-seasonal
+    traffic, where every Sunday trips a global fence and every genuinely
+    broken Tuesday hides inside it. Per (key, weekday) the classic Tukey
+    fence ``[q1 − k·IQR, q3 + k·IQR]`` is computed from exact
+    percentiles and joined back onto the daily rows.
+
+    Exactness: with ``value_col`` in integer units (cents), percentile
+    interpolation lands on dyadic rationals (quarter steps) that IEEE
+    doubles represent exactly, and ``k·IQR`` with the default k=1.5 is
+    one exact product — the flag comparison is deterministic on both
+    engines, no rounding needed.
+
+    Scale shape: input is pre-aggregated (key, day) rows (the
+    :func:`rolling_median` contract), so the percentile agg groups
+    day-cardinality rows into keys×7 cells and the join back is
+    broadcast-sized. → input + ``(dow, q1, med, q3, is_outlier)``.
+    """
+    dowed = df.select(
+        F.col(key_col).alias("key"),
+        F.col(day_col).alias("day"),
+        F.col(value_col).cast("long").alias("v"),
+    ).withColumn("dow", F.dayofweek(F.col("day")).cast("int"))
+    fences = dowed.groupBy("key", "dow").agg(
+        F.percentile(F.col("v"), 0.25).alias("q1"),
+        F.percentile(F.col("v"), 0.5).alias("med"),
+        F.percentile(F.col("v"), 0.75).alias("q3"),
+    )
+    k = F.lit(float(k_iqr))
+    return (
+        dowed.join(F.broadcast(fences), ["key", "dow"])
+        .withColumn(
+            "is_outlier",
+            (
+                F.col("v").cast("double")
+                > F.col("q3") + k * (F.col("q3") - F.col("q1"))
+            )
+            | (
+                F.col("v").cast("double")
+                < F.col("q1") - k * (F.col("q3") - F.col("q1"))
+            ),
+        )
+        .select("key", "day", "dow", "v", "q1", "med", "q3", "is_outlier")
+    )

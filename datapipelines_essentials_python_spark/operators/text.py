@@ -1163,3 +1163,64 @@ def js_divergence_by_group(
             F.col("grp").alias(group_col), "n_tokens", "n_terms", "jsd_micro"
         )
     )
+
+
+def token_entropy_by_group(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Shannon entropy of each group's unigram distribution — the
+    lexical-diversity gauge a mixture curator reads next to token mass:
+    a source can be huge and still near-zero-entropy (templated spam,
+    log dumps), and entropy is what separates "much data" from "much
+    signal". ``H = −Σ p·log2 p`` over the group's token distribution,
+    plus ``H / log2(V)`` (normalized to [0,1] by the vocab's max
+    entropy) so differently-sized vocabularies compare.
+
+    Exactness (the ``unigram_logprob_score`` discipline): each token's
+    ``p·log2 p`` term is rounded to 9 dp and cast to DECIMAL before the
+    group sum, so the aggregate is order-independent and the SQL oracle
+    hash-matches despite floating-point log; the final division is one
+    fixed IEEE shape rounded to 6.
+
+    Scale shape: one (group, token) keyed count with map-side partials —
+    vocabulary-bounded state per group — then one group-keyed fold of
+    the term table; no broadcast of anything corpus-sized.
+
+    → ``(group, n_tokens, vocab_size, entropy, norm_entropy)``.
+    """
+    gt = (
+        df.select(
+            F.col(group_col).alias("group"),
+            F.explode(tokens(text_col)).alias("token"),
+        )
+        .groupBy("group", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    totals = gt.groupBy("group").agg(
+        F.sum("cnt").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+    )
+    p = F.col("cnt").cast("double") / F.col("total").cast("double")
+    term = F.round(p * F.log2(p), 9).cast("decimal(28,12)")
+    return (
+        gt.join(totals, "group")
+        .groupBy("group")
+        .agg(
+            F.max("total").alias("n_tokens"),
+            F.max("vocab_size").alias("vocab_size"),
+            F.round(-F.sum(term).cast("double"), 6).alias("entropy"),
+        )
+        .withColumn(
+            "norm_entropy",
+            F.when(
+                F.col("vocab_size") > 1,
+                F.round(
+                    F.col("entropy")
+                    / F.log2(F.col("vocab_size").cast("double")),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+    )

@@ -4717,3 +4717,222 @@ SELECT r.domain, r.n_raw,
            0.0) AS epochs
 FROM raw r LEFT JOIN budget b ON b.domain = r.domain
 """
+
+
+# Landmark harmonic centrality — mirrors graph.landmark_harmonic
+# (max_hops=3, landmarks = node % 97 == 0): per-landmark BFS distances
+# unrolled 3 rounds with (lm, node)-keyed min folds (the bfs_reach_3hop
+# unroll, with the landmark kept in the key because harmonic centrality
+# sums per-landmark reciprocals). Contributions are integer micro-units
+# 1_000_000 // d, so the sum is exact; the self-pair (dist 0) is excluded.
+_harm = [
+    f"""WITH {_AFF},
+adj AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM und
+  UNION ALL SELECT v AS src, u AS dst FROM und),
+h0 AS MATERIALIZED (
+  SELECT DISTINCT src AS lm, src AS node, 0 AS dist FROM adj
+  WHERE src % 97 = 0)"""
+]
+for _i in range(1, 4):
+    _harm.append(f""",
+h{_i} AS MATERIALIZED (
+  SELECT lm, node, CAST(min(dist) AS INT) AS dist FROM (
+    SELECT lm, node, dist FROM h{_i - 1}
+    UNION ALL
+    SELECT f.lm, a.dst AS node, {_i} AS dist
+    FROM adj a JOIN h{_i - 1} f ON f.node = a.src AND f.dist = {_i - 1})
+  GROUP BY 1, 2)""")
+_harm.append("""
+SELECT CAST(node AS BIGINT) AS node,
+  CAST(count(*) AS BIGINT) AS n_landmarks,
+  CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_micro
+FROM h3 WHERE dist >= 1 GROUP BY 1
+""")
+ORACLES["harmonic_centrality"] = "".join(_harm)
+
+
+# Theil-Sen robust trend — mirrors relational.theil_sen_slope over
+# monthly nation revenue: exact-cents monthly sums, every t1 < t2 pair's
+# slope as ONE IEEE division of exact integers rounded to 6, then the
+# interpolating median rounded to 6 (DuckDB median == Spark percentile 0.5).
+ORACLES["theil_sen_trend"] = """
+WITH monthly AS (
+  SELECT n.n_name,
+    (CAST(year(o_orderdate) AS BIGINT) - 1995) * 12
+      + CAST(month(o_orderdate) AS BIGINT) - 1 AS t,
+    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      AS rev_cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT a.n_name,
+    round(CAST(b.rev_cents - a.rev_cents AS DOUBLE)
+          / CAST(b.t - a.t AS DOUBLE), 6) AS s
+  FROM monthly a JOIN monthly b
+    ON a.n_name = b.n_name AND a.t < b.t),
+np AS (
+  SELECT n_name, CAST(count(*) AS BIGINT) AS n_points
+  FROM monthly GROUP BY 1)
+SELECT np.n_name, np.n_points,
+  round(median(p.s), 6) AS sen_slope
+FROM np JOIN pairs p ON p.n_name = np.n_name
+GROUP BY 1, 2
+"""
+
+
+# CUSUM changepoint — mirrors relational.cusum_changepoint over daily
+# event value mass: argmax_t |n*S_t - t*S_n| per event type (the
+# cumulative-deviation statistic multiplied through by n — pure BIGINT,
+# no float in the decision), earliest day wins ties.
+ORACLES["cusum_changepoint"] = """
+WITH daily AS (
+  SELECT event_type AS key, CAST(ts AS DATE) AS day,
+    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v
+  FROM events GROUP BY 1, 2),
+cum AS (
+  SELECT key, day,
+    CAST(sum(v) OVER (PARTITION BY key ORDER BY day) AS BIGINT) AS s_t,
+    CAST(row_number() OVER (PARTITION BY key ORDER BY day) AS BIGINT) AS t,
+    CAST(sum(v) OVER (PARTITION BY key) AS BIGINT) AS s_n,
+    CAST(count(*) OVER (PARTITION BY key) AS BIGINT) AS n_days
+  FROM daily)
+SELECT key AS event_type, n_days, CAST(day AS TIMESTAMP) AS cp_day,
+  CAST(abs(n_days * s_t - t * s_n) AS BIGINT) AS cusum_stat
+FROM cum
+QUALIFY row_number() OVER (
+  PARTITION BY key
+  ORDER BY abs(n_days * s_t - t * s_n) DESC, day ASC) = 1
+"""
+
+
+# 3-criteria skyline — mirrors skyline.skyline over Brand#7 parts:
+# Pareto-dominance NOT EXISTS (d >= on every max dim, <= on every min
+# dim, strictly better somewhere). Dims are exact cents/centi-units
+# from DECIMAL sums, so dominance is exact integer comparison.
+ORACLES["skyline_parts"] = """
+WITH dims AS (
+  SELECT l.l_partkey AS p_partkey,
+    CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      AS revenue_cents,
+    CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT)
+      AS qty_x100,
+    CAST(max(CAST(p.p_retailprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      AS price_cents
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#7'
+  GROUP BY 1)
+SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+  revenue_cents, qty_x100, price_cents
+FROM dims q
+WHERE NOT EXISTS (
+  SELECT 1 FROM dims d
+  WHERE d.revenue_cents >= q.revenue_cents
+    AND d.qty_x100 >= q.qty_x100
+    AND d.price_cents <= q.price_cents
+    AND (d.revenue_cents > q.revenue_cents
+      OR d.qty_x100 > q.qty_x100
+      OR d.price_cents < q.price_cents))
+"""
+
+
+# Rolling median + MAD control chart — mirrors relational.
+# rolling_mad_anomaly (preceding=6, k=3): trailing RANGE frame as a
+# sorted list, med_x2 = two-middle sum (2x scale), per-value deviations
+# |2x - med_x2|, mad_x4 = two-middle sum of sorted deviations (4x
+# scale); flag 2*|2x - med_x2| > 3*mad_x4 — pure BIGINT on both engines.
+ORACLES["rolling_mad_anomaly"] = """
+WITH daily AS (
+  SELECT event_type AS key,
+    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS INT)
+      AS day_idx,
+    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v_cents
+  FROM events GROUP BY 1, 2),
+fr AS (
+  SELECT key, day_idx, v_cents,
+    list_sort(list(v_cents) OVER (
+      PARTITION BY key ORDER BY day_idx
+      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+  FROM daily),
+m AS (
+  SELECT key, day_idx, v_cents,
+    arr[CAST((len(arr) - 1) // 2 AS INT) + 1]
+      + arr[CAST(len(arr) // 2 AS INT) + 1] AS med_x2,
+    arr
+  FROM fr),
+d AS (
+  SELECT key, day_idx, v_cents, med_x2,
+    list_sort(list_transform(arr, x -> abs(2 * x - med_x2))) AS dev
+  FROM m)
+SELECT key AS event_type, day_idx, v_cents,
+  CAST(med_x2 AS BIGINT) AS med_x2,
+  CAST(dev[CAST((len(dev) - 1) // 2 AS INT) + 1]
+    + dev[CAST(len(dev) // 2 AS INT) + 1] AS BIGINT) AS mad_x4,
+  (2 * abs(2 * v_cents - med_x2))
+    > (3 * (dev[CAST((len(dev) - 1) // 2 AS INT) + 1]
+          + dev[CAST(len(dev) // 2 AS INT) + 1])) AS is_anomaly
+FROM d
+"""
+
+
+# Per-source token entropy — mirrors text.token_entropy_by_group: each
+# token's p*log2(p) term rounded to 9 dp and summed as DECIMAL (order-
+# independent), entropy = -sum rounded 6, normalized by log2(vocab).
+ORACLES["source_token_entropy"] = f"""
+WITH tok AS (
+  SELECT source AS grp, unnest({TOKS}) AS token FROM documents),
+gt AS (
+  SELECT grp, token, CAST(count(*) AS BIGINT) AS cnt
+  FROM tok GROUP BY 1, 2),
+tot AS (
+  SELECT grp, CAST(sum(cnt) AS BIGINT) AS total,
+    CAST(count(*) AS BIGINT) AS vocab_size
+  FROM gt GROUP BY 1),
+terms AS (
+  SELECT g.grp,
+    CAST(round((CAST(g.cnt AS DOUBLE) / CAST(t.total AS DOUBLE))
+      * log2(CAST(g.cnt AS DOUBLE) / CAST(t.total AS DOUBLE)), 9)
+      AS DECIMAL(28,12)) AS term
+  FROM gt g JOIN tot t ON t.grp = g.grp),
+h AS (
+  SELECT grp, round(-CAST(sum(term) AS DOUBLE), 6) AS entropy
+  FROM terms GROUP BY 1)
+SELECT t.grp AS source, t.total AS n_tokens, t.vocab_size,
+  h.entropy,
+  CASE WHEN t.vocab_size > 1
+    THEN round(h.entropy / log2(CAST(t.vocab_size AS DOUBLE)), 6)
+    ELSE 0.0 END AS norm_entropy
+FROM tot t JOIN h ON h.grp = t.grp
+"""
+
+
+# Day-of-week seasonal Tukey fences — mirrors relational.
+# dow_seasonal_outliers (k=1.5): per (type, weekday) exact interpolating
+# quartiles over integer cents (dyadic rationals — exact in DOUBLE), one
+# exact 1.5*IQR product, no rounding needed. DuckDB dayofweek is
+# 0=Sunday; Spark's is 1=Sunday — hence the +1.
+ORACLES["dow_outlier_days"] = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v_cents
+  FROM events GROUP BY 1, 2),
+dowed AS (
+  SELECT event_type, day, v_cents,
+    CAST(dayofweek(day) + 1 AS INT) AS dow
+  FROM daily),
+fences AS (
+  SELECT event_type, dow,
+    quantile_cont(v_cents, 0.25) AS q1,
+    quantile_cont(v_cents, 0.5) AS med,
+    quantile_cont(v_cents, 0.75) AS q3
+  FROM dowed GROUP BY 1, 2)
+SELECT d.event_type, CAST(d.day AS TIMESTAMP) AS day, d.dow, d.v_cents,
+  f.q1, f.med, f.q3,
+  (CAST(d.v_cents AS DOUBLE) > f.q3 + 1.5 * (f.q3 - f.q1))
+    OR (CAST(d.v_cents AS DOUBLE) < f.q1 - 1.5 * (f.q3 - f.q1))
+    AS is_outlier
+FROM dowed d
+JOIN fences f ON f.event_type = d.event_type AND f.dow = d.dow
+"""
