@@ -648,3 +648,77 @@ def test_token_budget_scalars_are_broadcast(spark):
     plan = plan_of(entry_mod.queries()["token_budget_plan"](spark, SF_DIR))
     assert plan.count("BroadcastNestedLoopJoin") >= 2, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_harmonic_centrality_joins_and_aggs_only(spark):
+    """The landmark BFS is frontier joins + (lm, node)-keyed min folds —
+    no ranking window, no cartesian, nothing in row-Python."""
+    plan = plan_of(entry_mod.queries()["harmonic_centrality"](spark, SF_DIR))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_theil_sen_pair_join_is_keyed_not_cartesian(spark):
+    """The C(n,2) pair expansion is an equi-join on the series key with
+    a residual t1 < t2 filter — a hash join, never CartesianProduct —
+    and the median is a combinable percentile AGGREGATE, not a window."""
+    plan = plan_of(entry_mod.queries()["theil_sen_trend"](spark, SF_DIR))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_cusum_windows_are_keyed(spark):
+    """Both the running sum and the rank-1 pick are PARTITIONED windows
+    over pre-aggregated daily rows — an unpartitioned window would pull
+    the whole series onto one task at 100 TB."""
+    import re
+
+    plan = plan_of(entry_mod.queries()["cusum_changepoint"](spark, SF_DIR))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected window specs in the cusum plan"
+    for spec in specs:
+        assert "key" in spec, f"unpartitioned window spec: {spec}"
+
+
+def test_skyline_two_arrow_phases_no_cartesian(spark):
+    """The skyline is exactly two Arrow mapInPandas phases (local sweep,
+    global sweep over candidates) — dominance never becomes a pairwise
+    join, and the part dim broadcasts into the lineitem agg."""
+    plan = plan_of(entry_mod.queries()["skyline_parts"](spark, SF_DIR))
+    # formatted plans list each node twice (tree + detail) — count details
+    assert plan.count(") MapInPandas") == 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_rolling_mad_window_is_keyed_range_frame(spark):
+    """One keyed RANGE-frame window over pre-aggregated daily rows; the
+    med/MAD array math is per-row expression work, no second shuffle."""
+    import re
+
+    plan = plan_of(entry_mod.queries()["rolling_mad_anomaly"](spark, SF_DIR))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected a window spec in the rolling-mad plan"
+    for spec in specs:
+        assert "key" in spec, f"unpartitioned window spec: {spec}"
+    assert "specifiedwindowframe(RangeFrame" in plan, plan
+
+
+def test_token_entropy_aggs_only(spark):
+    """Entropy is two keyed aggregates and one join — no window, no
+    cartesian, no Python in the hot path."""
+    plan = plan_of(entry_mod.queries()["source_token_entropy"](spark, SF_DIR))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_dow_fences_broadcast_no_window(spark):
+    """Percentile fences are a combinable AGGREGATE per (key, dow) cell
+    joined back by broadcast — no window, no shuffle of the daily rows
+    beyond the one daily agg."""
+    plan = plan_of(entry_mod.queries()["dow_outlier_days"](spark, SF_DIR))
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
