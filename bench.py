@@ -249,6 +249,14 @@ HEADLINE = [
     "token_budget_plan",
     "link_prediction_jaccard",
     "training_pipeline_v4",
+    # round-8 third batch
+    "harmonic_centrality",
+    "theil_sen_trend",
+    "cusum_changepoint",
+    "skyline_parts",
+    "rolling_mad_anomaly",
+    "source_token_entropy",
+    "dow_outlier_days",
 ]
 
 
