@@ -5014,6 +5014,64 @@ def dow_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout keys (``hashing.hilbert_key``, 10-bit) over
+    the same two event dimensions as ``zorder_layout`` — the
+    space-filling curve with strictly better clustering than Morton
+    order (no long diagonal jumps at block boundaries → tighter file
+    min/max ranges → more pruning; Moon et al. TKDE'01). The xy→d walk
+    is UNROLLED into pure integer/CASE column arithmetic riding the
+    scan — no UDF, no shuffle — and the SQL oracle replays it level by
+    level."""
+    from datapipelines_essentials_python_spark.functions.hashing import (
+        with_hilbert_key,
+    )
+
+    events = load_table(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    x = F.pmod(F.col("user_id"), F.lit(1024))
+    y = F.greatest(F.least(F.floor(F.col("value")).cast("long"), F.lit(1023)), F.lit(0))
+    base = events.select(
+        "event_id", x.cast("long").alias("x"), y.alias("y")
+    )
+    return with_hilbert_key(base, "x", "y", bits=10, out_col="hkey").select(
+        "event_id", "x", "y", "hkey"
+    )
+
+
+def link_prediction_salton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salton cosine link prediction (``graph.salton_cosine``, top 50)
+    over the part-affinity graph — the geometric-mean-normalized third
+    member of the family: AA discounts hub wedge CENTERS, Jaccard
+    discounts hub ENDPOINTS via the union, the cosine index penalizes
+    DEGREE IMBALANCE via √(du·dv). Shares the wedge-by-center plan and
+    integer micro-score contract with its siblings (one
+    ``_nonadjacent_common_pairs`` pass feeds all three)."""
+    from datapipelines_essentials_python_spark.operators import graph as graph_ops
+
+    edges = _affinity_edges(spark, sf_dir)
+    return graph_ops.salton_cosine(edges, top_n=50).select(
+        F.col("u").cast("long").alias("u"),
+        F.col("v").cast("long").alias("v"),
+        "common_neighbors",
+        "cos_micro",
+    )
+
+
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold sensitivity report
+    (``dedup.threshold_sensitivity``, thresholds 0.5/0.7/0.9, language-
+    blocked): documents in pairs, exact connected-component clusters,
+    and keep-one-per-cluster removals at each candidate threshold — the
+    table a dedup rollout reads to pick its operating point. ONE
+    inverted-index similarity pass at the loosest threshold; each
+    tighter threshold is a filter + components over a shrinking edge
+    set; the output is thresholds-cardinality."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    return dedup_ops.threshold_sensitivity(
+        docs, "doc_id", "text", thresholds=[0.5, 0.7, 0.9], block_col="lang"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # The driver's CORRECTNESS gate records only the first 50 entries.
@@ -5275,6 +5333,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_mad_anomaly": rolling_mad_anomaly,
         "source_token_entropy": source_token_entropy,
         "dow_outlier_days": dow_outlier_days,
+        "hilbert_layout": hilbert_layout,
+        "link_prediction_salton": link_prediction_salton,
+        "dedup_threshold_sweep": dedup_threshold_sweep,
     }
 
 

@@ -73,3 +73,85 @@ def zorder_key(x, y, bits: int = 10):
         ybit = F.shiftright(yc, b).bitwiseAND(F.lit(1))
         key = key + xbit * F.lit(2 ** (2 * b)) + ybit * F.lit(2 ** (2 * b + 1))
     return key
+
+
+def hilbert_key(x, y, bits: int = 10):
+    """Hilbert-curve key: map two non-negative ``bits``-bit integer
+    columns onto the Hilbert space-filling curve — the layout key with
+    strictly better locality than :func:`zorder_key`'s Morton order
+    (Hilbert never takes the long diagonal jumps Morton takes at block
+    boundaries, so file min/max ranges after
+    ``sortWithinPartitions(hilbert_key(...))`` + write are tighter and
+    prune more; see Moon et al., "Analysis of the Clustering Properties
+    of the Hilbert Space-Filling Curve", TKDE 2001 — public).
+
+    The standard xy→d walk (rotate-and-fold, one level per bit from the
+    top), UNROLLED into pure integer/CASE column arithmetic — no UDF,
+    no loop state, deterministic and portable, so a SQL oracle can
+    replay it level by level. Per level: quadrant = CASE(rx, ry) (the
+    Gray-code cell index), then the rotation that keeps the curve
+    continuous (ry=0 swaps axes; ry=0 ∧ rx=1 also reflects).
+    """
+    from pyspark.sql import functions as F
+
+    raise NotImplementedError(
+        "hilbert_key cannot be a single Column expression: each level's "
+        "rotation references the previous level's coordinates several "
+        "times, so the unrolled tree grows exponentially in `bits` "
+        "(observed as a driver OOM while CONSTRUCTING the expression). "
+        "Use with_hilbert_key(df, ...), which materializes each level's "
+        "state as named projection columns — same arithmetic, linear-"
+        "size plan."
+    )
+
+
+def with_hilbert_key(df, x, y, bits: int = 10, out_col: str = "hkey"):
+    """Append a Hilbert key column to ``df`` — see :func:`hilbert_key`
+    for the semantics and why this is a DataFrame transform, not a
+    Column: the per-level rotation reads the previous level's (x, y)
+    MULTIPLE times, so the state must live as NAMED columns (each level
+    is one cheap projection over attributes; Catalyst keeps the layers
+    because CollapseProject refuses to duplicate non-trivial aliases) —
+    a pure Column unroll re-expands the whole subtree at every
+    reference and the expression grows exponentially in ``bits``.
+
+    Still zero shuffles, zero UDFs: ``bits`` stacked narrow projections
+    riding the scan.
+    """
+    from pyspark.sql import functions as F
+
+    n = 1 << bits
+    xc = (F.col(x) if isinstance(x, str) else x).cast("long")
+    yc = (F.col(y) if isinstance(y, str) else y).cast("long")
+    out = df.withColumns(
+        {"__hx": xc, "__hy": yc, "__hd": F.lit(0).cast("long")}
+    )
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        hx, hy, hd = F.col("__hx"), F.col("__hy"), F.col("__hd")
+        rx = F.shiftright(hx, i).bitwiseAND(F.lit(1))
+        ry = F.shiftright(hy, i).bitwiseAND(F.lit(1))
+        # (3*rx) XOR ry over {0,1}² without bitwise XOR: rx=0 → ry,
+        # rx=1 → 3−ry — the Gray-code quadrant index.
+        quad = F.when(rx == 1, F.lit(3) - ry).otherwise(ry)
+        # rotate/reflect so the sub-curve keeps its orientation
+        # (reflection is over the FULL grid side n — the coordinates
+        # still carry their high bits at lower levels): ry=0 ∧ rx=1 →
+        # reflect both then swap; ry=0 ∧ rx=0 → plain swap; ry=1 →
+        # unchanged.
+        out = out.withColumns(
+            {
+                "__hd": hd + F.lit(s).cast("long") * F.lit(s) * quad,
+                "__hx": (
+                    F.when((ry == 1), hx)
+                    .when(rx == 1, F.lit(n - 1) - hy)
+                    .otherwise(hy)
+                ),
+                "__hy": (
+                    F.when((ry == 1), hy)
+                    .when(rx == 1, F.lit(n - 1) - hx)
+                    .otherwise(hx)
+                ),
+            }
+        )
+    return out.withColumn(out_col, F.col("__hd")).drop("__hx", "__hy", "__hd")

@@ -1084,3 +1084,73 @@ def group_minhash_similarity(
             ).alias("jaccard_est"),
         )
     )
+
+
+def threshold_sensitivity(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    thresholds: list[float],
+    n: int = 3,
+    block_col: str | None = None,
+    unblocked: bool = False,
+    max_iter: int = 30,
+) -> DataFrame:
+    """Near-dup THRESHOLD SENSITIVITY report: how many documents, dup
+    clusters, and removals each candidate Jaccard threshold would
+    produce — the tuning artifact every dedup rollout reads before
+    committing a threshold (too low merges unrelated docs into giant
+    clusters; too high leaves near-dups in the corpus; the knee of this
+    table is the operating point).
+
+    ONE similarity pass at ``min(thresholds)`` (the inverted-index
+    :func:`ngram_jaccard_pairs_indexed`, same blocking contract), then
+    per threshold a FILTER of that pair table + exact
+    :func:`connected_components` over the shrinking edge set — the
+    expensive posting join is never repeated, and each component run
+    shrinks with its threshold. Per threshold the output is three
+    numbers, so the result is thresholds-cardinality, not corpus-sized.
+
+    → ``(threshold, n_docs_in_pairs, n_clusters, n_dups_removed)``,
+    one row per threshold: docs appearing in ≥1 surviving pair, their
+    component count, and docs − components (the rows a keep-one-per-
+    cluster pass would drop).
+    """
+    if not thresholds:
+        raise ValueError("threshold_sensitivity needs at least one threshold")
+    base_t = min(thresholds)
+    pairs = ngram_jaccard_pairs_indexed(
+        df,
+        id_col,
+        text_col,
+        n=n,
+        threshold=base_t,
+        block_col=block_col,
+        unblocked=unblocked,
+    ).persist()
+    spark = df.sparkSession
+    out_rows = []
+    for t in sorted(thresholds):
+        edges = pairs.where(F.col("jaccard") >= F.lit(float(t)))
+        comps = connected_components(edges, max_iter=max_iter)
+        stats = comps.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_in_pairs"),
+            F.countDistinct("component").cast("long").alias("n_clusters"),
+        ).collect()[0]
+        out_rows.append(
+            (
+                round(float(t), 6),
+                stats["n_docs_in_pairs"],
+                stats["n_clusters"],
+                stats["n_docs_in_pairs"] - stats["n_clusters"],
+            )
+        )
+    pairs.unpersist()
+    # thresholds-cardinality result — a driver-side literal table, the
+    # documented P8 bridge shape (the per-threshold aggregates were the
+    # distributed work; this is their 3-number summary).
+    return spark.createDataFrame(
+        out_rows,
+        "threshold double, n_docs_in_pairs long, n_clusters long, "
+        "n_dups_removed long",
+    )

@@ -1165,6 +1165,37 @@ def neighbor_jaccard(
     """
     if top_n < 1:
         raise ValueError(f"neighbor_jaccard needs top_n >= 1, got {top_n}")
+    candidates = _nonadjacent_common_pairs(edges, max_degree, materialize)
+    jac = F.round(
+        F.col("common_neighbors").cast("double")
+        / (
+            F.col("du") + F.col("dv") - F.col("common_neighbors")
+        ).cast("double"),
+        6,
+    )
+    return (
+        candidates.select(
+            "u",
+            "v",
+            "common_neighbors",
+            F.round(jac * 1e6).cast("long").alias("jac_micro"),
+        )
+        .orderBy(F.desc("jac_micro"), F.asc("u"), F.asc("v"))
+        .limit(top_n)
+    )
+
+
+def _nonadjacent_common_pairs(
+    edges: DataFrame,
+    max_degree: int | None,
+    materialize: bool,
+) -> DataFrame:
+    """Shared wedge-by-center machinery behind the link-prediction
+    family (:func:`neighbor_jaccard`, :func:`salton_cosine`): normalize,
+    enumerate wedges through (optionally degree-capped) CENTERS, count
+    common neighbors per endpoint pair, drop pairs that are already
+    edges, and join back the TRUE endpoint degrees (the cap bounds
+    work, never semantics). → ``(u, v, common_neighbors, du, dv)``."""
     und = undirected_edges(edges)
     if materialize:
         und = und.localCheckpoint(eager=True)
@@ -1192,22 +1223,48 @@ def neighbor_jaccard(
     candidates = pairs.join(und, ["u", "v"], "left_anti")
     du = deg.select(F.col("node").alias("u"), F.col("degree").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("dv"))
-    jac = F.round(
+    return candidates.join(du, "u").join(dv, "v")
+
+
+def salton_cosine(
+    edges: DataFrame,
+    top_n: int = 50,
+    max_degree: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Salton cosine link prediction over an undirected graph: for each
+    NON-adjacent pair, ``|N(u)∩N(v)| / √(deg u · deg v)`` — the cosine
+    index (Salton & McGill 1983, public), the geometric-mean-normalized
+    member of the family :func:`adamic_adar` and :func:`neighbor_jaccard`
+    anchor: the geometric mean penalizes DEGREE IMBALANCE (a leaf next
+    to a hub) more gently than Jaccard's union but harder than raw
+    counts — the standard choice for co-citation / co-purchase graphs.
+    Same wedge-by-center enumeration, hub cap, and integer-micro-score
+    contract as its siblings.
+
+    Exactness: the numerator and both degrees are exact integers; the
+    product fits a double exactly (< 2^53), IEEE ``sqrt`` is correctly
+    rounded on every engine, and the division is one fixed shape rounded
+    to 6 — the oracle replays it bit-for-bit.
+
+    → top-N ``(u, v, common_neighbors, cos_micro)``.
+    """
+    if top_n < 1:
+        raise ValueError(f"salton_cosine needs top_n >= 1, got {top_n}")
+    candidates = _nonadjacent_common_pairs(edges, max_degree, materialize)
+    cos = F.round(
         F.col("common_neighbors").cast("double")
-        / (
-            F.col("du") + F.col("dv") - F.col("common_neighbors")
-        ).cast("double"),
+        / F.sqrt((F.col("du") * F.col("dv")).cast("double")),
         6,
     )
     return (
-        candidates.join(du, "u").join(dv, "v")
-        .select(
+        candidates.select(
             "u",
             "v",
             "common_neighbors",
-            F.round(jac * 1e6).cast("long").alias("jac_micro"),
+            F.round(cos * 1e6).cast("long").alias("cos_micro"),
         )
-        .orderBy(F.desc("jac_micro"), F.asc("u"), F.asc("v"))
+        .orderBy(F.desc("cos_micro"), F.asc("u"), F.asc("v"))
         .limit(top_n)
     )
 

@@ -4936,3 +4936,125 @@ SELECT d.event_type, CAST(d.day AS TIMESTAMP) AS day, d.dow, d.v_cents,
 FROM dowed d
 JOIN fences f ON f.event_type = d.event_type AND f.dow = d.dow
 """
+
+
+# Hilbert-curve layout key — mirrors hashing.hilbert_key(bits=10): the
+# xy->d rotate-and-fold walk unrolled one CTE per level. Reflection is
+# over the FULL grid side n-1 (coordinates still carry high bits at
+# lower levels); quadrant = CASE(rx) (3-ry | ry), the Gray-code index.
+def _hilbert_cte(bits: int = 10) -> str:
+    n = 1 << bits
+    parts = []
+    prev = "hbase"
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        rx = f"(CAST(floor(x / {s}) AS BIGINT) % 2)"
+        ry = f"(CAST(floor(y / {s}) AS BIGINT) % 2)"
+        parts.append(f""",
+hl{i} AS MATERIALIZED (
+  SELECT event_id, x0, y0,
+    CASE WHEN {ry} = 0 AND {rx} = 1 THEN {n - 1} - y
+         WHEN {ry} = 0 THEN y ELSE x END AS x,
+    CASE WHEN {ry} = 0 AND {rx} = 1 THEN {n - 1} - x
+         WHEN {ry} = 0 THEN x ELSE y END AS y,
+    d + {s * s} * (CASE WHEN {rx} = 1 THEN 3 - {ry} ELSE {ry} END) AS d
+  FROM {prev})""")
+        prev = f"hl{i}"
+    return "".join(parts)
+
+
+ORACLES["hilbert_layout"] = f"""
+WITH hbase AS (
+  SELECT event_id,
+    CAST(user_id % 1024 AS BIGINT) AS x0,
+    greatest(least(CAST(floor(value) AS BIGINT), 1023), 0) AS y0,
+    CAST(user_id % 1024 AS BIGINT) AS x,
+    greatest(least(CAST(floor(value) AS BIGINT), 1023), 0) AS y,
+    CAST(0 AS BIGINT) AS d
+  FROM events WHERE event_id < 2000){_hilbert_cte(10)}
+SELECT event_id, x0 AS x, y0 AS y, CAST(d AS BIGINT) AS hkey FROM hl0
+"""
+
+
+# Salton cosine link prediction — mirrors graph.salton_cosine(top_n=50):
+# the neighbor_jaccard wedge plan with cos = common / sqrt(du*dv)
+# (exact integers into one correctly-rounded IEEE sqrt + division,
+# rounded to 6 then micro-scaled), non-adjacent pairs only.
+ORACLES["link_prediction_salton"] = f"""
+WITH {_AFF},
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+  GROUP BY 1),
+adj AS MATERIALIZED (
+  SELECT u AS w, v AS n FROM und UNION ALL SELECT v AS w, u AS n FROM und),
+wedge AS (
+  SELECT a.w, a.n AS a, b.n AS b
+  FROM adj a JOIN adj b ON a.w = b.w AND a.n < b.n),
+pairs AS (
+  SELECT wd.a AS u, wd.b AS v, CAST(count(*) AS BIGINT) AS common_neighbors
+  FROM wedge wd GROUP BY 1, 2),
+cand AS (
+  SELECT p.* FROM pairs p
+  LEFT JOIN und e ON e.u = p.u AND e.v = p.v
+  WHERE e.u IS NULL)
+SELECT CAST(c.u AS BIGINT) AS u, CAST(c.v AS BIGINT) AS v, c.common_neighbors,
+  CAST(round(round(CAST(c.common_neighbors AS DOUBLE)
+        / sqrt(CAST(du.d * dv.d AS DOUBLE)), 6) * 1e6)
+    AS BIGINT) AS cos_micro
+FROM cand c JOIN deg du ON du.node = c.u JOIN deg dv ON dv.node = c.v
+ORDER BY cos_micro DESC, u ASC, v ASC
+LIMIT 50
+"""
+
+
+# Near-dup threshold sensitivity — mirrors dedup.threshold_sensitivity
+# (thresholds 0.5/0.7/0.9, language-blocked, n=3): ONE inverted-index
+# jaccard pass (the ngram_jaccard oracle), then per threshold a
+# recursive-CTE transitive closure and a 3-number summary.
+_TS_PAIRS = f"""t AS (SELECT doc_id, lang, {TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, lang, {SHINGLES} AS sh FROM t),
+ex AS (SELECT doc_id, lang, len(sh) AS sz, unnest(sh) AS g FROM s),
+co AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+    count(*) AS inter
+  FROM ex a JOIN ex b ON a.lang = b.lang AND a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4),
+pairs AS MATERIALIZED (
+  SELECT id_a, id_b,
+    round(CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE), 6)
+      AS jac
+  FROM co
+  WHERE round(CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE), 6)
+    >= 0.5)"""
+
+_ts_blocks = []
+for _t in ("0.5", "0.7", "0.9"):
+    _tag = _t.replace(".", "")
+    _ts_blocks.append(f""",
+und{_tag} AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM pairs WHERE jac >= {_t}
+  UNION SELECT id_b, id_a FROM pairs WHERE jac >= {_t}),
+reach{_tag}(src, dst) AS (
+  SELECT src, dst FROM und{_tag}
+  UNION
+  SELECT r.src, u.dst FROM reach{_tag} r JOIN und{_tag} u ON r.dst = u.src),
+comp{_tag} AS (
+  SELECT src AS id, least(src, MIN(dst)) AS c FROM reach{_tag} GROUP BY src),
+stats{_tag} AS (
+  SELECT CAST({_t} AS DOUBLE) AS threshold,
+    CAST(count(*) AS BIGINT) AS n_docs_in_pairs,
+    CAST(count(DISTINCT c) AS BIGINT) AS n_clusters,
+    CAST(count(*) - count(DISTINCT c) AS BIGINT) AS n_dups_removed
+  FROM comp{_tag})""")
+
+ORACLES["dedup_threshold_sweep"] = (
+    "WITH RECURSIVE "
+    + _TS_PAIRS
+    + "".join(_ts_blocks)
+    + """
+SELECT * FROM stats05
+UNION ALL SELECT * FROM stats07
+UNION ALL SELECT * FROM stats09
+"""
+)

@@ -722,3 +722,22 @@ def test_dow_fences_broadcast_no_window(spark):
     plan = plan_of(entry_mod.queries()["dow_outlier_days"](spark, SF_DIR))
     assert "Window" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_hilbert_rides_the_scan(spark):
+    """The Hilbert key is stacked narrow projections riding the scan —
+    ZERO exchanges, zero windows, zero Python; the event_id filter is
+    pushed into the parquet scan."""
+    plan = plan_of(entry_mod.queries()["hilbert_layout"](spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "LessThan(event_id,2000)" in plan, plan
+
+
+def test_salton_shares_the_wedge_plan(spark):
+    """Salton cosine runs the same wedge-by-center machinery as
+    neighbor_jaccard: hash joins + keyed aggs only."""
+    plan = plan_of(entry_mod.queries()["link_prediction_salton"](spark, SF_DIR))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
