@@ -257,6 +257,9 @@ HEADLINE = [
     "rolling_mad_anomaly",
     "source_token_entropy",
     "dow_outlier_days",
+    "hilbert_layout",
+    "link_prediction_salton",
+    "dedup_threshold_sweep",
 ]
 
 
