@@ -118,3 +118,88 @@ def stateful_session_counts(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def streaming_mad_control_chart(
+    stream: DataFrame,
+    key_col: str = "key",
+    day_col: str = "day_idx",
+    value_col: str = "v",
+    preceding: int = 6,
+    k_num: int = 3,
+) -> DataFrame:
+    """Streaming twin of ``relational.rolling_mad_anomaly``: the robust
+    |x − median| > k·MAD control chart maintained INCREMENTALLY — per
+    key the state is just the trailing ``preceding + 1`` (day, value)
+    pairs, so a day's anomaly verdict is emitted the moment its row
+    arrives instead of waiting for a batch rescan of the series.
+
+    Replayability CONTRACT (the ``streaming_novelty_admission``
+    discipline): input rows are pre-aggregated one per (key, day) and
+    arrive in day order per key — then the emitted rows equal the batch
+    operator over the concatenated input, decision for decision (the
+    rescan-equivalence test pins it). The decision is the same pure
+    BIGINT ×2/×4 two-middle arithmetic — no float anywhere, so batch
+    and stream can never diverge by rounding.
+
+    State is bounded by construction: entries older than
+    ``max_day − preceding`` can never enter a future frame (in-order
+    arrival) and are evicted every batch — ≤ ``preceding + 1`` pairs
+    per key, whatever the stream's length.
+
+    → update-mode rows ``(key, day, v, med_x2, mad_x4, is_anomaly)``.
+    """
+    out_schema = (
+        f"{key_col} string, {day_col} long, {value_col} long, "
+        "med_x2 long, mad_x4 long, is_anomaly boolean"
+    )
+    state_schema = "days array<long>, vals array<long>"
+
+    def _decide(frame_vals: list[int], x: int) -> tuple[int, int, bool]:
+        arr = sorted(frame_vals)
+        n = len(arr)
+        lo, hi = (n - 1) // 2, n // 2
+        med_x2 = arr[lo] + arr[hi]
+        dev = sorted(abs(2 * v - med_x2) for v in arr)
+        mad_x4 = dev[lo] + dev[hi]
+        return med_x2, mad_x4, 2 * abs(2 * x - med_x2) > k_num * mad_x4
+
+    def chart(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        days, vals = ([list(c) for c in state.get] if state.exists else ([], []))
+        out: list[tuple[int, int, int, int, bool]] = []
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        for _, row in rows.sort_values(day_col).iterrows():
+            d, x = int(row[day_col]), int(row[value_col])
+            days.append(d)
+            vals.append(x)
+            frame = [v for dd, v in zip(days, vals) if d - preceding <= dd <= d]
+            med_x2, mad_x4, flag = _decide(frame, x)
+            out.append((d, x, med_x2, mad_x4, flag))
+            # evict state that can never enter a future frame
+            keep = [i for i, dd in enumerate(days) if dd >= d - preceding]
+            days = [days[i] for i in keep]
+            vals = [vals[i] for i in keep]
+        state.update((days, vals))
+        if out:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(out),
+                    day_col: [o[0] for o in out],
+                    value_col: [o[1] for o in out],
+                    "med_x2": [o[2] for o in out],
+                    "mad_x4": [o[3] for o in out],
+                    "is_anomaly": [o[4] for o in out],
+                }
+            )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        chart,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -241,3 +241,59 @@ def test_stream_stream_interval_join(spark, sf_dir, tmp_path):
         assert got == want and len(got) > 0
     finally:
         q.stop()
+
+
+def test_streaming_mad_chart_matches_batch_rescan(spark, tmp_path):
+    """Multi-batch streaming control chart == batch rolling_mad_anomaly
+    over the concatenated input (in-order daily arrival): same pure
+    BIGINT ×2/×4 decision, emitted incrementally, with state bounded to
+    the trailing frame."""
+    from datapipelines_essentials_python_spark.operators.relational import (
+        rolling_mad_anomaly,
+    )
+    from datapipelines_essentials_python_spark.streaming.stateful import (
+        streaming_mad_control_chart,
+    )
+
+    schema = "key string, day_idx long, v long"
+    b1 = [("k", 0, 100), ("k", 1, 110), ("k", 2, 90), ("q", 0, 5)]
+    b2 = [("k", 3, 105), ("k", 4, 5000), ("q", 1, 6)]
+    b3 = [("k", 5, 95), ("k", 8, 102), ("q", 9, 500)]
+    src = str(tmp_path / "mad_src")
+    for b in (b1, b2, b3):
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_mad_control_chart(stream, "key", "day_idx", "v")
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("mad_chart")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["key"], r["day_idx"]): (r["med_x2"], r["mad_x4"], r["is_anomaly"])
+            for r in spark.sql("SELECT * FROM mad_chart").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = spark.createDataFrame(b1 + b2 + b3, schema)
+    want = {
+        (r["key"], r["day_idx"]): (r["med_x2"], r["mad_x4"], r["is_anomaly"])
+        for r in rolling_mad_anomaly(batch, "key", "day_idx", "v").collect()
+    }
+    assert got == want
+    assert got[("k", 4)][2] is True  # the spike flags incrementally
+    # eviction really bounds the state: day 8's frame excluded days 0-1,
+    # so its verdict matches the batch RANGE frame, proving old entries
+    # were dropped, not reused
+    assert got[("k", 8)] == want[("k", 8)]
