@@ -5072,6 +5072,97 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cheapest_route_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source min-plus cheapest path costs (``graph.cheapest_paths``,
+    max_hops=3) over the WEIGHTED part-affinity graph — edge micro-cost
+    ``1_000_000 // co_count`` (strong affinity = cheap hop), seeds the
+    ``node % 97 == 0`` landmark set: the weighted twin of
+    ``bfs_reach_3hop`` (BFS minimizes hops, this minimizes summed cost —
+    nearest-warehouse / cheapest-routing semantics). Integer weights →
+    every candidate cost is an exact BIGINT sum; the hop cap is the
+    oracle-replay contract (unrolled Bellman-Ford rounds)."""
+    from datapipelines_essentials_python_spark.operators import graph as graph_ops
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    weighted = (
+        a.join(b, "k")
+        .where(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("co"))
+        .select(
+            "src",
+            "dst",
+            (F.lit(1_000_000).cast("long") / F.col("co"))
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    nodes = (
+        weighted.select(F.col("src").alias("node"))
+        .unionByName(weighted.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.where(F.col("node") % 97 == 0)
+    return graph_ops.cheapest_paths(weighted, seeds, "w", max_hops=3).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("cost").cast("long").alias("cost"),
+    )
+
+
+def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user
+    (``relational.longest_streaks``) — the engagement metric behind
+    "current streak" features, computed by the gaps-and-islands
+    reduction (day − row_number is constant within an island): two
+    keyed windows over pre-aggregated (user, day) rows + one agg, never
+    a self-join. All exact integers; earliest streak wins ties."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(
+        F.col("user_id"),
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
+            "day_idx"
+        ),
+    ).distinct()
+    return rel_ops.longest_streaks(daily, "user_id", "day_idx").select(
+        F.col("key").cast("long").alias("user_id"),
+        "n_active_days",
+        "n_streaks",
+        "longest_streak",
+        "longest_streak_start",
+    )
+
+
+def fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency violation profile (``dq.engine.
+    fd_violations``) over orders: does ``o_orderkey → o_custkey`` hold
+    (it must — pk), how badly do ``o_custkey → o_orderpriority`` and
+    ``o_orderpriority → o_orderstatus`` fail — the data-contract check
+    behind "is this column a lookup of that one?". One keyed
+    count-distinct per dependency folded into a dependency-cardinality
+    summary."""
+    from datapipelines_essentials_python_spark.dq.engine import fd_violations
+
+    orders = load_table(spark, sf_dir, "orders")
+    return fd_violations(
+        orders,
+        [
+            ("o_orderkey", "o_custkey"),
+            ("o_custkey", "o_orderpriority"),
+            ("o_orderpriority", "o_orderstatus"),
+        ],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # The driver's CORRECTNESS gate records only the first 50 entries.
@@ -5336,6 +5427,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_layout": hilbert_layout,
         "link_prediction_salton": link_prediction_salton,
         "dedup_threshold_sweep": dedup_threshold_sweep,
+        "cheapest_route_3hop": cheapest_route_3hop,
+        "activity_streaks": activity_streaks,
+        "fd_check": fd_check,
     }
 
 

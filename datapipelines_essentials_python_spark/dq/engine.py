@@ -171,3 +171,46 @@ def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
             f"stack({len(columns)}, {pairs}) AS (col_name, n_nulls, n_distinct)"
         ),
     )
+
+
+def fd_violations(
+    df: DataFrame,
+    dependencies: list[tuple[str, str]],
+) -> DataFrame:
+    """Functional-dependency violation profile: for each candidate
+    ``A → B``, how many A-values map to MORE than one distinct B — the
+    schema-inference / data-contract check behind "is this column a
+    lookup of that one?" (order → customer, zip → city, code → label).
+    Zero violating keys means the dependency HOLDS on this data.
+
+    One pass per dependency, each a (A)-keyed count-distinct with
+    map-side partials (state bounded by |distinct A|), folded into one
+    dependency-cardinality summary — rule count never multiplies scans
+    of anything corpus-sized beyond the keyed aggs themselves.
+
+    → ``(determinant, dependent, n_keys, n_violating_keys, max_images)``
+    per dependency: distinct A count, A-values with ≥ 2 images, and the
+    worst key's image count.
+    """
+    if not dependencies:
+        raise ValueError("fd_violations needs at least one (A, B) pair")
+    outs = []
+    for a, b in dependencies:
+        images = df.groupBy(F.col(a).alias("__k")).agg(
+            F.countDistinct(F.col(b)).cast("long").alias("__imgs")
+        )
+        outs.append(
+            images.agg(
+                F.lit(a).alias("determinant"),
+                F.lit(b).alias("dependent"),
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.sum((F.col("__imgs") > 1).cast("long"))
+                .cast("long")
+                .alias("n_violating_keys"),
+                F.max("__imgs").alias("max_images"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

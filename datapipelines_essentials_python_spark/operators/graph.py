@@ -1351,3 +1351,83 @@ def landmark_harmonic(
             (F.lit(1_000_000).cast("long") / F.col("dist")).cast("long")
         ).alias("harmonic_micro"),
     )
+
+
+def cheapest_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    weight_col: str = "w",
+    max_hops: int = 3,
+    materialize: bool = True,
+) -> DataFrame:
+    """Multi-source CHEAPEST path costs within ``max_hops`` over an
+    undirected weighted graph — the min-plus (tropical semiring) twin of
+    :func:`bfs_distances`: BFS minimizes HOPS, this minimizes the SUM of
+    integer edge weights, which is how "nearest warehouse", "cheapest
+    routing", and cost-bounded influence radii are actually computed.
+    Classic iterated min-plus relaxation (distributed Bellman-Ford,
+    rounds capped at ``max_hops`` — the oracle-replay contract: the
+    result is exactly "cheapest cost using ≤ max_hops edges").
+
+    Weights must be non-negative integers (micro-cost units): every
+    candidate cost is then an exact BIGINT sum and the per-node fold is
+    an exact MIN — no float anywhere, bit-identical on any engine and
+    any partitioning.
+
+    Spark-first shape, per round: one hash join publishing the CURRENT
+    frontier (nodes improved last round) along the symmetrized weighted
+    adjacency, then one map-side-combined ``min(cost)`` fold into the
+    settled state — frontier-proportional cost, node-sized state,
+    ``localCheckpoint``-pinned per round (the bfs/kcore discipline).
+    Early exit when a round improves nothing.
+
+    → ``(node, cost)``, one row per node reachable within ``max_hops``
+    (seeds at cost 0).
+    """
+    if max_hops < 1:
+        raise ValueError(f"cheapest_paths needs max_hops >= 1, got {max_hops}")
+    sym = edges.select(
+        F.col("src"), F.col("dst"), F.col(weight_col).cast("long").alias("w")
+    )
+    adj = sym.unionByName(
+        sym.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    ).groupBy("src", "dst").agg(F.min("w").alias("w"))
+    if materialize:
+        adj = adj.localCheckpoint(eager=True)
+    cost = seeds.select(F.col("node")).distinct().select(
+        "node", F.lit(0).cast("long").alias("cost")
+    )
+    if materialize:
+        cost = cost.localCheckpoint(eager=True)
+    frontier = cost
+    for _ in range(max_hops):
+        relaxed = (
+            adj.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("cost") + F.col("w")).alias("cost"),
+            )
+        )
+        nxt = (
+            cost.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+        )
+        if materialize:
+            nxt = nxt.localCheckpoint(eager=True)
+        # next round's frontier: nodes whose settled cost IMPROVED (new
+        # or cheaper) — only they can relax their neighbors further
+        frontier = nxt.join(
+            cost.withColumnRenamed("cost", "__old"), "node", "left"
+        ).where(
+            F.col("__old").isNull() | (F.col("cost") < F.col("__old"))
+        ).select("node", "cost")
+        if materialize:
+            frontier = frontier.localCheckpoint(eager=True)
+        cost = nxt
+        # 1-row scalar action — nothing improved, later rounds are no-ops
+        if frontier.limit(1).count() == 0:
+            break
+    return cost

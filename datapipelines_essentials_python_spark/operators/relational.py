@@ -1393,3 +1393,64 @@ def dow_seasonal_outliers(
         )
         .select("key", "day", "dow", "v", "q1", "med", "q3", "is_outlier")
     )
+
+
+def longest_streaks(
+    df: DataFrame,
+    key_col: str,
+    day_col: str,
+    min_len: int = 1,
+) -> DataFrame:
+    """Longest run of CONSECUTIVE active days per key — the classic
+    gaps-and-islands reduction: within a key, sort the distinct day
+    indexes and subtract the row number; consecutive days share the
+    constant ``day − row_number``, so each island is one group and the
+    whole computation is two keyed windows + one agg, never a self-join
+    (the naive day-vs-day-1 join re-shuffles the table per probe).
+
+    CONTRACT: ``day_col`` is an integer day index, one row per (key,
+    day) — pre-aggregate first (the :func:`rolling_median` discipline),
+    so windows range over day-cardinality rows. All arithmetic is exact
+    integers.
+
+    → ``(key, n_active_days, n_streaks, longest_streak,
+    longest_streak_start)`` — ties on length resolve to the EARLIEST
+    streak (total function of the input).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("key").orderBy("day")
+    islands = (
+        df.select(
+            F.col(key_col).alias("key"), F.col(day_col).cast("long").alias("day")
+        )
+        .distinct()
+        .withColumn("__g", F.col("day") - F.row_number().over(w))
+    )
+    runs = islands.groupBy("key", "__g").agg(
+        F.count(F.lit(1)).cast("long").alias("len"),
+        F.min("day").alias("start"),
+    )
+    best = F.max(
+        F.struct(
+            F.col("len").alias("len"), (-F.col("start")).alias("neg_start")
+        )
+    ).alias("__best")
+    return (
+        runs.where(F.col("len") >= F.lit(int(min_len)))
+        .groupBy("key")
+        .agg(
+            F.sum("len").cast("long").alias("n_active_days"),
+            F.count(F.lit(1)).cast("long").alias("n_streaks"),
+            best,
+        )
+        .select(
+            "key",
+            "n_active_days",
+            "n_streaks",
+            F.col("__best.len").alias("longest_streak"),
+            (-F.col("__best.neg_start")).cast("long").alias(
+                "longest_streak_start"
+            ),
+        )
+    )

@@ -5058,3 +5058,85 @@ UNION ALL SELECT * FROM stats07
 UNION ALL SELECT * FROM stats09
 """
 )
+
+
+# Min-plus cheapest paths — mirrors graph.cheapest_paths(max_hops=3)
+# over the weighted affinity graph (w = 1_000_000 // co_count, seeds
+# node % 97 == 0): unrolled Bellman-Ford rounds, each one relax + one
+# min fold — relaxing already-settled nodes is a no-op, so the full-set
+# unroll equals the operator's frontier-only iteration exactly.
+_cp = [
+    """WITH lp AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'),
+undw AS (
+  SELECT a.p AS u, b.p AS v, 1000000 // count(*) AS w
+  FROM lp a JOIN lp b ON a.k = b.k AND a.p < b.p
+  GROUP BY 1, 2),
+adj AS MATERIALIZED (
+  SELECT u AS src, v AS dst, w FROM undw
+  UNION ALL SELECT v AS src, u AS dst, w FROM undw),
+c0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS cost FROM adj
+  WHERE src % 97 = 0)"""
+]
+for _i in range(1, 4):
+    _cp.append(f""",
+c{_i} AS MATERIALIZED (
+  SELECT node, min(cost) AS cost FROM (
+    SELECT node, cost FROM c{_i - 1}
+    UNION ALL
+    SELECT a.dst AS node, f.cost + a.w AS cost
+    FROM adj a JOIN c{_i - 1} f ON f.node = a.src)
+  GROUP BY 1)""")
+_cp.append("""
+SELECT CAST(node AS BIGINT) AS node, CAST(cost AS BIGINT) AS cost FROM c3
+""")
+ORACLES["cheapest_route_3hop"] = "".join(_cp)
+
+
+# Gaps-and-islands longest streaks — mirrors relational.longest_streaks
+# over per-user active days: day - row_number() is constant within a
+# run of consecutive days; earliest streak wins length ties.
+ORACLES["activity_streaks"] = """
+WITH daily AS (
+  SELECT DISTINCT user_id,
+    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+      AS day
+  FROM events),
+isl AS (
+  SELECT user_id, day,
+    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS g
+  FROM daily),
+runs AS (
+  SELECT user_id, g, CAST(count(*) AS BIGINT) AS len,
+    CAST(min(day) AS BIGINT) AS start
+  FROM isl GROUP BY 1, 2),
+runs2 AS (
+  SELECT *, max(len) OVER (PARTITION BY user_id) AS mx FROM runs)
+SELECT user_id,
+  CAST(sum(len) AS BIGINT) AS n_active_days,
+  CAST(count(*) AS BIGINT) AS n_streaks,
+  CAST(max(len) AS BIGINT) AS longest_streak,
+  CAST(min(start) FILTER (len = mx) AS BIGINT) AS longest_streak_start
+FROM runs2 GROUP BY user_id
+"""
+
+
+# Functional-dependency violation profile — mirrors dq.engine.
+# fd_violations over orders: per A->B one keyed count-distinct, then a
+# dependency-cardinality summary.
+_fd_blocks = []
+for _a, _b in (
+    ("o_orderkey", "o_custkey"),
+    ("o_custkey", "o_orderpriority"),
+    ("o_orderpriority", "o_orderstatus"),
+):
+    _fd_blocks.append(f"""
+SELECT '{_a}' AS determinant, '{_b}' AS dependent,
+  CAST(count(*) AS BIGINT) AS n_keys,
+  CAST(sum(CASE WHEN imgs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_violating_keys,
+  CAST(max(imgs) AS BIGINT) AS max_images
+FROM (SELECT {_a}, count(DISTINCT {_b}) AS imgs FROM orders GROUP BY 1)""")
+ORACLES["fd_check"] = "\nUNION ALL\n".join(_fd_blocks)

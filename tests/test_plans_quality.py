@@ -741,3 +741,32 @@ def test_salton_shares_the_wedge_plan(spark):
     plan = plan_of(entry_mod.queries()["link_prediction_salton"](spark, SF_DIR))
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_cheapest_route_joins_and_min_folds_only(spark):
+    """Min-plus relaxation is frontier joins + combinable min folds —
+    no window, no cartesian, nothing in row-Python."""
+    plan = plan_of(entry_mod.queries()["cheapest_route_3hop"](spark, SF_DIR))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_streaks_windows_are_keyed_no_self_join(spark):
+    """Gaps-and-islands: keyed windows over pre-aggregated daily rows,
+    never the day-vs-day-1 self-join."""
+    import re
+
+    plan = plan_of(entry_mod.queries()["activity_streaks"](spark, SF_DIR))
+    assert "Join" not in plan, plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected a window spec in the streaks plan"
+    for spec in specs:
+        assert "key" in spec, f"unpartitioned window spec: {spec}"
+
+
+def test_fd_check_is_aggs_only(spark):
+    plan = plan_of(entry_mod.queries()["fd_check"](spark, SF_DIR))
+    assert "HashAggregate" in plan, plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
