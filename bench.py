@@ -260,6 +260,9 @@ HEADLINE = [
     "hilbert_layout",
     "link_prediction_salton",
     "dedup_threshold_sweep",
+    "cheapest_route_3hop",
+    "activity_streaks",
+    "fd_check",
 ]
 
 
