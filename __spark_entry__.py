@@ -4837,7 +4837,8 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil-Sen robust revenue trend per nation
     (``relational.theil_sen_slope``): monthly order revenue (exact cents
     via DECIMAL sums) per nation, then the median of all pairwise
-    monthly slopes — the outlier-immune trend a single blowout month
+    monthly slopes in pure-BIGINT milli-units (truncating div; the
+    two-middle-sum median — no float anywhere, tier-stable) — the outlier-immune trend a single blowout month
     cannot drag the way it drags ``ols_fit``. The corpus-sized work is
     one orders-keyed agg to ~80 (nation, month) rows; the C(80,2) pair
     expansion is bounded arithmetic, never corpus-sized."""
@@ -4862,7 +4863,7 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return rel_ops.theil_sen_slope(monthly, "n_name", "t", "rev_cents").select(
-        F.col("key").alias("n_name"), "n_points", "sen_slope"
+        F.col("key").alias("n_name"), "n_points", "sen_milli_x2"
     )
 
 

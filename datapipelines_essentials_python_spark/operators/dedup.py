@@ -1145,6 +1145,15 @@ def threshold_sensitivity(
                 stats["n_docs_in_pairs"] - stats["n_clusters"],
             )
         )
+        # Long-sweep hygiene (the tools/check_parity.py discipline):
+        # each components run leaves localCheckpoint label blocks whose
+        # release waits on Python GC of the DataFrame refs — at the 10x
+        # tier three consecutive runs plus the persisted pair table
+        # crowd a 4g heap, so drop the dead refs eagerly per threshold.
+        del comps, stats, edges
+        import gc
+
+        gc.collect()
     pairs.unpersist()
     # thresholds-cardinality result — a driver-side literal table, the
     # documented P8 bridge shape (the per-threshold aggregates were the

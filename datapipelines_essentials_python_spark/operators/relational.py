@@ -1174,13 +1174,21 @@ def theil_sen_slope(
     the scale story: the corpus-sized work is the one keyed agg the
     caller already did; the pair self-join here touches only
     keys × C(points, 2) rows — bounded-cardinality arithmetic, never
-    corpus-sized. ``t_col`` must be integer, ``y_col`` exact integer
-    units (cents): each slope is then ONE IEEE division of two exact
-    integers — bit-identical on any engine — rounded to 6; the median
-    of an even pair count is the midpoint average, one more fixed-shape
-    IEEE op, replayed exactly by ``median() OVER`` / ``percentile``.
+    corpus-sized.
 
-    → ``(key, n_points, sen_slope)``, one row per key with ≥ 2 points.
+    EXACTNESS (no float enters the result at all — the 10× stress tier
+    exposed a round-half tie at the 6th decimal of the float version,
+    where Spark and SQL round a x.xxxxx5 median midpoint apart by one
+    ulp): each slope is quantized to MILLI-units by pure BIGINT
+    truncating division ``(1000·Δy) div Δt`` (Spark ``div`` and SQL
+    ``//`` both truncate toward zero), and the median is reported as
+    the TWO-MIDDLE SUM ``s[lo] + s[hi]`` (2× scale — the
+    ``rolling_mad_anomaly`` discipline): ``2·percentile(int, 0.5)`` is
+    ``s[lo] + s[hi]`` exactly because the midpoint halves are dyadic.
+    Divide by 2000 for the real slope.
+
+    → ``(key, n_points, sen_milli_x2)``, one row per key with ≥ 2
+    points; ``sen_milli_x2`` = 2 × median slope in milli-units.
     """
     left = df.select(
         F.col(key_col).alias("key"),
@@ -1193,18 +1201,16 @@ def theil_sen_slope(
         F.col(y_col).cast("long").alias("y2"),
     )
     pairs = left.join(right, "key").where(F.col("t1") < F.col("t2"))
-    slope = F.round(
-        (F.col("y2") - F.col("y1")).cast("double")
-        / (F.col("t2") - F.col("t1")).cast("double"),
-        6,
-    )
+    slope_milli = F.expr("(1000 * (y2 - y1)) div (t2 - t1)")
     n_pts = df.groupBy(F.col(key_col).alias("key")).agg(
         F.count(F.lit(1)).cast("long").alias("n_points")
     )
-    med = pairs.select("key", slope.alias("__s")).groupBy("key").agg(
-        F.round(F.percentile(F.col("__s"), 0.5), 6).alias("sen_slope")
+    med = pairs.select("key", slope_milli.alias("__s")).groupBy("key").agg(
+        (F.lit(2.0) * F.percentile(F.col("__s"), 0.5))
+        .cast("long")
+        .alias("sen_milli_x2")
     )
-    return n_pts.join(med, "key").select("key", "n_points", "sen_slope")
+    return n_pts.join(med, "key").select("key", "n_points", "sen_milli_x2")
 
 
 def cusum_changepoint(

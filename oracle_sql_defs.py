@@ -4754,8 +4754,9 @@ ORACLES["harmonic_centrality"] = "".join(_harm)
 
 # Theil-Sen robust trend — mirrors relational.theil_sen_slope over
 # monthly nation revenue: exact-cents monthly sums, every t1 < t2 pair's
-# slope as ONE IEEE division of exact integers rounded to 6, then the
-# interpolating median rounded to 6 (DuckDB median == Spark percentile 0.5).
+# slope in BIGINT milli-units by truncating division (Spark div == DuckDB
+# // toward zero), then the two-middle-sum median (2*median of integers
+# is exact — the 10x tier exposed a round-half tie in the float version).
 ORACLES["theil_sen_trend"] = """
 WITH monthly AS (
   SELECT n.n_name,
@@ -4769,15 +4770,14 @@ WITH monthly AS (
   GROUP BY 1, 2),
 pairs AS (
   SELECT a.n_name,
-    round(CAST(b.rev_cents - a.rev_cents AS DOUBLE)
-          / CAST(b.t - a.t AS DOUBLE), 6) AS s
+    (1000 * (b.rev_cents - a.rev_cents)) // (b.t - a.t) AS s
   FROM monthly a JOIN monthly b
     ON a.n_name = b.n_name AND a.t < b.t),
 np AS (
   SELECT n_name, CAST(count(*) AS BIGINT) AS n_points
   FROM monthly GROUP BY 1)
 SELECT np.n_name, np.n_points,
-  round(median(p.s), 6) AS sen_slope
+  CAST(2 * median(p.s) AS BIGINT) AS sen_milli_x2
 FROM np JOIN pairs p ON p.n_name = np.n_name
 GROUP BY 1, 2
 """

@@ -7,8 +7,6 @@ Python reference on inputs small enough to verify by hand.
 
 from __future__ import annotations
 
-import statistics
-
 import pytest
 from pyspark.sql import functions as F
 
@@ -85,41 +83,46 @@ def test_landmark_harmonic_validates_hops(spark):
 # ------------------------------------------------- Theil-Sen
 
 
+def _milli_slopes(pts):
+    """Sequential reference: trunc-toward-zero milli-slopes, sorted."""
+    out = []
+    for i, (t1, y1) in enumerate(pts):
+        for t2, y2 in pts[i + 1 :]:
+            num, den = 1000 * (y2 - y1), t2 - t1
+            q = abs(num) // abs(den)
+            out.append(q if (num >= 0) == (den > 0) else -q)
+    return sorted(out)
+
+
 def test_theil_sen_matches_median_of_pairwise_slopes(spark):
-    """Series with one wild outlier: the sequential median-of-slopes
-    reference and the operator agree, and the slope ignores the outlier
-    (robustness — OLS would not)."""
+    """Series with one wild outlier: the sequential median-of-milli-
+    slopes reference and the operator agree, and the slope ignores the
+    outlier (robustness — OLS would not)."""
     pts = [(0, 100), (1, 200), (2, 300), (3, 400), (4, 5_000_000)]
     df = spark.createDataFrame(
         [("k", t, y) for t, y in pts], "key string, t long, y long"
     )
-    slopes = sorted(
-        round((y2 - y1) / (t2 - t1), 6)
-        for i, (t1, y1) in enumerate(pts)
-        for (t2, y2) in pts[i + 1 :]
-    )
-    want = round(statistics.median(slopes), 6)
+    s = _milli_slopes(pts)
+    n = len(s)
+    want = s[(n - 1) // 2] + s[n // 2]
     row = rel.theil_sen_slope(df, "key", "t", "y").collect()[0]
     assert row["n_points"] == 5
-    assert row["sen_slope"] == want
-    assert row["sen_slope"] == 100.0  # the outlier did not drag it
+    assert row["sen_milli_x2"] == want
+    assert row["sen_milli_x2"] == 200_000  # slope 100, outlier ignored
 
 
-def test_theil_sen_even_pair_count_interpolates(spark):
-    """3 points -> 3 pairwise slopes is odd; 4 points -> 6 slopes, the
-    median is the midpoint of the two middle slopes."""
-    pts = [(0, 0), (1, 10), (2, 40), (3, 60)]
+def test_theil_sen_even_pair_count_two_middle_sum(spark):
+    """4 points -> 6 slopes: the result is the exact SUM of the two
+    middle milli-slopes (2x the interpolated median, no float), and a
+    NEGATIVE trend truncates toward zero identically on both engines."""
+    pts = [(0, 60), (1, 40), (2, 10), (3, 3)]
     df = spark.createDataFrame(
         [("k", t, y) for t, y in pts], "key string, t long, y long"
     )
-    slopes = sorted(
-        round((y2 - y1) / (t2 - t1), 6)
-        for i, (t1, y1) in enumerate(pts)
-        for (t2, y2) in pts[i + 1 :]
-    )
-    want = round((slopes[2] + slopes[3]) / 2, 6)
+    s = _milli_slopes(pts)
+    want = s[2] + s[3]
     assert rel.theil_sen_slope(df, "key", "t", "y").collect()[0][
-        "sen_slope"
+        "sen_milli_x2"
     ] == want
 
 
