@@ -5164,6 +5164,143 @@ def fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (``relational.spearman_corr``) between
+    quantity and extended price per return flag — the tie-correct
+    monotone-association twin of ``corr_stats``' Pearson over the same
+    columns (quantity is 50 discrete values, so ties dominate and the
+    average-rank correction is the whole point). Doubled average ranks
+    keep every moment an exact integer; one fixed double shape at the
+    end."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return rel_ops.spearman_corr(
+        li, "l_returnflag", "l_quantity", "l_extendedprice"
+    ).select(F.col("group").alias("l_returnflag"), "n", "spearman_rho")
+
+
+def mann_kendall_nation_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test (``relational.mann_kendall``) on monthly
+    order revenue per nation — the is-the-trend-real significance twin
+    of ``theil_sen_trend`` over the IDENTICAL pre-aggregated
+    (nation, month, cents) series: S, the tie-corrected var18, and the
+    continuity-corrected z. The corpus-sized work is the one keyed
+    monthly agg; C(months, 2) pair arithmetic is bounded."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    monthly = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy(
+            "n_name",
+            (
+                (F.year("o_orderdate") - F.lit(1995)) * 12
+                + F.month("o_orderdate")
+                - F.lit(1)
+            ).alias("t"),
+        )
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    return rel_ops.mann_kendall(monthly, "n_name", "t", "rev_cents").select(
+        F.col("key").alias("n_name"),
+        "n_points",
+        "s_stat",
+        "var18",
+        "mk_z",
+        "trend",
+    )
+
+
+def welch_ttest_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t-test (``relational.welch_ttest``) on document length
+    between every ordered pair of corpus sources — the dataset-card
+    "are these sources the same kind of text?" comparison with the
+    Satterthwaite df; integer n_chars keeps all moments exact, squares
+    summed as DECIMAL(38,0)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return rel_ops.welch_ttest(docs, "source", "n_chars").select(
+        F.col("group_a").alias("source_a"),
+        F.col("group_b").alias("source_b"),
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        "t_stat",
+        "welch_df",
+        "significant",
+    )
+
+
+def gini_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini revenue-concentration coefficient
+    (``relational.gini_coefficient``) across customers within each
+    nation — lifetime order revenue in exact cents per ordering
+    customer, ranked ascending with (value, custkey) deterministic
+    ties: the inequality audit behind domain-balance decisions. One
+    customer-keyed agg + one nation-partitioned rank window + one
+    keyed agg."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("rev_cents")
+        )
+        .join(cust, F.col("o_custkey") == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+    )
+    return rel_ops.gini_coefficient(
+        per_cust, "n_name", "rev_cents", "c_custkey"
+    ).select(
+        F.col("group").alias("n_name"), "n", "total_value", "gini"
+    )
+
+
+def contingency_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contingency + Cramér's V
+    (``relational.contingency_chi2``) between order priority and order
+    status — the two-categorical association audit (is priority
+    independent of fulfillment state?). Per-cell contributions are
+    quantized to exact BIGINT micro-units BEFORE the total so the
+    chi-square sum is partition-order-free; only V is one fixed double
+    shape."""
+    orders = load_table(spark, sf_dir, "orders")
+    return rel_ops.contingency_chi2(
+        orders, "o_orderpriority", "o_orderstatus"
+    ).select(
+        F.col("a").alias("o_orderpriority"),
+        F.col("b").alias("o_orderstatus"),
+        "observed",
+        "contrib_micro",
+        "chi2_micro",
+        "cramers_v",
+        "dof",
+    )
+
+
+def kfold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold assignment (``sampling.kfold_assign``,
+    md5 mod k — zero-shuffle scan-speed fold ids) rolled up to the
+    fold × source balance table a cross-validation setup audits before
+    training: every fold should hold ~1/k of each source's documents
+    and characters."""
+    from datapipelines_essentials_python_spark.operators import sampling as samp_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    folded = samp_ops.kfold_assign(docs, "doc_id", k=5)
+    return folded.groupBy("fold", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("long")).cast("long").alias("sum_chars"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # The driver's CORRECTNESS gate records only the first 50 entries.
@@ -5431,6 +5568,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cheapest_route_3hop": cheapest_route_3hop,
         "activity_streaks": activity_streaks,
         "fd_check": fd_check,
+        # ---- round-8 sixth batch (registry tail; round-9 rotation pool) ----
+        "spearman_qty_price": spearman_qty_price,
+        "mann_kendall_nation_trend": mann_kendall_nation_trend,
+        "welch_ttest_sources": welch_ttest_sources,
+        "gini_revenue_by_nation": gini_revenue_by_nation,
+        "contingency_priority_status": contingency_priority_status,
+        "kfold_balance": kfold_balance,
     }
 
 

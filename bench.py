@@ -263,6 +263,12 @@ HEADLINE = [
     "cheapest_route_3hop",
     "activity_streaks",
     "fd_check",
+    "spearman_qty_price",
+    "mann_kendall_nation_trend",
+    "welch_ttest_sources",
+    "gini_revenue_by_nation",
+    "contingency_priority_status",
+    "kfold_balance",
 ]
 
 

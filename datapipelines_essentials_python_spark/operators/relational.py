@@ -1460,3 +1460,398 @@ def longest_streaks(
             ),
         )
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Spearman rank correlation per group — the monotone-association
+    twin of the Pearson moment pattern (``corr_stats``): Pearson on
+    AVERAGE ranks, the tie-correct textbook form (Spearman 1904,
+    public), so a nonlinear-but-monotone relation scores 1.0 where
+    Pearson under-reads it.
+
+    EXACTNESS: average rank with ties is ``rank + (cnt_eq − 1)/2``, a
+    half-integer — so the operator works on the DOUBLED rank
+    ``R2 = 2·rank + cnt_eq − 1``, a pure BIGINT (Pearson is
+    scale-invariant, corr(2r_x, 2r_y) = corr(r_x, r_y)). All five
+    moments are exact integer sums (cross products summed as
+    DECIMAL(38,0) — at the 10× tier Σ R2x·R2y overflows BIGINT), and
+    the coefficient is ONE fixed double-precision expression rounded
+    to 6 — the same integer→IEEE cast on both engines, so the oracle
+    replays it bit-for-bit.
+
+    Scale: two rank windows partitioned by the group key over the raw
+    rows, then one keyed agg — the windows are the cost, so at corpus
+    scale the group key must be selective enough to range-partition
+    the sort (the registry query's low-cardinality demo grouping is
+    the small-tier shape, not the contract).
+
+    → ``(group, n, spearman_rho)``.
+    """
+    g = F.col(group_col)
+    wx = Window.partitionBy(group_col).orderBy(x_col)
+    wy = Window.partitionBy(group_col).orderBy(y_col)
+    wxe = Window.partitionBy(group_col, x_col)
+    wye = Window.partitionBy(group_col, y_col)
+    ranked = df.select(
+        g.alias("g"),
+        (
+            2 * F.rank().over(wx).cast("long")
+            + F.count(F.lit(1)).over(wxe).cast("long")
+            - 1
+        ).alias("r2x"),
+        (
+            2 * F.rank().over(wy).cast("long")
+            + F.count(F.lit(1)).over(wye).cast("long")
+            - 1
+        ).alias("r2y"),
+    )
+    d38 = "decimal(38,0)"
+    m = ranked.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r2x").cast("long").alias("sx"),
+        F.sum("r2y").cast("long").alias("sy"),
+        F.sum((F.col("r2x") * F.col("r2y")).cast(d38)).alias("sxy"),
+        F.sum((F.col("r2x") * F.col("r2x")).cast(d38)).alias("sxx"),
+        F.sum((F.col("r2y") * F.col("r2y")).cast(d38)).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    rho = F.when(den > 0, F.round((n * sxy - sx * sy) / den, 6)).otherwise(
+        F.lit(0.0)
+    )
+    return m.select(
+        F.col("g").alias("group"), F.col("n"), rho.alias("spearman_rho")
+    )
+
+
+def mann_kendall(
+    df: DataFrame,
+    key_col: str,
+    t_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Mann-Kendall trend test per key: ``S = Σ_{i<j} sign(y_j − y_i)``
+    with the tie-corrected variance and the ±1-continuity-corrected
+    normal statistic (Mann 1945 / Kendall 1975, public) — the
+    nonparametric is-there-a-trend test that pairs with
+    :func:`theil_sen_slope`'s how-steep answer.
+
+    CONTRACT (the Theil-Sen discipline): input is pre-aggregated to one
+    row per (key, t) at a BOUNDED granularity — pair enumeration is
+    C(n,2) per key, so the corpus-sized work must be the keyed agg the
+    caller already did; ``y`` must be integer units (cents/micro).
+
+    EXACTNESS: S, n, and the tie term ``T = Σ t(t−1)(2t+5)`` are pure
+    BIGINT; ``var18 = n(n−1)(2n+5) − T`` stays integer (×18 scale), and
+    only the final z ``(S∓1)/sqrt(var18/18)`` is ONE fixed double shape
+    rounded to 6.
+
+    → ``(key, n_points, s_stat, var18, mk_z, trend)``;
+    ``trend`` ∈ {increasing, decreasing, flat} by the sign of S.
+    """
+    left = df.select(
+        F.col(key_col).alias("key"),
+        F.col(t_col).cast("long").alias("t1"),
+        F.col(y_col).cast("long").alias("y1"),
+    )
+    right = df.select(
+        F.col(key_col).alias("key"),
+        F.col(t_col).cast("long").alias("t2"),
+        F.col(y_col).cast("long").alias("y2"),
+    )
+    sgn = (
+        F.when(F.col("y2") > F.col("y1"), F.lit(1))
+        .when(F.col("y2") < F.col("y1"), F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    s_per_key = (
+        left.join(right, "key")
+        .where(F.col("t1") < F.col("t2"))
+        .groupBy("key")
+        .agg(F.sum(sgn).cast("long").alias("s_stat"))
+    )
+    tie = (
+        df.groupBy(F.col(key_col).alias("key"), F.col(y_col).alias("__y"))
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n_distinct"),
+            F.sum("t").cast("long").alias("n_points"),
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("long")
+            .alias("__tie18"),
+        )
+    )
+    joined = tie.join(s_per_key, "key")
+    n_l = F.col("n_points")
+    var18 = (n_l * (n_l - 1) * (2 * n_l + 5) - F.col("__tie18")).cast("long")
+    s = F.col("s_stat")
+    var_d = F.col("var18").cast("double") / F.lit(18.0)
+    z = (
+        F.when(
+            (F.col("var18") > 0) & (s > 0),
+            (s.cast("double") - 1.0) / F.sqrt(var_d),
+        )
+        .when(
+            (F.col("var18") > 0) & (s < 0),
+            (s.cast("double") + 1.0) / F.sqrt(var_d),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    trend = (
+        F.when(s > 0, F.lit("increasing"))
+        .when(s < 0, F.lit("decreasing"))
+        .otherwise(F.lit("flat"))
+    )
+    return (
+        joined.withColumn("var18", var18)
+        .select(
+            "key",
+            "n_points",
+            "s_stat",
+            "var18",
+            F.round(z, 6).alias("mk_z"),
+            trend.alias("trend"),
+        )
+    )
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Welch's unequal-variance t-test for EVERY ordered group pair —
+    "do these two corpus sources differ in mean X?" with the
+    Satterthwaite degrees of freedom (Welch 1947, public), the
+    comparison a dataset card should print next to per-source means.
+
+    CONTRACT: ``value_col`` must be integer units (counts/cents) so the
+    per-group moments (n, Σx as BIGINT, Σx² as DECIMAL(38,0) — the 10×
+    tier overflows BIGINT on squares) are exact; group count must be
+    BOUNDED (pairs are C(groups, 2), joined driver-free on the
+    post-agg summaries — broadcast-sized by construction).
+
+    t, the Satterthwaite df, and the two means are each ONE fixed
+    double-precision expression over those integer moments, rounded to
+    6; ``significant`` is the |t| > 1.96 two-sided 5% flag.
+
+    → ``(group_a, group_b, n_a, n_b, mean_a, mean_b, t_stat, welch_df,
+    significant)`` for group_a < group_b.
+    """
+    m = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(value_col).cast("long")).cast("long").alias("s1"),
+        F.sum(
+            (F.col(value_col).cast("long") * F.col(value_col).cast("long"))
+            .cast("decimal(38,0)")
+        ).alias("s2"),
+    )
+    a = m.select(
+        F.col("g").alias("group_a"),
+        F.col("n").alias("na"),
+        F.col("s1").alias("s1a"),
+        F.col("s2").alias("s2a"),
+    )
+    b = m.select(
+        F.col("g").alias("group_b"),
+        F.col("n").alias("nb"),
+        F.col("s1").alias("s1b"),
+        F.col("s2").alias("s2b"),
+    )
+    pairs = a.join(b, F.col("group_a") < F.col("group_b"))
+
+    def _mean(s1: Column, n: Column) -> Column:
+        return s1.cast("double") / n.cast("double")
+
+    def _var(s2: Column, s1: Column, n: Column) -> Column:
+        nd = n.cast("double")
+        return (
+            s2.cast("double") - s1.cast("double") * s1.cast("double") / nd
+        ) / (nd - 1.0)
+
+    ma = _mean(F.col("s1a"), F.col("na"))
+    mb = _mean(F.col("s1b"), F.col("nb"))
+    va = _var(F.col("s2a"), F.col("s1a"), F.col("na"))
+    vb = _var(F.col("s2b"), F.col("s1b"), F.col("nb"))
+    sea = va / F.col("na").cast("double")
+    seb = vb / F.col("nb").cast("double")
+    se2 = sea + seb
+    t = F.when(se2 > 0, (ma - mb) / F.sqrt(se2)).otherwise(F.lit(0.0))
+    dof = F.when(
+        se2 > 0,
+        (se2 * se2)
+        / (
+            sea * sea / (F.col("na").cast("double") - 1.0)
+            + seb * seb / (F.col("nb").cast("double") - 1.0)
+        ),
+    ).otherwise(F.lit(0.0))
+    return pairs.where((F.col("na") >= 2) & (F.col("nb") >= 2)).select(
+        "group_a",
+        "group_b",
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dof, 6).alias("welch_df"),
+        (F.abs(t) > F.lit(1.96)).alias("significant"),
+    )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Gini concentration coefficient per group over NON-NEGATIVE
+    integer values — "how concentrated is revenue/tokens across
+    members?", the inequality audit behind domain-balance decisions
+    (0 = uniform, →1 = one member holds everything).
+
+    Rank form (deterministic ties): with members sorted ascending by
+    ``(value, id)`` and 1-based rank r,
+    ``G = 2·Σ r·x / (n·Σx) − (n+1)/n``. Σ r·x is summed as
+    DECIMAL(38,0) (rank × cents overflows BIGINT at the 10× tier);
+    everything else is BIGINT, and G is ONE fixed double expression
+    rounded to 6.
+
+    Scale: one row_number window partitioned by group (range-partition
+    the sort at corpus scale) + one keyed agg — never a self-join.
+
+    → ``(group, n, total_value, gini)``.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc()
+    )
+    ranked = df.select(
+        F.col(group_col).alias("group"),
+        F.col(value_col).cast("long").alias("x"),
+        F.row_number().over(w).cast("long").alias("r"),
+    )
+    m = ranked.groupBy("group").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("total_value"),
+        F.sum((F.col("r") * F.col("x")).cast("decimal(38,0)")).alias("srx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("total_value").cast("double")
+    srx = F.col("srx").cast("double")
+    gini = F.when(
+        (F.col("total_value") > 0) & (F.col("n") > 1),
+        F.round(2.0 * srx / (n * sx) - (n + 1.0) / n, 6),
+    ).otherwise(F.lit(0.0))
+    return m.select("group", "n", "total_value", gini.alias("gini"))
+
+
+def contingency_chi2(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Chi-square association between two BOUNDED-cardinality
+    categorical columns + Cramér's V — "is priority independent of
+    status?", the contingency audit behind schema-drift and
+    label-bias checks (:func:`chi2_drift` is the one-categorical-
+    across-time cousin; this is two-categoricals-at-once).
+
+    EXACTNESS (the sum-of-doubles trap): a float Σ over cells is
+    partition-order-dependent, so each cell contribution is quantized
+    FIRST — ``contrib_micro = (10^6·(O·N − n_a·n_b)²) div (N·n_a·n_b)``
+    is pure truncating DECIMAL(38,0) division of exact integers
+    ((O·N − n_a·n_b)² reaches ~5·10²⁴ at the 10× tier, far past
+    BIGINT), and the total ``chi2_micro = Σ contrib_micro`` is an exact
+    BIGINT in ANY order. Only Cramér's V
+    ``sqrt(chi2 / (N·min(r−1, c−1)))`` is one fixed double shape,
+    rounded to 6.
+
+    Plan: one (a,b)-keyed count (map-side combined) + two margin aggs
+    OVER THE CELL TABLE (cell-cardinality, not corpus rescans) joined
+    back broadcast-small, + one 1-row total cross-joined.
+
+    → one row per cell of the FULL margin grid (absent combinations
+    appear with observed = 0 — they still contribute expected mass):
+    ``(a, b, observed, contrib_micro, chi2_micro, cramers_v, dof)``
+    with the last three repeated (grain: cell — the
+    ``degree_assortativity`` convention).
+    """
+    cells = (
+        df.select(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("observed"))
+    )
+    ma = cells.groupBy("a").agg(F.sum("observed").cast("long").alias("n_a"))
+    mb = cells.groupBy("b").agg(F.sum("observed").cast("long").alias("n_b"))
+    tot = cells.agg(
+        F.sum("observed").cast("long").alias("n"),
+        F.count_distinct(F.col("a")).cast("long").alias("r_cats"),
+        F.count_distinct(F.col("b")).cast("long").alias("c_cats"),
+    )
+    # the FULL margin grid, not just observed cells: an absent (a,b)
+    # combination still contributes its expected mass E = n_a·n_b/N to
+    # chi-square — dropping O=0 cells silently understates association
+    grid = F.broadcast(ma).crossJoin(F.broadcast(mb))
+    full = (
+        grid.join(cells, ["a", "b"], "left")
+        .withColumn("observed", F.coalesce(F.col("observed"), F.lit(0).cast("long")))
+        .crossJoin(F.broadcast(tot))
+    )
+    d38 = "decimal(38,0)"
+    num = (
+        F.col("observed").cast(d38) * F.col("n").cast(d38)
+        - F.col("n_a").cast(d38) * F.col("n_b").cast(d38)
+    )
+    den = (
+        F.col("n").cast(d38) * F.col("n_a").cast(d38) * F.col("n_b").cast(d38)
+    )
+    # stage the exact-integer numerator/denominator as named columns —
+    # truncating decimal division needs SQL's `div`, which wants refs
+    staged = full.withColumn("__num", num).withColumn("__den", den)
+    staged = staged.withColumn(
+        "contrib_micro",
+        F.expr("CAST((__num * __num * 1000000) div __den AS BIGINT)"),
+    )
+    wall = Window.partitionBy()
+    chi2_micro = F.sum("contrib_micro").over(wall).cast("long")
+    dof = (F.col("r_cats") - 1) * (F.col("c_cats") - 1)
+    out = staged.withColumn("chi2_micro", chi2_micro).withColumn(
+        "dof", dof.cast("long")
+    )
+    v = F.when(
+        (F.col("dof") > 0) & (F.col("n") > 0),
+        F.round(
+            F.sqrt(
+                (F.col("chi2_micro").cast("double") / 1000000.0)
+                / (
+                    F.col("n").cast("double")
+                    * F.least(
+                        F.col("r_cats").cast("double") - 1.0,
+                        F.col("c_cats").cast("double") - 1.0,
+                    )
+                )
+            ),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "a",
+        "b",
+        "observed",
+        "contrib_micro",
+        "chi2_micro",
+        v.alias("cramers_v"),
+        "dof",
+    )

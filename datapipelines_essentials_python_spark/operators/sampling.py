@@ -543,3 +543,34 @@ def token_budget(
             ).alias("epochs"),
         )
     )
+
+
+def kfold_assign(
+    df: DataFrame,
+    id_col: str,
+    k: int = 5,
+    salt: str = "kfold",
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold assignment: ``fold = md5(salt|id) mod k`` —
+    the cross-validation splitter that needs NO shuffle, no state, and
+    reproduces bit-for-bit on any cluster size or row order (the
+    :func:`hash_fraction` discipline applied to fold ids instead of a
+    keep threshold; :func:`train_holdout` is its k=2 special case by
+    threshold, this one gives every row a fold id so all k folds ride
+    ONE pass).
+
+    Pure narrow projection — at 100 TB this is scan-speed; the fold id
+    then drives per-fold training jobs or a grouped leakage audit
+    downstream.
+
+    → input columns + ``fold`` (BIGINT in [0, k)).
+    """
+    if k < 2:
+        raise ValueError(f"kfold_assign needs k >= 2, got {k}")
+    c = F.col(id_col)
+    h = F.md5(F.concat(F.lit(salt), F.lit("|"), c.cast("string")))
+    fold = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % F.lit(int(k))
+    ).alias(fold_col)
+    return df.withColumn(fold_col, fold)

@@ -5140,3 +5140,239 @@ SELECT '{_a}' AS determinant, '{_b}' AS dependent,
   CAST(max(imgs) AS BIGINT) AS max_images
 FROM (SELECT {_a}, count(DISTINCT {_b}) AS imgs FROM orders GROUP BY 1)""")
 ORACLES["fd_check"] = "\nUNION ALL\n".join(_fd_blocks)
+
+
+# Spearman rank correlation — mirrors relational.spearman_corr: Pearson
+# on DOUBLED average ranks R2 = 2*rank + cnt_eq - 1 (pure BIGINT; the
+# tie-correct textbook form), cross-moment sums as HUGEINT (Spark:
+# DECIMAL(38,0)), one fixed double shape rounded to 6.
+ORACLES["spearman_qty_price"] = """
+WITH r AS (
+  SELECT l_returnflag AS g,
+    2 * CAST(rank() OVER (PARTITION BY l_returnflag
+                          ORDER BY l_quantity) AS BIGINT)
+      + CAST(count(*) OVER (PARTITION BY l_returnflag, l_quantity)
+             AS BIGINT) - 1 AS r2x,
+    2 * CAST(rank() OVER (PARTITION BY l_returnflag
+                          ORDER BY l_extendedprice) AS BIGINT)
+      + CAST(count(*) OVER (PARTITION BY l_returnflag, l_extendedprice)
+             AS BIGINT) - 1 AS r2y
+  FROM lineitem),
+m AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(r2x) AS BIGINT) AS sx,
+    CAST(sum(r2y) AS BIGINT) AS sy,
+    sum(CAST(r2x AS HUGEINT) * r2y) AS sxy,
+    sum(CAST(r2x AS HUGEINT) * r2x) AS sxx,
+    sum(CAST(r2y AS HUGEINT) * r2y) AS syy
+  FROM r GROUP BY g),
+d AS (
+  SELECT g, n,
+    sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS den,
+    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num
+  FROM m)
+SELECT g AS l_returnflag, n,
+  CASE WHEN den > 0 THEN round(num / den, 6) ELSE 0.0 END AS spearman_rho
+FROM d
+"""
+
+
+# Mann-Kendall trend test — mirrors relational.mann_kendall over the
+# SAME monthly (nation, month, cents) series as theil_sen_trend:
+# S = sum of pairwise signs, tie-corrected var18 (x18 scale, pure
+# BIGINT), continuity-corrected z as one double shape rounded to 6.
+ORACLES["mann_kendall_nation_trend"] = """
+WITH monthly AS (
+  SELECT n.n_name,
+    (CAST(year(o_orderdate) AS BIGINT) - 1995) * 12
+      + CAST(month(o_orderdate) AS BIGINT) - 1 AS t,
+    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      AS rev_cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2),
+s AS (
+  SELECT a.n_name,
+    CAST(sum(CASE WHEN b.rev_cents > a.rev_cents THEN 1
+                  WHEN b.rev_cents < a.rev_cents THEN -1
+                  ELSE 0 END) AS BIGINT) AS s_stat
+  FROM monthly a JOIN monthly b
+    ON a.n_name = b.n_name AND a.t < b.t
+  GROUP BY 1),
+ties AS (
+  SELECT n_name, rev_cents, CAST(count(*) AS BIGINT) AS tc
+  FROM monthly GROUP BY 1, 2),
+tt AS (
+  SELECT n_name,
+    CAST(sum(tc) AS BIGINT) AS n_points,
+    CAST(sum(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT) AS tie18
+  FROM ties GROUP BY 1),
+j AS (
+  SELECT tt.n_name, n_points, s_stat,
+    CAST(n_points * (n_points - 1) * (2 * n_points + 5) - tie18
+         AS BIGINT) AS var18
+  FROM tt JOIN s ON s.n_name = tt.n_name)
+SELECT n_name, n_points, s_stat, var18,
+  round(CASE
+    WHEN var18 > 0 AND s_stat > 0
+      THEN (CAST(s_stat AS DOUBLE) - 1.0)
+           / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+    WHEN var18 > 0 AND s_stat < 0
+      THEN (CAST(s_stat AS DOUBLE) + 1.0)
+           / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+    ELSE 0.0 END, 6) AS mk_z,
+  CASE WHEN s_stat > 0 THEN 'increasing'
+       WHEN s_stat < 0 THEN 'decreasing'
+       ELSE 'flat' END AS trend
+FROM j
+"""
+
+
+# Welch's t-test — mirrors relational.welch_ttest on documents.n_chars
+# per source pair: exact integer moments (squares as HUGEINT / Spark
+# DECIMAL(38,0)), then the t / Satterthwaite-df double shapes rounded
+# to 6; significant = |t| > 1.96 on the UNROUNDED t.
+ORACLES["welch_ttest_sources"] = """
+WITH m AS (
+  SELECT source AS g, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS s1,
+    sum(CAST(n_chars AS HUGEINT) * n_chars) AS s2
+  FROM documents GROUP BY 1),
+p AS (
+  SELECT a.g AS ga, b.g AS gb,
+    a.n AS na, b.n AS nb,
+    CAST(a.s1 AS DOUBLE) / CAST(a.n AS DOUBLE) AS ma,
+    CAST(b.s1 AS DOUBLE) / CAST(b.n AS DOUBLE) AS mb,
+    (CAST(a.s2 AS DOUBLE)
+      - CAST(a.s1 AS DOUBLE) * CAST(a.s1 AS DOUBLE) / CAST(a.n AS DOUBLE))
+      / (CAST(a.n AS DOUBLE) - 1.0) AS va,
+    (CAST(b.s2 AS DOUBLE)
+      - CAST(b.s1 AS DOUBLE) * CAST(b.s1 AS DOUBLE) / CAST(b.n AS DOUBLE))
+      / (CAST(b.n AS DOUBLE) - 1.0) AS vb
+  FROM m a JOIN m b ON a.g < b.g
+  WHERE a.n >= 2 AND b.n >= 2),
+e AS (
+  SELECT ga, gb, na, nb, ma, mb,
+    va / CAST(na AS DOUBLE) AS sea,
+    vb / CAST(nb AS DOUBLE) AS seb
+  FROM p),
+t AS (
+  SELECT ga, gb, na, nb, ma, mb, sea, seb, sea + seb AS se2,
+    CASE WHEN sea + seb > 0
+      THEN (ma - mb) / sqrt(sea + seb) ELSE 0.0 END AS tstat
+  FROM e)
+SELECT ga AS source_a, gb AS source_b, na AS n_a, nb AS n_b,
+  round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+  round(tstat, 6) AS t_stat,
+  round(CASE WHEN se2 > 0
+    THEN (se2 * se2)
+         / (sea * sea / (CAST(na AS DOUBLE) - 1.0)
+            + seb * seb / (CAST(nb AS DOUBLE) - 1.0))
+    ELSE 0.0 END, 6) AS welch_df,
+  abs(tstat) > 1.96 AS significant
+FROM t
+"""
+
+
+# Gini concentration — mirrors relational.gini_coefficient: lifetime
+# revenue cents per ordering customer, (value, custkey) deterministic
+# ascending rank within nation, G = 2*sum(r*x)/(n*sum x) - (n+1)/n as
+# one double shape rounded to 6 (sum(r*x) as HUGEINT / DECIMAL(38,0)).
+ORACLES["gini_revenue_by_nation"] = """
+WITH per_cust AS (
+  SELECT o_custkey,
+    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS x
+  FROM orders GROUP BY 1),
+j AS (
+  SELECT n.n_name, p.x, c.c_custkey
+  FROM per_cust p
+  JOIN customer c ON c.c_custkey = p.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey),
+r AS (
+  SELECT n_name, x,
+    CAST(row_number() OVER (PARTITION BY n_name
+                            ORDER BY x, c_custkey) AS BIGINT) AS rk
+  FROM j),
+m AS (
+  SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(x) AS BIGINT) AS total_value,
+    sum(CAST(rk AS HUGEINT) * x) AS srx
+  FROM r GROUP BY 1)
+SELECT n_name, n, total_value,
+  CASE WHEN total_value > 0 AND n > 1
+    THEN round(2.0 * CAST(srx AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(total_value AS DOUBLE))
+               - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6)
+    ELSE 0.0 END AS gini
+FROM m
+"""
+
+
+# Contingency chi-square + Cramer's V — mirrors
+# relational.contingency_chi2 over the FULL margin grid (absent cells
+# contribute expected mass): per-cell contributions quantized to exact
+# BIGINT micro-units by truncating HUGEINT division BEFORE the total,
+# so chi2_micro is order-free; only V is a double shape rounded to 6.
+ORACLES["contingency_priority_status"] = """
+WITH cells AS (
+  SELECT o_orderpriority AS a, o_orderstatus AS b,
+    CAST(count(*) AS BIGINT) AS observed
+  FROM orders GROUP BY 1, 2),
+ma AS (SELECT a, CAST(sum(observed) AS BIGINT) AS n_a FROM cells GROUP BY 1),
+mb AS (SELECT b, CAST(sum(observed) AS BIGINT) AS n_b FROM cells GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(observed) AS BIGINT) AS n,
+    CAST(count(DISTINCT a) AS BIGINT) AS r_cats,
+    CAST(count(DISTINCT b) AS BIGINT) AS c_cats
+  FROM cells),
+grid AS (
+  SELECT ma.a, mb.b, ma.n_a, mb.n_b,
+    COALESCE(c.observed, 0) AS observed
+  FROM ma CROSS JOIN mb
+  LEFT JOIN cells c ON c.a = ma.a AND c.b = mb.b),
+st AS (
+  SELECT g.*, t.n, t.r_cats, t.c_cats,
+    CAST(g.observed AS HUGEINT) * t.n
+      - CAST(g.n_a AS HUGEINT) * g.n_b AS num,
+    CAST(t.n AS HUGEINT) * g.n_a * g.n_b AS den
+  FROM grid g CROSS JOIN tot t),
+c2 AS (
+  SELECT a, b, observed, n, r_cats, c_cats,
+    CAST((num * num * 1000000) // den AS BIGINT) AS contrib_micro
+  FROM st),
+t2 AS (
+  SELECT *,
+    CAST(sum(contrib_micro) OVER () AS BIGINT) AS chi2_micro,
+    CAST((r_cats - 1) * (c_cats - 1) AS BIGINT) AS dof
+  FROM c2)
+SELECT a AS o_orderpriority, b AS o_orderstatus, observed, contrib_micro,
+  chi2_micro,
+  CASE WHEN dof > 0 AND n > 0
+    THEN round(sqrt((CAST(chi2_micro AS DOUBLE) / 1000000.0)
+               / (CAST(n AS DOUBLE)
+                  * least(CAST(r_cats AS DOUBLE) - 1.0,
+                          CAST(c_cats AS DOUBLE) - 1.0))), 6)
+    ELSE 0.0 END AS cramers_v,
+  dof
+FROM t2
+"""
+
+
+# Deterministic 5-fold balance — mirrors sampling.kfold_assign
+# (md5('kfold'|id) first-8-hex mod 5) rolled up fold x source.
+ORACLES["kfold_balance"] = f"""
+SELECT fold, source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars
+FROM (
+  SELECT source, n_chars,
+    {_hex_to_long("md5('kfold' || '|' || CAST(doc_id AS VARCHAR))", 8)} % 5
+      AS fold
+  FROM documents)
+GROUP BY 1, 2
+"""

@@ -770,3 +770,76 @@ def test_fd_check_is_aggs_only(spark):
     assert "HashAggregate" in plan, plan
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_spearman_windows_are_keyed(spark):
+    """All four rank/count windows are PARTITIONED by the group key —
+    an unpartitioned rank would pull the corpus onto one task."""
+    import re
+
+    plan = plan_of(entry_mod.queries()["spearman_qty_price"](spark, SF_DIR))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected window specs in the spearman plan"
+    for spec in specs:
+        assert "l_returnflag" in spec, f"unpartitioned window spec: {spec}"
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_mann_kendall_pair_join_is_keyed_not_cartesian(spark):
+    """The C(n,2) pair expansion is an equi-join on the series key with
+    a residual t1 < t2 filter (the theil_sen shape) — a hash join over
+    pre-aggregated monthly rows, never CartesianProduct."""
+    plan = plan_of(
+        entry_mod.queries()["mann_kendall_nation_trend"](spark, SF_DIR)
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_welch_pairs_ride_post_agg_summaries(spark):
+    """The corpus is touched by ONE moment aggregation; the g1 < g2
+    pair join runs on the post-agg summary table (broadcast-sized), so
+    the only non-equi join is a BroadcastNestedLoopJoin over group
+    summaries — no cartesian, no window, no row-Python."""
+    plan = plan_of(entry_mod.queries()["welch_ttest_sources"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_gini_window_is_keyed(spark):
+    """The rank window partitions by nation — the per-group sort is the
+    whole cost model, and it must never collapse to one task."""
+    import re
+
+    plan = plan_of(entry_mod.queries()["gini_revenue_by_nation"](spark, SF_DIR))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected a window spec in the gini plan"
+    for spec in specs:
+        assert "n_name" in spec, f"unpartitioned window spec: {spec}"
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_contingency_margins_broadcast_total_is_cell_window(spark):
+    """One corpus-sized (a,b) count; margins and the full grid are
+    broadcast-sized; the chi2 total is a window over GRID-cardinality
+    rows (bounded categories), which is the one place an unpartitioned
+    window is the right plan."""
+    plan = plan_of(
+        entry_mod.queries()["contingency_priority_status"](spark, SF_DIR)
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") >= 1, plan
+
+
+def test_kfold_is_pure_projection(spark):
+    """Fold assignment adds ZERO shuffles beyond the balance rollup's
+    one exchange — the md5 fold id is scan-speed column work."""
+    plan = plan_of(entry_mod.queries()["kfold_balance"](spark, SF_DIR))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan
