@@ -5301,6 +5301,96 @@ def kfold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kendall_tau_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b (``relational.kendall_tau_binned``) between
+    quantity (50 discrete values) and discount (11 values) per return
+    flag — the third member of the rank-association family (Pearson
+    `corr_stats`, Spearman `spearman_qty_price`): computed ENTIRELY
+    from the 550-cell joint histogram, so the corpus is touched by one
+    keyed count and the pair arithmetic is cells², never rows²."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return rel_ops.kendall_tau_binned(
+        li, "l_returnflag", "l_quantity", "l_discount"
+    ).select(
+        F.col("group").alias("l_returnflag"),
+        "n",
+        "concordant",
+        "discordant",
+        "tau_b",
+    )
+
+
+def interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival cadence per event type
+    (``relational.interarrival_quantiles``): p50/p90/mean of the gaps
+    between consecutive events of each (user, type) series — lower
+    empirical quantiles at pure-integer indexes and a truncating-div
+    mean, so nothing float enters the result. One keyed lag window +
+    one group rank window."""
+    ev = load_table(spark, sf_dir, "events")
+    return rel_ops.interarrival_quantiles(
+        ev,
+        ["user_id", "event_type"],
+        "event_type",
+        "ts",
+        "event_id",
+    ).select(
+        F.col("group").alias("event_type"),
+        "n_gaps",
+        "p50_gap_us",
+        "p90_gap_us",
+        "mean_gap_us",
+    )
+
+
+def trend_break_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Piecewise OLS at the CUSUM breakpoint
+    (``relational.trend_break_ols``): per event type, the exact-BIGINT
+    cusum argmax picks the bend day over the daily cents series, then
+    one conditional moment pass fits closed-form slopes before/after —
+    the composed "the trend bent, from X/day to Y/day" answer. Day
+    index is integer days since epoch (the OLS x)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"),
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
+            "day_idx"
+        ),
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("v_cents")
+    )
+    return rel_ops.trend_break_ols(
+        daily, "event_type", "day_idx", "v_cents"
+    ).select(
+        F.col("key").alias("event_type"),
+        "cp_day",
+        "n_before",
+        "n_after",
+        "slope_before",
+        "slope_after",
+        "slope_delta",
+    )
+
+
+def simpson_diversity_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson lexical diversity per source (``text.simpson_diversity``):
+    the order-2 Hill number (effective dominant types, N²/Σc²) and the
+    micro-quantized unbiased repeat rate — the dominance-weighted
+    companion `source_token_entropy` reads next to; a templated source
+    collapses here first. Same vocabulary-bounded two-shuffle shape as
+    the entropy operator."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    return text_ops.simpson_diversity(docs, "source", "text").select(
+        F.col("group").alias("source"),
+        "n_tokens",
+        "vocab_size",
+        "repeat_micro",
+        "hill2_types",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # The driver's CORRECTNESS gate records only the first 50 entries.
@@ -5575,6 +5665,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_revenue_by_nation": gini_revenue_by_nation,
         "contingency_priority_status": contingency_priority_status,
         "kfold_balance": kfold_balance,
+        "kendall_tau_qty_discount": kendall_tau_qty_discount,
+        "interarrival_profile": interarrival_profile,
+        "trend_break_fit": trend_break_fit,
+        "simpson_diversity_sources": simpson_diversity_sources,
     }
 
 

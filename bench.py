@@ -269,6 +269,10 @@ HEADLINE = [
     "gini_revenue_by_nation",
     "contingency_priority_status",
     "kfold_balance",
+    "kendall_tau_qty_discount",
+    "interarrival_profile",
+    "trend_break_fit",
+    "simpson_diversity_sources",
 ]
 
 

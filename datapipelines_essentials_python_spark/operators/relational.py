@@ -1855,3 +1855,241 @@ def contingency_chi2(
         v.alias("cramers_v"),
         "dof",
     )
+
+
+def kendall_tau_binned(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Kendall's tau-b per group from the JOINT HISTOGRAM — concordant
+    minus discordant pair mass with the tie-corrected denominator
+    (Kendall 1945, public). The scale trick: a naive tau is a C(n,2)
+    row self-join, but when x and y are BINNED/discrete (the
+    CONTRACT: bounded distinct values per group) every pair statistic
+    is computable from the (x, y) cell table — the corpus is touched
+    by ONE keyed count, and the cell self-join is cells² per group,
+    bounded arithmetic that never sees raw rows.
+
+    All pair masses are exact BIGINT: C and D are Σ w_a·w_b over
+    strictly-ordered cell pairs, the tie terms ``n1 = Σ t_x(t_x−1)/2``
+    / ``n2`` come from the margins, ``n0 = n(n−1)/2``, and
+    ``tau_b = (C − D) / (sqrt(n0−n1)·sqrt(n0−n2))`` is ONE fixed
+    double shape (two square roots — their BIGINT product would
+    overflow at the 10× tier) rounded to 6.
+
+    → ``(group, n, concordant, discordant, tau_b)``.
+    """
+    cells = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.col(x_col).alias("x"),
+            F.col(y_col).alias("y"),
+        )
+        .groupBy("g", "x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    a = cells.select(
+        F.col("g"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.col("w").alias("wa"),
+    )
+    b = cells.select(
+        F.col("g"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.col("w").alias("wb"),
+    )
+    pairs = a.join(b, "g").where(F.col("xa") < F.col("xb"))
+    cd = pairs.groupBy("g").agg(
+        F.sum(
+            F.when(F.col("ya") < F.col("yb"), F.col("wa") * F.col("wb"))
+            .otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("concordant"),
+        F.sum(
+            F.when(F.col("ya") > F.col("yb"), F.col("wa") * F.col("wb"))
+            .otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("discordant"),
+    )
+    tx = (
+        cells.groupBy("g", "x")
+        .agg(F.sum("w").cast("long").alias("t"))
+        .groupBy("g")
+        .agg(
+            F.expr("CAST(sum(t * (t - 1)) div 2 AS BIGINT)").alias("n1")
+        )
+    )
+    ty = (
+        cells.groupBy("g", "y")
+        .agg(F.sum("w").cast("long").alias("t"))
+        .groupBy("g")
+        .agg(
+            F.expr("CAST(sum(t * (t - 1)) div 2 AS BIGINT)").alias("n2")
+        )
+    )
+    tot = cells.groupBy("g").agg(F.sum("w").cast("long").alias("n"))
+    j = tot.join(cd, "g", "left").join(tx, "g").join(ty, "g")
+    n = F.col("n")
+    n0 = F.expr("(n * (n - 1)) div 2")
+    c = F.coalesce(F.col("concordant"), F.lit(0))
+    d = F.coalesce(F.col("discordant"), F.lit(0))
+    den = F.sqrt((n0 - F.col("n1")).cast("double")) * F.sqrt(
+        (n0 - F.col("n2")).cast("double")
+    )
+    tau = F.when(
+        den > 0, F.round((c - d).cast("double") / den, 6)
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        F.col("g").alias("group"),
+        "n",
+        c.alias("concordant"),
+        d.alias("discordant"),
+        tau.alias("tau_b"),
+    )
+
+
+def interarrival_quantiles(
+    df: DataFrame,
+    series_cols: list[str],
+    group_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Inter-arrival-time profile per group: the p50/p90/mean of gaps
+    between CONSECUTIVE events within each series — the cadence gauge
+    behind rate limiting, bot detection, and session-timeout tuning
+    ("how bursty is this event type, per user?").
+
+    EXACTNESS: gaps are integer microseconds off a deterministic
+    (ts, tiebreak) ordering; quantiles are the LOWER EMPIRICAL value at
+    the pure-integer index ``(n−1)·q div denom + 1`` — a row the data
+    actually contains, picked by rank, never interpolated (float
+    interpolation is where engines drift); the mean is truncating
+    BIGINT division. Nothing float anywhere.
+
+    Scale: one lag window per series (keyed by the series identity —
+    selective by construction: users × types), then one rank window
+    per GROUP over the gap rows. The group window is the cost at
+    corpus scale; it range-partitions, and the gap table is one row
+    per event minus one per series — never wider than the input.
+
+    → ``(group, n_gaps, p50_gap_us, p90_gap_us, mean_gap_us)``.
+    """
+    w_series = Window.partitionBy(*series_cols).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    us = (F.unix_micros(F.col(ts_col))).alias("__us")
+    gaps = (
+        df.select(
+            F.col(group_col).alias("group"),
+            *[F.col(c) for c in series_cols],
+            F.col(ts_col),
+            F.col(tiebreak_col),
+        )
+        .withColumn("__us", us)
+        .withColumn("__gap", F.col("__us") - F.lag("__us").over(w_series))
+        .where(F.col("__gap").isNotNull())
+        .select("group", F.col("__gap").cast("long").alias("gap_us"))
+    )
+    w_rank = Window.partitionBy("group").orderBy(F.col("gap_us").asc())
+    w_grp = Window.partitionBy("group")
+    ranked = gaps.select(
+        "group",
+        "gap_us",
+        F.row_number().over(w_rank).cast("long").alias("r"),
+        F.count(F.lit(1)).over(w_grp).cast("long").alias("n"),
+    )
+    i50 = F.expr("(n - 1) div 2 + 1")
+    i90 = F.expr("((n - 1) * 9) div 10 + 1")
+    return ranked.groupBy("group").agg(
+        F.max("n").alias("n_gaps"),
+        F.max(F.when(F.col("r") == i50, F.col("gap_us")))
+        .cast("long")
+        .alias("p50_gap_us"),
+        F.max(F.when(F.col("r") == i90, F.col("gap_us")))
+        .cast("long")
+        .alias("p90_gap_us"),
+        F.expr("sum(gap_us) div max(n)").cast("long").alias("mean_gap_us"),
+    )
+
+
+def trend_break_ols(
+    df: DataFrame,
+    key_col: str,
+    day_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Piecewise trend at the CUSUM breakpoint: find each key's
+    most-likely changepoint (:func:`cusum_changepoint`, exact-BIGINT
+    argmax), then fit closed-form OLS slopes on the BEFORE (day ≤ cp)
+    and AFTER segments — "the trend didn't just shift level, it bent
+    from +2.1k/day to −0.8k/day", the composed answer neither operator
+    gives alone.
+
+    CONTRACT: the cusum contract verbatim — input pre-aggregated to
+    one row per (key, day) with integer-unit values and ``day_col``
+    an INTEGER index (it is the OLS x). Both segment fits come from
+    one conditional moment pass (n, Σx, Σy, Σxy, Σx² per segment via
+    when()-guarded sums — exact BIGINT), and each slope is the fixed
+    double shape ``(n·Σxy − Σx·Σy)/(n·Σx² − Σx²)`` rounded to 6;
+    ``slope_delta`` is rounded from the UNROUNDED difference.
+
+    → ``(key, cp_day, n_before, n_after, slope_before, slope_after,
+    slope_delta)``.
+    """
+    cp = cusum_changepoint(df, key_col, day_col, value_col).select(
+        "key", F.col("cp_day").alias("__cp")
+    )
+    daily = df.select(
+        F.col(key_col).alias("key"),
+        F.col(day_col).cast("long").alias("x"),
+        F.col(value_col).cast("long").alias("y"),
+    )
+    seg = daily.join(cp, "key").withColumn(
+        "__before", F.col("x") <= F.col("__cp")
+    )
+
+    def _moms(flag: Column, suffix: str) -> list[Column]:
+        z = F.lit(0).cast("long")
+        return [
+            F.sum(F.when(flag, 1).otherwise(0)).cast("long").alias(f"n_{suffix}"),
+            F.sum(F.when(flag, F.col("x")).otherwise(z)).cast("long").alias(f"sx_{suffix}"),
+            F.sum(F.when(flag, F.col("y")).otherwise(z)).cast("long").alias(f"sy_{suffix}"),
+            F.sum(F.when(flag, F.col("x") * F.col("y")).otherwise(z)).cast("long").alias(f"sxy_{suffix}"),
+            F.sum(F.when(flag, F.col("x") * F.col("x")).otherwise(z)).cast("long").alias(f"sxx_{suffix}"),
+        ]
+
+    m = seg.groupBy("key").agg(
+        F.max("__cp").alias("cp_day"),
+        *_moms(F.col("__before"), "b"),
+        *_moms(~F.col("__before"), "a"),
+    )
+
+    def _slope(suffix: str) -> Column:
+        n = F.col(f"n_{suffix}").cast("double")
+        sx = F.col(f"sx_{suffix}").cast("double")
+        sy = F.col(f"sy_{suffix}").cast("double")
+        sxy = F.col(f"sxy_{suffix}").cast("double")
+        sxx = F.col(f"sxx_{suffix}").cast("double")
+        den = n * sxx - sx * sx
+        return F.when(
+            (F.col(f"n_{suffix}") >= 2) & (den > 0),
+            (n * sxy - sx * sy) / den,
+        ).otherwise(F.lit(0.0))
+
+    sb, sa = _slope("b"), _slope("a")
+    return m.select(
+        "key",
+        F.col("cp_day").cast("long").alias("cp_day"),
+        F.col("n_b").alias("n_before"),
+        F.col("n_a").alias("n_after"),
+        F.round(sb, 6).alias("slope_before"),
+        F.round(sa, 6).alias("slope_after"),
+        F.round(sa - sb, 6).alias("slope_delta"),
+    )

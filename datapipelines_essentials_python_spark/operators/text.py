@@ -1224,3 +1224,73 @@ def token_entropy_by_group(
             ).otherwise(F.lit(0.0)),
         )
     )
+
+
+def simpson_diversity(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Simpson diversity of each group's unigram distribution — the
+    Hill-number-of-order-2 companion to
+    :func:`token_entropy_by_group`'s Shannon gauge: entropy weights
+    rare types, Simpson weights DOMINANT ones, so a source whose
+    top-10 tokens carry half its mass scores low here long before
+    entropy notices (repeat-rate is the collision probability two
+    random tokens are equal).
+
+    EXACTNESS — no log, so this one stays integer further than
+    entropy: the unbiased repeat rate ``Σc(c−1)/(N(N−1))`` is
+    quantized to micro-units by truncating DECIMAL(38,0) division
+    (exact at any parallelism), and the effective-type count
+    ``N²/Σc²`` (inverse Simpson) is ONE fixed double shape over exact
+    integer sums, rounded to 6.
+
+    Scale shape: identical to the entropy operator — one
+    (group, token) keyed count with map-side partials
+    (vocabulary-bounded state), one group-keyed fold. Scan + two
+    shuffles at any corpus size.
+
+    → ``(group, n_tokens, vocab_size, repeat_micro, hill2_types)``.
+    """
+    gt = (
+        df.select(
+            F.col(group_col).alias("group"),
+            F.explode(tokens(text_col)).alias("token"),
+        )
+        .groupBy("group", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    d38 = "decimal(38,0)"
+    m = gt.groupBy("group").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum((F.col("cnt") * (F.col("cnt") - 1)).cast(d38)).alias("__cc1"),
+        F.sum((F.col("cnt") * F.col("cnt")).cast(d38)).alias("__c2"),
+    )
+    staged = m.withColumn(
+        "__den",
+        (F.col("n_tokens").cast(d38) * (F.col("n_tokens") - 1).cast(d38)),
+    )
+    repeat_micro = F.when(
+        F.col("n_tokens") > 1,
+        F.expr("CAST((__cc1 * 1000000) div __den AS BIGINT)"),
+    ).otherwise(F.lit(0).cast("long"))
+    hill2 = F.when(
+        F.col("__c2") > 0,
+        F.round(
+            (
+                F.col("n_tokens").cast("double")
+                * F.col("n_tokens").cast("double")
+            )
+            / F.col("__c2").cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return staged.select(
+        "group",
+        "n_tokens",
+        "vocab_size",
+        repeat_micro.alias("repeat_micro"),
+        hill2.alias("hill2_types"),
+    )

@@ -5376,3 +5376,172 @@ FROM (
   FROM documents)
 GROUP BY 1, 2
 """
+
+
+# Kendall tau-b from the joint histogram — mirrors
+# relational.kendall_tau_binned: C/D/tie terms are exact BIGINT pair
+# masses off the (x,y) cell table (the corpus is touched once), tau is
+# the two-sqrt double shape rounded to 6.
+ORACLES["kendall_tau_qty_discount"] = """
+WITH cells AS (
+  SELECT l_returnflag AS g, l_quantity AS x, l_discount AS y,
+    CAST(count(*) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2, 3),
+cd AS (
+  SELECT a.g,
+    CAST(sum(CASE WHEN a.y < b.y THEN a.w * b.w ELSE 0 END) AS BIGINT)
+      AS concordant,
+    CAST(sum(CASE WHEN a.y > b.y THEN a.w * b.w ELSE 0 END) AS BIGINT)
+      AS discordant
+  FROM cells a JOIN cells b ON a.g = b.g AND a.x < b.x
+  GROUP BY 1),
+tx AS (
+  SELECT g, CAST(sum(t * (t - 1)) // 2 AS BIGINT) AS n1
+  FROM (SELECT g, x, CAST(sum(w) AS BIGINT) AS t FROM cells GROUP BY 1, 2)
+  GROUP BY 1),
+ty AS (
+  SELECT g, CAST(sum(t * (t - 1)) // 2 AS BIGINT) AS n2
+  FROM (SELECT g, y, CAST(sum(w) AS BIGINT) AS t FROM cells GROUP BY 1, 2)
+  GROUP BY 1),
+tot AS (SELECT g, CAST(sum(w) AS BIGINT) AS n FROM cells GROUP BY 1),
+j AS (
+  SELECT tot.g, tot.n,
+    COALESCE(cd.concordant, 0) AS concordant,
+    COALESCE(cd.discordant, 0) AS discordant,
+    CAST((tot.n * (tot.n - 1)) // 2 AS BIGINT) AS n0,
+    tx.n1, ty.n2
+  FROM tot
+  LEFT JOIN cd ON cd.g = tot.g
+  JOIN tx ON tx.g = tot.g
+  JOIN ty ON ty.g = tot.g)
+SELECT g AS l_returnflag, n, concordant, discordant,
+  CASE WHEN sqrt(CAST(n0 - n1 AS DOUBLE)) * sqrt(CAST(n0 - n2 AS DOUBLE)) > 0
+    THEN round(CAST(concordant - discordant AS DOUBLE)
+               / (sqrt(CAST(n0 - n1 AS DOUBLE))
+                  * sqrt(CAST(n0 - n2 AS DOUBLE))), 6)
+    ELSE 0.0 END AS tau_b
+FROM j
+"""
+
+
+# Inter-arrival profile — mirrors relational.interarrival_quantiles:
+# integer-microsecond gaps off the (ts, event_id) deterministic order,
+# lower empirical quantiles at pure-integer indexes, truncating-div
+# mean. No float anywhere.
+ORACLES["interarrival_profile"] = """
+WITH gaps AS (
+  SELECT event_type AS grp,
+    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap_us
+  FROM events),
+g2 AS (SELECT grp, CAST(gap_us AS BIGINT) AS gap_us FROM gaps
+       WHERE gap_us IS NOT NULL),
+ranked AS (
+  SELECT grp, gap_us,
+    CAST(row_number() OVER (PARTITION BY grp ORDER BY gap_us) AS BIGINT)
+      AS r,
+    CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+  FROM g2)
+SELECT grp AS event_type,
+  CAST(max(n) AS BIGINT) AS n_gaps,
+  CAST(max(CASE WHEN r = (n - 1) // 2 + 1 THEN gap_us END) AS BIGINT)
+    AS p50_gap_us,
+  CAST(max(CASE WHEN r = ((n - 1) * 9) // 10 + 1 THEN gap_us END)
+       AS BIGINT) AS p90_gap_us,
+  CAST(sum(gap_us) // max(n) AS BIGINT) AS mean_gap_us
+FROM ranked GROUP BY grp
+"""
+
+
+# Piecewise OLS at the CUSUM break — mirrors relational.trend_break_ols
+# over daily event cents with an integer day index: the exact-BIGINT
+# cusum argmax (earliest day wins ties), one conditional moment pass,
+# and the fixed OLS double shape per segment rounded to 6.
+ORACLES["trend_break_fit"] = """
+WITH daily AS (
+  SELECT event_type AS key,
+    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+      AS x,
+    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+cum AS (
+  SELECT key, x, y,
+    CAST(sum(y) OVER (PARTITION BY key ORDER BY x) AS BIGINT) AS s_t,
+    CAST(row_number() OVER (PARTITION BY key ORDER BY x) AS BIGINT) AS t,
+    CAST(sum(y) OVER (PARTITION BY key) AS BIGINT) AS s_n,
+    CAST(count(*) OVER (PARTITION BY key) AS BIGINT) AS n_days
+  FROM daily),
+cp AS (
+  SELECT key, x AS cp_day
+  FROM (
+    SELECT key, x,
+      row_number() OVER (PARTITION BY key
+        ORDER BY abs(n_days * s_t - t * s_n) DESC, x ASC) AS rr
+    FROM cum) WHERE rr = 1),
+seg AS (
+  SELECT d.key, d.x, d.y, cp.cp_day, d.x <= cp.cp_day AS bef
+  FROM daily d JOIN cp ON cp.key = d.key),
+m AS (
+  SELECT key, CAST(max(cp_day) AS BIGINT) AS cp_day,
+    CAST(sum(CASE WHEN bef THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(sum(CASE WHEN bef THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+    CAST(sum(CASE WHEN bef THEN y ELSE 0 END) AS BIGINT) AS sy_b,
+    CAST(sum(CASE WHEN bef THEN x * y ELSE 0 END) AS BIGINT) AS sxy_b,
+    CAST(sum(CASE WHEN bef THEN x * x ELSE 0 END) AS BIGINT) AS sxx_b,
+    CAST(sum(CASE WHEN NOT bef THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(sum(CASE WHEN NOT bef THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+    CAST(sum(CASE WHEN NOT bef THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+    CAST(sum(CASE WHEN NOT bef THEN x * y ELSE 0 END) AS BIGINT) AS sxy_a,
+    CAST(sum(CASE WHEN NOT bef THEN x * x ELSE 0 END) AS BIGINT) AS sxx_a
+  FROM seg GROUP BY key),
+sl AS (
+  SELECT key, cp_day, n_b, n_a,
+    CASE WHEN n_b >= 2 AND CAST(n_b AS DOUBLE) * CAST(sxx_b AS DOUBLE)
+           - CAST(sx_b AS DOUBLE) * CAST(sx_b AS DOUBLE) > 0
+      THEN (CAST(n_b AS DOUBLE) * CAST(sxy_b AS DOUBLE)
+            - CAST(sx_b AS DOUBLE) * CAST(sy_b AS DOUBLE))
+           / (CAST(n_b AS DOUBLE) * CAST(sxx_b AS DOUBLE)
+              - CAST(sx_b AS DOUBLE) * CAST(sx_b AS DOUBLE))
+      ELSE 0.0 END AS sb,
+    CASE WHEN n_a >= 2 AND CAST(n_a AS DOUBLE) * CAST(sxx_a AS DOUBLE)
+           - CAST(sx_a AS DOUBLE) * CAST(sx_a AS DOUBLE) > 0
+      THEN (CAST(n_a AS DOUBLE) * CAST(sxy_a AS DOUBLE)
+            - CAST(sx_a AS DOUBLE) * CAST(sy_a AS DOUBLE))
+           / (CAST(n_a AS DOUBLE) * CAST(sxx_a AS DOUBLE)
+              - CAST(sx_a AS DOUBLE) * CAST(sx_a AS DOUBLE))
+      ELSE 0.0 END AS sa
+  FROM m)
+SELECT key AS event_type, cp_day, n_b AS n_before, n_a AS n_after,
+  round(sb, 6) AS slope_before,
+  round(sa, 6) AS slope_after,
+  round(sa - sb, 6) AS slope_delta
+FROM sl
+"""
+
+
+# Simpson diversity — mirrors text.simpson_diversity: repeat rate
+# micro-quantized by truncating HUGEINT division (exact), inverse
+# Simpson N^2/sum(c^2) as one double shape rounded to 6.
+ORACLES["simpson_diversity_sources"] = f"""
+WITH tok AS (
+  SELECT source AS grp, unnest({TOKS}) AS token FROM documents),
+gt AS (
+  SELECT grp, token, CAST(count(*) AS BIGINT) AS cnt
+  FROM tok GROUP BY 1, 2),
+m AS (
+  SELECT grp, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+    CAST(count(*) AS BIGINT) AS vocab_size,
+    sum(CAST(cnt AS HUGEINT) * (cnt - 1)) AS cc1,
+    sum(CAST(cnt AS HUGEINT) * cnt) AS c2
+  FROM gt GROUP BY 1)
+SELECT grp AS source, n_tokens, vocab_size,
+  CASE WHEN n_tokens > 1
+    THEN CAST((cc1 * 1000000)
+              // (CAST(n_tokens AS HUGEINT) * (n_tokens - 1)) AS BIGINT)
+    ELSE 0 END AS repeat_micro,
+  CASE WHEN c2 > 0
+    THEN round((CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+               / CAST(c2 AS DOUBLE), 6)
+    ELSE 0.0 END AS hill2_types
+FROM m
+"""

@@ -843,3 +843,59 @@ def test_kfold_is_pure_projection(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_kendall_tau_rides_cell_histogram(spark):
+    """The corpus is touched only by keyed aggregations — the pair
+    'join' is cells x cells on the post-agg histogram (broadcast-
+    sized), so no cartesian, no window, no row-Python anywhere."""
+    plan = plan_of(
+        entry_mod.queries()["kendall_tau_qty_discount"](spark, SF_DIR)
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_interarrival_windows_are_keyed(spark):
+    """Both the per-series lag and the per-group rank/count windows are
+    PARTITIONED — no global sort of the gap table."""
+    import re
+
+    plan = plan_of(entry_mod.queries()["interarrival_profile"](spark, SF_DIR))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected window specs in the interarrival plan"
+    for spec in specs:
+        assert ("user_id" in spec) or ("group" in spec) or (
+            "event_type" in spec
+        ), f"unpartitioned window spec: {spec}"
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_trend_break_windows_keyed_single_moment_pass(spark):
+    """The cusum windows stay keyed and the two segment fits come from
+    ONE conditional aggregation — the plan has no second daily scan
+    for the after-segment."""
+    import re
+
+    plan = plan_of(entry_mod.queries()["trend_break_fit"](spark, SF_DIR))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected window specs in the trend-break plan"
+    for spec in specs:
+        assert "key" in spec or "event_type" in spec, (
+            f"unpartitioned window spec: {spec}"
+        )
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_simpson_is_two_keyed_aggs(spark):
+    """Identical shape contract to the entropy operator: explode ->
+    (group, token) agg -> group agg; no window, no join back, no
+    Python."""
+    plan = plan_of(
+        entry_mod.queries()["simpson_diversity_sources"](spark, SF_DIR)
+    )
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "Generate" in plan, plan  # the explode
