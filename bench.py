@@ -273,6 +273,10 @@ HEADLINE = [
     "interarrival_profile",
     "trend_break_fit",
     "simpson_diversity_sources",
+    "rich_club_parts",
+    "range_partition_audit",
+    "peak_concurrency_daily",
+    "weighted_median_price",
 ]
 
 

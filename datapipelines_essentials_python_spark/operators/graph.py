@@ -1431,3 +1431,75 @@ def cheapest_paths(
         if frontier.limit(1).count() == 0:
             break
     return cost
+
+
+def rich_club(edges: DataFrame, k_values: list[int]) -> DataFrame:
+    """Rich-club coefficient at each degree threshold k: the density of
+    the subgraph induced by nodes with degree > k —
+    ``φ(k) = 2·E_k / (N_k·(N_k−1))`` (Colizza et al. 2006, public).
+    Rising φ(k) means hubs preferentially interconnect (a rich club);
+    the flat/falling profile is what a degree-preserving random graph
+    shows. Reads next to :func:`degree_assortativity`: assortativity is
+    the one-number summary, this is the full hub-density profile.
+
+    Shape: degrees once (one keyed agg), then per threshold ONLY
+    conditional counting — nodes via a broadcast non-equi join of the
+    k list onto the degree table, edges via the same broadcast onto
+    the degree-annotated edge list (edge volume × |k| rows, linear).
+    N_k, E_k are exact BIGINT; φ is one fixed double shape rounded
+    to 6. `k_values` is the bounded CONTRACT (a handful of
+    thresholds), which is what keeps the profile a constant number of
+    passes over the edge list.
+
+    → ``(k, n_rich_nodes, n_rich_edges, phi)``, one row per threshold.
+    """
+    if not k_values:
+        raise ValueError("rich_club needs at least one k threshold")
+    und = undirected_edges(edges)
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    spark = edges.sparkSession
+    ks = spark.createDataFrame(
+        [(int(k),) for k in sorted(set(k_values))], "k long"
+    )
+    n_k = (
+        deg.join(F.broadcast(ks), deg["degree"] > ks["k"])
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rich_nodes"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("dv"))
+    annotated = und.join(du, "u").join(dv, "v")
+    e_k = (
+        annotated.join(
+            F.broadcast(ks),
+            F.least(F.col("du"), F.col("dv")) > ks["k"],
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rich_edges"))
+    )
+    out = (
+        ks.join(n_k, "k", "left")
+        .join(e_k, "k", "left")
+        .select(
+            "k",
+            F.coalesce(F.col("n_rich_nodes"), F.lit(0)).cast("long").alias(
+                "n_rich_nodes"
+            ),
+            F.coalesce(F.col("n_rich_edges"), F.lit(0)).cast("long").alias(
+                "n_rich_edges"
+            ),
+        )
+    )
+    n = F.col("n_rich_nodes").cast("double")
+    phi = F.when(
+        F.col("n_rich_nodes") >= 2,
+        F.round(
+            2.0 * F.col("n_rich_edges").cast("double") / (n * (n - 1.0)), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    return out.select("k", "n_rich_nodes", "n_rich_edges", phi.alias("phi"))

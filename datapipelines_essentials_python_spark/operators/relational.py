@@ -2093,3 +2093,178 @@ def trend_break_ols(
         F.round(sa, 6).alias("slope_after"),
         F.round(sa - sb, 6).alias("slope_delta"),
     )
+
+
+def range_partition_plan(
+    df: DataFrame,
+    key_col: str,
+    n_partitions: int,
+) -> DataFrame:
+    """Equi-depth range-partition boundaries: the P−1 split keys that
+    divide the table into partitions of ~n/P rows each — what a
+    repartitionByRange / bucketed-layout rollout wants PLANNED and
+    AUDITED before it writes 100 TB (Spark's own RangePartitioner
+    samples; this is the exact plan, plus the realized row counts so
+    skew is visible before the shuffle).
+
+    EXACTNESS: boundary i is the SMALLEST key whose cumulative row
+    count reaches ``target_i = (i·n) div P`` — pure integer rank
+    selection over the distinct-key histogram (the interarrival
+    discipline: a value the data contains, never an interpolation).
+
+    Scale CONTRACT: the cumulative walk is a window over the
+    DISTINCT-KEY table, so key cardinality must be bounded (bucket or
+    bin a high-cardinality key first, or fall back to sampling). The
+    corpus-sized work is the one keyed count; everything after is
+    key-cardinality.
+
+    → ``(bucket, target_rows, boundary_key, rows_at_or_below)``,
+    one row per internal boundary (buckets 1..P−1).
+    """
+    if n_partitions < 2:
+        raise ValueError(
+            f"range_partition_plan needs n_partitions >= 2, got {n_partitions}"
+        )
+    keys = (
+        df.groupBy(F.col(key_col).alias("key"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w_cum = Window.orderBy("key").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    cum = keys.select(
+        "key",
+        F.sum("cnt").over(w_cum).cast("long").alias("cum"),
+        F.sum("cnt").over(w_all).cast("long").alias("n"),
+    )
+    spark = df.sparkSession
+    buckets = spark.createDataFrame(
+        [(int(i),) for i in range(1, int(n_partitions))], "bucket long"
+    )
+    targets = buckets.crossJoin(
+        F.broadcast(keys.agg(F.sum("cnt").cast("long").alias("n")))
+    ).select(
+        "bucket",
+        F.expr(f"(bucket * n) div {int(n_partitions)}").alias("target_rows"),
+    )
+    hit = cum.join(
+        F.broadcast(targets), F.col("cum") >= F.col("target_rows")
+    )
+    best = hit.groupBy("bucket").agg(
+        F.max("target_rows").alias("target_rows"),
+        F.min(F.struct("key", "cum")).alias("__b"),
+    )
+    return best.select(
+        "bucket",
+        "target_rows",
+        F.col("__b.key").alias("boundary_key"),
+        F.col("__b.cum").alias("rows_at_or_below"),
+    )
+
+
+def peak_concurrency(
+    intervals: DataFrame,
+    group_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Peak concurrent intervals per group by the distributed
+    SWEEP-LINE: each interval contributes a +1 at its start and a −1
+    at its end; the running sum over (t ASC, delta DESC) is the live
+    concurrency, its max the peak — "how many sessions were open at
+    the worst moment?", the capacity-planning number a pairwise
+    overlap join cannot produce without rows² work.
+
+    Ordering contract: +1 sorts before −1 at the same instant, so
+    touching intervals COUNT as concurrent (and a zero-length interval
+    still registers). Ties among identical (t, delta) rows leave the
+    running-sum multiset — and therefore the peak and its earliest
+    time — unchanged, so the result is deterministic and the oracle
+    replays it. Everything is integer microseconds and BIGINT counts.
+
+    Scale: one keyed sweep window over 2 rows per interval (the group
+    key is the partition — days, tenants, shards), one keyed agg.
+    Never an interval self-join.
+
+    → ``(group, n_intervals, peak_concurrent, peak_at_us)``
+    (earliest instant attaining the peak).
+    """
+    starts = intervals.select(
+        F.col(group_col).alias("group"),
+        F.col(start_col).cast("long").alias("t"),
+        F.lit(1).alias("delta"),
+    )
+    ends = intervals.select(
+        F.col(group_col).alias("group"),
+        F.col(end_col).cast("long").alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    deltas = starts.unionByName(ends)
+    w_sweep = (
+        Window.partitionBy("group")
+        .orderBy(F.col("t").asc(), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = deltas.select(
+        "group",
+        "t",
+        "delta",
+        F.sum("delta").over(w_sweep).cast("long").alias("live"),
+    ).withColumn(
+        "peak", F.max("live").over(Window.partitionBy("group")).cast("long")
+    )
+    return run.groupBy("group").agg(
+        F.expr("CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)")
+        .alias("n_intervals"),
+        F.max("peak").alias("peak_concurrent"),
+        F.min(F.when(F.col("live") == F.col("peak"), F.col("t")))
+        .cast("long")
+        .alias("peak_at_us"),
+    )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Weighted median per group: the smallest value whose cumulative
+    weight reaches half the total — "the price at which half the
+    QUANTITY (not half the rows) trades", the volume-weighted center a
+    plain median misstates whenever weight correlates with value.
+
+    EXACTNESS: integer weights (the CONTRACT), cumulative sums over
+    the per-VALUE aggregated table, and the pick is
+    ``min value with 2·cum ≥ total`` — pure BIGINT comparison (the
+    lower-weighted-median convention; no interpolation, no float).
+
+    Scale: one (group, value) keyed agg collapses the corpus, then one
+    group-keyed cumulative window over distinct values + one keyed
+    agg. Value cardinality per group bounds the window, not row count.
+
+    → ``(group, total_weight, weighted_median)``.
+    """
+    vw = (
+        df.groupBy(F.col(group_col).alias("group"), F.col(value_col).alias("value"))
+        .agg(F.sum(F.col(weight_col).cast("long")).cast("long").alias("w"))
+    )
+    w_cum = (
+        Window.partitionBy("group")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("group")
+    cum = vw.select(
+        "group",
+        "value",
+        F.sum("w").over(w_cum).cast("long").alias("cum"),
+        F.sum("w").over(w_all).cast("long").alias("total"),
+    )
+    return cum.groupBy("group").agg(
+        F.max("total").alias("total_weight"),
+        F.min(
+            F.when(2 * F.col("cum") >= F.col("total"), F.col("value"))
+        ).alias("weighted_median"),
+    )

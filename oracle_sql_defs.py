@@ -5545,3 +5545,123 @@ SELECT grp AS source, n_tokens, vocab_size,
     ELSE 0.0 END AS hill2_types
 FROM m
 """
+
+
+# Rich-club profile — mirrors graph.rich_club over the part-affinity
+# graph: N_k / E_k by threshold from the shared degree table, phi the
+# fixed double shape rounded to 6.
+ORACLES["rich_club_parts"] = """
+WITH lp AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'),
+und AS MATERIALIZED (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM lp a JOIN lp b ON a.k = b.k AND a.p < b.p),
+deg AS MATERIALIZED (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree
+  FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+  GROUP BY 1),
+ks AS (SELECT unnest([4, 8, 16, 32, 64]) AS k),
+nk AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_rich_nodes
+  FROM deg JOIN ks ON deg.degree > ks.k GROUP BY k),
+ann AS (
+  SELECT least(du.degree, dv.degree) AS mindeg
+  FROM und e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v),
+ek AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_rich_edges
+  FROM ann JOIN ks ON ann.mindeg > ks.k GROUP BY k)
+SELECT CAST(ks.k AS BIGINT) AS k,
+  COALESCE(nk.n_rich_nodes, 0) AS n_rich_nodes,
+  COALESCE(ek.n_rich_edges, 0) AS n_rich_edges,
+  CASE WHEN COALESCE(nk.n_rich_nodes, 0) >= 2
+    THEN round(2.0 * CAST(COALESCE(ek.n_rich_edges, 0) AS DOUBLE)
+               / (CAST(nk.n_rich_nodes AS DOUBLE)
+                  * (CAST(nk.n_rich_nodes AS DOUBLE) - 1.0)), 6)
+    ELSE 0.0 END AS phi
+FROM ks LEFT JOIN nk ON nk.k = ks.k LEFT JOIN ek ON ek.k = ks.k
+"""
+
+
+# Equi-depth range-partition plan — mirrors
+# relational.range_partition_plan on orders.o_custkey into 8: boundary
+# i = smallest key whose cumulative count reaches (i*n) div 8. Pure
+# integer rank selection.
+ORACLES["range_partition_audit"] = """
+WITH keys AS (
+  SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY 1),
+cum AS (
+  SELECT key,
+    CAST(sum(cnt) OVER (ORDER BY key
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+    CAST(sum(cnt) OVER () AS BIGINT) AS n
+  FROM keys),
+buckets AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS bucket),
+targets AS (
+  SELECT CAST(bucket AS BIGINT) AS bucket,
+    CAST((bucket * (SELECT max(n) FROM cum)) // 8 AS BIGINT)
+      AS target_rows
+  FROM buckets),
+hit AS (
+  SELECT t.bucket, t.target_rows, c.key, c.cum
+  FROM cum c JOIN targets t ON c.cum >= t.target_rows)
+SELECT bucket, max(target_rows) AS target_rows,
+  CAST(min(key) AS BIGINT) AS boundary_key,
+  CAST(min(cum) AS BIGINT) AS rows_at_or_below
+FROM hit GROUP BY bucket
+"""
+
+
+# Sweep-line peak concurrency — mirrors relational.peak_concurrency
+# over daily user activity spans: +1/-1 deltas ordered (t ASC, delta
+# DESC), running sum, max + earliest attaining instant. All BIGINT.
+ORACLES["peak_concurrency_daily"] = """
+WITH spans AS (
+  SELECT CAST(ts AS DATE) AS day, user_id,
+    CAST(min(epoch_us(ts)) AS BIGINT) AS start_us,
+    CAST(max(epoch_us(ts)) AS BIGINT) AS end_us
+  FROM events GROUP BY 1, 2),
+deltas AS (
+  SELECT day, start_us AS t, 1 AS delta FROM spans
+  UNION ALL
+  SELECT day, end_us AS t, -1 AS delta FROM spans),
+run AS (
+  SELECT day, t, delta,
+    CAST(sum(delta) OVER (PARTITION BY day ORDER BY t ASC, delta DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS live
+  FROM deltas),
+r2 AS (
+  SELECT *, CAST(max(live) OVER (PARTITION BY day) AS BIGINT) AS peak
+  FROM run)
+SELECT day,
+  CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_intervals,
+  CAST(max(peak) AS BIGINT) AS peak_concurrent,
+  CAST(min(CASE WHEN live = peak THEN t END) AS BIGINT) AS peak_at_us
+FROM r2 GROUP BY day
+"""
+
+
+# Weighted median — mirrors relational.weighted_median: smallest value
+# whose doubled cumulative integer weight reaches the total, over the
+# per-value aggregated table. No interpolation.
+ORACLES["weighted_median_price"] = """
+WITH vw AS (
+  SELECT l_returnflag AS g, l_extendedprice AS value,
+    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2),
+cum AS (
+  SELECT g, value,
+    CAST(sum(w) OVER (PARTITION BY g ORDER BY value
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS cum,
+    CAST(sum(w) OVER (PARTITION BY g) AS BIGINT) AS total
+  FROM vw)
+SELECT g AS l_returnflag,
+  max(total) AS total_weight,
+  CAST(min(CASE WHEN 2 * cum >= total THEN value END) AS DECIMAL(18,2))
+    AS weighted_median
+FROM cum GROUP BY g
+"""

@@ -899,3 +899,66 @@ def test_simpson_is_two_keyed_aggs(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
     assert "Generate" in plan, plan  # the explode
+
+
+def test_rich_club_broadcasts_thresholds(spark):
+    """Degrees come from keyed aggs; per-threshold counting is
+    broadcast non-equi joins of the tiny k list — no cartesian, no
+    window, no Python."""
+    plan = plan_of(entry_mod.queries()["rich_club_parts"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_range_partition_cumwalk_is_post_agg(spark):
+    """The corpus is touched by one keyed count; the unpartitioned
+    cumulative window runs over the DISTINCT-KEY table only (the
+    documented bounded-cardinality contract)."""
+    import re
+
+    plan = plan_of(entry_mod.queries()["range_partition_audit"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    # the window consumes an aggregated child, never the raw scan:
+    # node ids are assigned bottom-up, so every Window id must exceed
+    # some HashAggregate id (an aggregate sits beneath it)
+    win_ids = [int(i) for i in re.findall(r"Window \((\d+)\)", plan)]
+    agg_ids = [int(i) for i in re.findall(r"HashAggregate \((\d+)\)", plan)]
+    assert win_ids and agg_ids, plan
+    assert min(agg_ids) < min(win_ids), plan
+
+
+def test_peak_concurrency_sweep_is_keyed(spark):
+    """Both the running-sum and the peak windows partition by the
+    group key — the sweep never funnels all days into one task."""
+    import re
+
+    plan = plan_of(
+        entry_mod.queries()["peak_concurrency_daily"](spark, SF_DIR)
+    )
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected window specs in the sweep plan"
+    for spec in specs:
+        assert "group" in spec or "day" in spec, (
+            f"unpartitioned window spec: {spec}"
+        )
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_weighted_median_windows_keyed_post_agg(spark):
+    """Cumulative-weight windows partition by the group and run over
+    the per-value aggregated table (agg precedes window in the plan)."""
+    import re
+
+    plan = plan_of(entry_mod.queries()["weighted_median_price"](spark, SF_DIR))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected window specs in the weighted-median plan"
+    for spec in specs:
+        assert "group" in spec or "l_returnflag" in spec, (
+            f"unpartitioned window spec: {spec}"
+        )
+    win_ids = [int(i) for i in re.findall(r"Window \((\d+)\)", plan)]
+    agg_ids = [int(i) for i in re.findall(r"HashAggregate \((\d+)\)", plan)]
+    assert win_ids and agg_ids, plan
+    assert min(agg_ids) < min(win_ids), plan
