@@ -5462,6 +5462,73 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def auc_en_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC per source (``relational.auc_mann_whitney``) of
+    the frozen quality classifier's score discriminating English docs
+    — AUC via the Mann-Whitney rank identity with doubled average
+    ranks (everything BIGINT until one final division), no thresholds,
+    no positives × negatives join. The model-eval gate next to
+    ``knn_label_accuracy``."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        (F.col("lang") == "en").alias("is_en"),
+        F.round(
+            text_ops.logit_quality_score("text", _LOGIT_WEIGHTS, bias=-1.0), 6
+        ).alias("score"),
+    )
+    return rel_ops.auc_mann_whitney(scored, "source", "is_en", "score").select(
+        F.col("group").alias("source"), "n_pos", "n_neg", "u2", "auc"
+    )
+
+
+def quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + ECE (``relational.calibration_table``) of
+    the quality classifier against the is-English label: scores become
+    exact micro-integers (round(·,6)·10⁶ via DECIMAL), buckets and the
+    ECE numerator stay BIGINT in any partition order, and only
+    acc/conf/ece take one double shape each — "is 0.9 really 90%?"
+    before trusting the keep threshold."""
+    docs = load_table(spark, sf_dir, "documents")
+    score = F.round(
+        text_ops.logit_quality_score("text", _LOGIT_WEIGHTS, bias=-1.0), 6
+    )
+    base = docs.select(
+        (F.col("lang") == "en").alias("is_en"),
+        (score.cast("decimal(18,6)") * 1000000)
+        .cast("long")
+        .alias("score_micro"),
+    )
+    return rel_ops.calibration_table(base, "is_en", "score_micro", 10)
+
+
+def target_encode_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free out-of-fold target encoding table
+    (``sampling.target_encode_oof``): per (market segment, fold), the
+    mean account balance in cents over all OTHER folds — the CV-safe
+    categorical encoding built on the deterministic md5 k-fold, so a
+    row never sees its own fold's targets. Corpus cost is one keyed
+    agg; complements ride windows over the segment × fold table."""
+    from datapipelines_essentials_python_spark.operators import sampling as samp_ops
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("bal_cents"),
+    )
+    return samp_ops.target_encode_oof(
+        cust, "c_custkey", "c_mktsegment", "bal_cents", k=5
+    ).select(
+        F.col("category").alias("c_mktsegment"),
+        "fold",
+        "n_in_fold",
+        "oof_n",
+        "oof_mean",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # The driver's CORRECTNESS gate records only the first 50 entries.
@@ -5744,6 +5811,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_partition_audit": range_partition_audit,
         "peak_concurrency_daily": peak_concurrency_daily,
         "weighted_median_price": weighted_median_price,
+        "auc_en_quality": auc_en_quality,
+        "quality_calibration": quality_calibration,
+        "target_encode_segment": target_encode_segment,
     }
 
 

@@ -277,6 +277,9 @@ HEADLINE = [
     "range_partition_audit",
     "peak_concurrency_daily",
     "weighted_median_price",
+    "auc_en_quality",
+    "quality_calibration",
+    "target_encode_segment",
 ]
 
 

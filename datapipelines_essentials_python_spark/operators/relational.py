@@ -2268,3 +2268,137 @@ def weighted_median(
             F.when(2 * F.col("cum") >= F.col("total"), F.col("value"))
         ).alias("weighted_median"),
     )
+
+
+def auc_mann_whitney(
+    df: DataFrame,
+    group_col: str,
+    label_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Exact ROC-AUC per group by the Mann-Whitney rank statistic —
+    AUC is the probability a random positive outscores a random
+    negative, i.e. ``U / (n_pos·n_neg)`` with tie-correct average
+    ranks (Mann & Whitney 1947; the AUC≡U identity is Hanley &
+    McNeil 1982, public) — the model-quality number every classifier
+    rollout gates on, computed WITHOUT thresholds or interpolation.
+
+    EXACTNESS (the ``spearman_corr`` discipline): doubled average
+    ranks ``R2 = 2·rank + cnt_eq − 1`` keep everything BIGINT;
+    ``U2 = Σ R2(positives) − n_pos·(n_pos+1) = 2U`` stays integer, and
+    ``AUC = U2 / (2·n_pos·n_neg)`` is ONE fixed double shape rounded
+    to 6. Ties get the standard 0.5 credit automatically.
+
+    Scale: one rank window partitioned by the group + one keyed agg —
+    never a positives × negatives join (that comparison is what the
+    rank identity replaces).
+
+    → ``(group, n_pos, n_neg, u2, auc)``.
+    """
+    w_rank = Window.partitionBy(group_col).orderBy(score_col)
+    w_eq = Window.partitionBy(group_col, score_col)
+    r2 = (
+        2 * F.rank().over(w_rank).cast("long")
+        + F.count(F.lit(1)).over(w_eq).cast("long")
+        - 1
+    )
+    ranked = df.select(
+        F.col(group_col).alias("group"),
+        F.col(label_col).cast("boolean").alias("y"),
+        r2.alias("r2"),
+    )
+    m = ranked.groupBy("group").agg(
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("long").alias("n_pos"),
+        F.sum(F.when(~F.col("y"), 1).otherwise(0)).cast("long").alias("n_neg"),
+        F.sum(F.when(F.col("y"), F.col("r2")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("__s2pos"),
+    )
+    u2 = (F.col("__s2pos") - F.col("n_pos") * (F.col("n_pos") + 1)).cast(
+        "long"
+    )
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.round(
+            F.col("u2").cast("double")
+            / (
+                2.0
+                * F.col("n_pos").cast("double")
+                * F.col("n_neg").cast("double")
+            ),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return m.withColumn("u2", u2).select(
+        "group", "n_pos", "n_neg", "u2", auc.alias("auc")
+    )
+
+
+def calibration_table(
+    df: DataFrame,
+    label_col: str,
+    score_micro_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Reliability diagram + expected calibration error from
+    MICRO-INTEGER scores: rows bucket by predicted confidence, each
+    bucket reports observed accuracy vs mean confidence, and ECE is
+    the support-weighted |acc − conf| total (Naeini et al. 2015,
+    public) — the "is 0.9 really 90%?" audit behind every
+    quality-filter threshold.
+
+    CONTRACT: ``score_micro_col`` is the score in integer MICRO-units
+    (callers producing round(score, 6) doubles multiply by 10^6 and
+    cast — exact). Then EVERYTHING except two final display shapes is
+    BIGINT: bucket = min(score_micro·B div 10^6, B−1), per-bucket
+    confidence mass is Σ score_micro, and the ECE numerator is
+    Σ_buckets |n_pos·10^6 − Σ score_micro| — an exact integer in any
+    partition order (the contingency_chi2 lesson: quantize BEFORE the
+    order-sensitive total). acc, conf, and ECE are fixed double
+    shapes rounded to 6.
+
+    → one row per non-empty bucket: ``(bucket, n, n_pos, acc, conf,
+    ece)`` with ece repeated (grain: bucket).
+    """
+    b = int(n_buckets)
+    bucket = F.least(
+        F.expr(f"CAST((score_micro * {b}) div 1000000 AS BIGINT)"),
+        F.lit(b - 1).cast("long"),
+    )
+    base = df.select(
+        F.col(label_col).cast("boolean").alias("y"),
+        F.col(score_micro_col).cast("long").alias("score_micro"),
+    ).withColumn("bucket", bucket)
+    per = base.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("long").alias("n_pos"),
+        F.sum("score_micro").cast("long").alias("__conf_micro"),
+    )
+    w_all = Window.partitionBy()
+    per2 = per.withColumn(
+        "__ece_num",
+        F.sum(
+            F.abs(F.col("n_pos") * F.lit(1000000) - F.col("__conf_micro"))
+        )
+        .over(w_all)
+        .cast("long"),
+    ).withColumn("__n_tot", F.sum("n").over(w_all).cast("long"))
+    acc = F.round(F.col("n_pos").cast("double") / F.col("n").cast("double"), 6)
+    conf = F.round(
+        F.col("__conf_micro").cast("double")
+        / (F.col("n").cast("double") * 1000000.0),
+        6,
+    )
+    ece = F.round(
+        F.col("__ece_num").cast("double")
+        / (F.col("__n_tot").cast("double") * 1000000.0),
+        6,
+    )
+    return per2.select(
+        "bucket",
+        "n",
+        "n_pos",
+        acc.alias("acc"),
+        conf.alias("conf"),
+        ece.alias("ece"),
+    )

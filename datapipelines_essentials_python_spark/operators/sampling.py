@@ -16,7 +16,7 @@ correlate).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -574,3 +574,63 @@ def kfold_assign(
         F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % F.lit(int(k))
     ).alias(fold_col)
     return df.withColumn(fold_col, fold)
+
+
+def target_encode_oof(
+    df: DataFrame,
+    id_col: str,
+    cat_col: str,
+    target_col: str,
+    k: int = 5,
+    salt: str = "kfold",
+) -> DataFrame:
+    """Out-of-fold target encoding TABLE: for every (category, fold),
+    the mean of the target over all OTHER folds — the leakage-free
+    categorical encoding (a row never sees its own fold's targets, so
+    the encoding can't memorize it; the standard CV-safe recipe).
+    Folds come from :func:`kfold_assign`, so the whole construction is
+    deterministic and reproducible on any cluster.
+
+    EXACTNESS: integer targets (the CONTRACT — cents/counts), one
+    (cat, fold) keyed moment agg over the corpus, then complements by
+    WINDOW over the (cat, fold) table: ``oof_sum = cat_sum −
+    fold_sum``, ``oof_cnt = cat_cnt − fold_cnt`` — all BIGINT; the
+    mean is one double shape rounded to 6, falling back to the GLOBAL
+    mean when a category lives entirely in one fold.
+
+    Scale: corpus cost is the single keyed agg; everything downstream
+    is (categories × k)-cardinality arithmetic. The encoding table
+    broadcasts back onto rows at apply time.
+
+    → ``(category, fold, n_in_fold, oof_n, oof_mean)``.
+    """
+    folded = kfold_assign(df, id_col, k=k, salt=salt)
+    cf = folded.groupBy(
+        F.col(cat_col).alias("category"), F.col("fold")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_in_fold"),
+        F.sum(F.col(target_col).cast("long")).cast("long").alias("__s"),
+    )
+    w_cat = Window.partitionBy("category")
+    w_all = Window.partitionBy()
+    enriched = (
+        cf.withColumn("__cat_n", F.sum("n_in_fold").over(w_cat).cast("long"))
+        .withColumn("__cat_s", F.sum("__s").over(w_cat).cast("long"))
+        .withColumn("__tot_n", F.sum("n_in_fold").over(w_all).cast("long"))
+        .withColumn("__tot_s", F.sum("__s").over(w_all).cast("long"))
+    )
+    oof_n = (F.col("__cat_n") - F.col("n_in_fold")).cast("long")
+    oof_s = (F.col("__cat_s") - F.col("__s")).cast("long")
+    global_mean = F.col("__tot_s").cast("double") / F.col("__tot_n").cast(
+        "double"
+    )
+    mean = F.when(
+        oof_n > 0, oof_s.cast("double") / oof_n.cast("double")
+    ).otherwise(global_mean)
+    return enriched.select(
+        "category",
+        "fold",
+        "n_in_fold",
+        oof_n.alias("oof_n"),
+        F.round(mean, 6).alias("oof_mean"),
+    )

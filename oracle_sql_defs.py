@@ -5665,3 +5665,125 @@ SELECT g AS l_returnflag,
     AS weighted_median
 FROM cum GROUP BY g
 """
+
+
+# Shared quality-score CTE chain (mirrors text.logit_quality_score with
+# the registry's frozen weights) ending in scored(doc_id, source, lang,
+# quality_score) — reused by the AUC and calibration oracles.
+_QSCORE = f"""feats AS (
+  SELECT doc_id, source, lang,
+    CAST(len(toks) AS DOUBLE) AS nt,
+    round(CAST(length(replace(lower(text), ' ', '')) AS DOUBLE)
+      / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS atl,
+    round(CAST(len(list_filter(toks, x -> list_contains({_STOP_EN}, x))) AS DOUBLE)
+      / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS sr,
+    round(CAST(len(list_distinct(toks)) AS DOUBLE)
+      / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS utr
+  FROM (SELECT doc_id, source, lang, text, {TOKS} AS toks FROM documents)),
+z AS (
+  SELECT doc_id, source, lang,
+    CAST(-1.0 AS DOUBLE)
+      + CAST(-0.1 AS DOUBLE) * atl
+      + CAST(0.01 AS DOUBLE) * nt
+      + CAST(2.0 AS DOUBLE) * sr
+      + CAST(1.5 AS DOUBLE) * utr AS z
+  FROM feats),
+scored AS (
+  SELECT doc_id, source, lang,
+    round(CAST(0.5 AS DOUBLE)
+      + CAST(0.5 AS DOUBLE) * z / (CAST(1.0 AS DOUBLE) + abs(z)), 6)
+      AS quality_score
+  FROM z)"""
+
+
+# Exact ROC-AUC per source — mirrors relational.auc_mann_whitney:
+# doubled average ranks keep U integer; AUC is one double shape.
+ORACLES["auc_en_quality"] = f"""
+WITH {_QSCORE},
+r AS (
+  SELECT source AS g, (lang = 'en') AS y,
+    2 * CAST(rank() OVER (PARTITION BY source ORDER BY quality_score)
+             AS BIGINT)
+      + CAST(count(*) OVER (PARTITION BY source, quality_score)
+             AS BIGINT) - 1 AS r2
+  FROM scored),
+m AS (
+  SELECT g,
+    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+    CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+    CAST(sum(CASE WHEN y THEN r2 ELSE 0 END) AS BIGINT) AS s2pos
+  FROM r GROUP BY g),
+u AS (
+  SELECT g, n_pos, n_neg,
+    CAST(s2pos - n_pos * (n_pos + 1) AS BIGINT) AS u2
+  FROM m)
+SELECT g AS source, n_pos, n_neg, u2,
+  CASE WHEN n_pos > 0 AND n_neg > 0
+    THEN round(CAST(u2 AS DOUBLE)
+               / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+    ELSE 0.0 END AS auc
+FROM u
+"""
+
+
+# Calibration table + ECE — mirrors relational.calibration_table:
+# micro-integer scores, BIGINT buckets and ECE numerator (quantized
+# before the order-sensitive total), double shapes only for display.
+ORACLES["quality_calibration"] = f"""
+WITH {_QSCORE},
+base AS (
+  SELECT (lang = 'en') AS y,
+    CAST(CAST(quality_score AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+      AS score_micro
+  FROM scored),
+per AS (
+  SELECT least(CAST((score_micro * 10) // 1000000 AS BIGINT), 9) AS bucket,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+    CAST(sum(score_micro) AS BIGINT) AS conf_micro
+  FROM base GROUP BY 1),
+tot AS (
+  SELECT *,
+    CAST(sum(abs(n_pos * 1000000 - conf_micro)) OVER () AS BIGINT)
+      AS ece_num,
+    CAST(sum(n) OVER () AS BIGINT) AS n_tot
+  FROM per)
+SELECT bucket, n, n_pos,
+  round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS acc,
+  round(CAST(conf_micro AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0), 6)
+    AS conf,
+  round(CAST(ece_num AS DOUBLE) / (CAST(n_tot AS DOUBLE) * 1000000.0), 6)
+    AS ece
+FROM tot
+"""
+
+
+# Out-of-fold target encoding — mirrors sampling.target_encode_oof on
+# customer segments: md5 folds, (segment, fold) integer moments,
+# window complements, double mean rounded to 6 with the global-mean
+# fallback.
+_KF = _hex_to_long("md5('kfold' || '|' || CAST(c_custkey AS VARCHAR))", 8)
+ORACLES["target_encode_segment"] = f"""
+WITH folded AS (
+  SELECT c_mktsegment AS category,
+    {_KF} % 5 AS fold,
+    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS t
+  FROM customer),
+cf AS (
+  SELECT category, fold, CAST(count(*) AS BIGINT) AS n_in_fold,
+    CAST(sum(t) AS BIGINT) AS s
+  FROM folded GROUP BY 1, 2),
+enr AS (
+  SELECT *,
+    CAST(sum(n_in_fold) OVER (PARTITION BY category) AS BIGINT) AS cat_n,
+    CAST(sum(s) OVER (PARTITION BY category) AS BIGINT) AS cat_s,
+    CAST(sum(n_in_fold) OVER () AS BIGINT) AS tot_n,
+    CAST(sum(s) OVER () AS BIGINT) AS tot_s
+  FROM cf)
+SELECT category AS c_mktsegment, fold, n_in_fold,
+  CAST(cat_n - n_in_fold AS BIGINT) AS oof_n,
+  round(CASE WHEN cat_n - n_in_fold > 0
+    THEN CAST(cat_s - s AS DOUBLE) / CAST(cat_n - n_in_fold AS DOUBLE)
+    ELSE CAST(tot_s AS DOUBLE) / CAST(tot_n AS DOUBLE) END, 6) AS oof_mean
+FROM enr
+"""

@@ -962,3 +962,47 @@ def test_weighted_median_windows_keyed_post_agg(spark):
     agg_ids = [int(i) for i in re.findall(r"HashAggregate \((\d+)\)", plan)]
     assert win_ids and agg_ids, plan
     assert min(agg_ids) < min(win_ids), plan
+
+
+def test_auc_is_one_rank_window_no_pair_join(spark):
+    """The rank identity replaces the positives x negatives join: the
+    plan has keyed windows and aggs only — no join at all below the
+    score projection, no Python."""
+    import re
+
+    plan = plan_of(entry_mod.queries()["auc_en_quality"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected rank window specs in the AUC plan"
+    for spec in specs:
+        assert "source" in spec, f"unpartitioned window spec: {spec}"
+
+
+def test_calibration_total_rides_bucket_window(spark):
+    """One corpus-sized bucket agg; the ECE total is a window over
+    bucket-cardinality rows (the documented bounded unpartitioned
+    case), with the numerator already BIGINT-quantized."""
+    import re
+
+    plan = plan_of(entry_mod.queries()["quality_calibration"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    win_ids = [int(i) for i in re.findall(r"Window \((\d+)\)", plan)]
+    agg_ids = [int(i) for i in re.findall(r"HashAggregate \((\d+)\)", plan)]
+    assert win_ids and agg_ids, plan
+    assert min(agg_ids) < min(win_ids), plan
+
+
+def test_target_encode_complements_are_post_agg(spark):
+    """Corpus cost is the one (cat, fold) agg; the complement windows
+    run over the encoding table (agg ids below window ids)."""
+    import re
+
+    plan = plan_of(entry_mod.queries()["target_encode_segment"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    win_ids = [int(i) for i in re.findall(r"Window \((\d+)\)", plan)]
+    agg_ids = [int(i) for i in re.findall(r"HashAggregate \((\d+)\)", plan)]
+    assert win_ids and agg_ids, plan
+    assert min(agg_ids) < min(win_ids), plan
