@@ -203,3 +203,66 @@ def streaming_mad_control_chart(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_staleness_monitor(
+    stream: DataFrame,
+    key_col: str = "key",
+    ts_col: str = "ts_us",
+    threshold_us: int = 300_000_000,
+) -> DataFrame:
+    """Heartbeat / staleness monitor: per key, the gap to the PREVIOUS
+    event and a ``is_stale`` flag when it exceeds the threshold — the
+    dead-man's-switch every feed-freshness SLA wants evaluated the
+    moment a late heartbeat finally arrives, not at the next batch
+    rescan. The streaming twin of the batch lag-window gap computation
+    (``relational.interarrival_quantiles``' first stage).
+
+    Replayability CONTRACT (the ``streaming_mad_control_chart``
+    discipline): rows arrive in ``ts`` order per key; then the emitted
+    rows equal the batch ``lag`` over the concatenated input, gap for
+    gap (rescan-equivalence pinned by test). All integer microseconds
+    — nothing to diverge by rounding.
+
+    State is ONE BIGINT per key (the last-seen timestamp) — the
+    smallest possible stateful operator, bounded at any stream length.
+
+    → update-mode rows ``(key, ts_us, gap_us, is_stale)``; the first
+    event of a key has a NULL gap and is never stale.
+    """
+    out_schema = f"{key_col} string, {ts_col} long, gap_us long, is_stale boolean"
+    state_schema = "last_ts long"
+
+    def monitor(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        last = state.get[0] if state.exists else None
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        ts_out: list[int] = []
+        gaps: list[int | None] = []
+        stale: list[bool] = []
+        for t in sorted(int(t) for t in rows[ts_col]):
+            gap = None if last is None else t - last
+            ts_out.append(t)
+            gaps.append(gap)
+            stale.append(gap is not None and gap > threshold_us)
+            last = t
+        state.update((last,))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(ts_out),
+                ts_col: ts_out,
+                "gap_us": pd.array(gaps, dtype="Int64"),
+                "is_stale": stale,
+            }
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        monitor,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

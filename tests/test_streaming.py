@@ -297,3 +297,64 @@ def test_streaming_mad_chart_matches_batch_rescan(spark, tmp_path):
     # so its verdict matches the batch RANGE frame, proving old entries
     # were dropped, not reused
     assert got[("k", 8)] == want[("k", 8)]
+
+
+def test_streaming_staleness_matches_batch_lag(spark, tmp_path):
+    """Multi-batch heartbeat monitor == batch lag over the concatenated
+    input: same integer gaps, same stale flags, first event NULL-gap;
+    state survives across micro-batches (the batch-2 gap for 'k' spans
+    the batch boundary)."""
+    from pyspark.sql import Window as W
+
+    from datapipelines_essentials_python_spark.streaming.stateful import (
+        streaming_staleness_monitor,
+    )
+
+    schema = "key string, ts_us long"
+    b1 = [("k", 1_000_000), ("k", 2_000_000), ("q", 10_000_000)]
+    b2 = [("k", 400_000_000), ("q", 11_000_000)]
+    b3 = [("k", 401_000_000), ("q", 900_000_000)]
+    src = str(tmp_path / "stale_src")
+    for b in (b1, b2, b3):
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_staleness_monitor(stream, "key", "ts_us", 300_000_000)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stale_mon")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["key"], r["ts_us"]): (r["gap_us"], r["is_stale"])
+            for r in spark.sql("SELECT * FROM stale_mon").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = spark.createDataFrame(b1 + b2 + b3, schema)
+    w = W.partitionBy("key").orderBy("ts_us")
+    want = {
+        (r["key"], r["ts_us"]): (r["gap_us"], r["is_stale"])
+        for r in batch.withColumn(
+            "gap_us", F.col("ts_us") - F.lag("ts_us").over(w)
+        )
+        .withColumn(
+            "is_stale",
+            F.coalesce(F.col("gap_us") > 300_000_000, F.lit(False)),
+        )
+        .collect()
+    }
+    assert got == want
+    # the cross-boundary gap actually fired
+    assert got[("k", 400_000_000)] == (398_000_000, True)
+    assert got[("k", 1_000_000)] == (None, False)
