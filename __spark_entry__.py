@@ -5529,6 +5529,91 @@ def target_encode_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def association_rules_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (``relational.association_rules``)
+    over (user, event-type) baskets: support / confidence / lift for
+    "users who do a also do b", directed both ways — exact integer
+    counts, truncating micro-divisions, lift the one double shape.
+    The basket self-join fans out by per-user distinct types (≤ 5),
+    the part-affinity bounded-fan-out contract."""
+    ev = load_table(spark, sf_dir, "events")
+    return rel_ops.association_rules(
+        ev, "user_id", "event_type", min_pair_count=5
+    ).select(
+        "antecedent",
+        "consequent",
+        "n_pair",
+        "n_antecedent",
+        "support_micro",
+        "confidence_micro",
+        "lift",
+    )
+
+
+def ndcg_bm25_langmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation (``similarity.ndcg_at_k``): BM25 top-10
+    rankings for three query docs (0, 1, 2), binary relevance = the
+    candidate shares the query's language, scored as nDCG@10 + MRR
+    with PYTHON-MATERIALIZED micro-integer position discounts — no
+    engine ever evaluates the log, so DCG/IDCG are exact BIGINT sums.
+    The retrieval-side eval gate next to ``auc_en_quality``."""
+    from datapipelines_essentials_python_spark.operators import similarity as s_ops
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    langs = docs.select("doc_id", "lang")
+    parts = []
+    for q in (0, 1, 2):
+        qterms = (
+            docs.where(F.col("doc_id") == q)
+            .select(F.explode(text_ops.tokens("text")).alias("term"))
+            .distinct()
+        )
+        parts.append(
+            text_ops.bm25_scores(docs, "doc_id", qterms)
+            .where(F.col("id") != q)
+            .withColumn("query", F.lit(q).cast("long"))
+        )
+    allq = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    w = Window.partitionBy("query").orderBy(
+        F.col("score_micro").desc(), F.col("id").asc()
+    )
+    qlang = langs.select(
+        F.col("doc_id").alias("query"), F.col("lang").alias("__qlang")
+    )
+    ranked = (
+        allq.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= 10)
+        .join(langs.withColumnRenamed("doc_id", "id"), "id")
+        .join(F.broadcast(qlang), "query")
+        .select(
+            "query",
+            "pos",
+            (F.col("lang") == F.col("__qlang")).alias("rel"),
+        )
+    )
+    rel_totals = (
+        qlang.join(
+            langs.select(F.col("doc_id"), F.col("lang")),
+            F.col("lang") == F.col("__qlang"),
+        )
+        .where(F.col("doc_id") != F.col("query"))
+        .groupBy("query")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_relevant"))
+    )
+    return s_ops.ndcg_at_k(
+        ranked, "query", "pos", "rel", rel_totals, k=10
+    ).select(
+        F.col("query").alias("query_doc"),
+        "n_retrieved",
+        "n_relevant_total",
+        "dcg_micro",
+        "idcg_micro",
+        "ndcg",
+        "mrr_micro",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # The driver's CORRECTNESS gate records only the first 50 entries.
@@ -5814,6 +5899,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auc_en_quality": auc_en_quality,
         "quality_calibration": quality_calibration,
         "target_encode_segment": target_encode_segment,
+        "association_rules_events": association_rules_events,
+        "ndcg_bm25_langmatch": ndcg_bm25_langmatch,
     }
 
 

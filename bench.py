@@ -280,6 +280,8 @@ HEADLINE = [
     "auc_en_quality",
     "quality_calibration",
     "target_encode_segment",
+    "association_rules_events",
+    "ndcg_bm25_langmatch",
 ]
 
 

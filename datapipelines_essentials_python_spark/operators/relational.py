@@ -2402,3 +2402,85 @@ def calibration_table(
         conf.alias("conf"),
         ece.alias("ece"),
     )
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 3,
+) -> DataFrame:
+    """Market-basket association rules a→b over (basket, item) rows:
+    support, confidence, and lift from EXACT integer counts — the
+    retail/co-curriculum "customers who took a also took b" table
+    (Agrawal et al. 1993, public), directed both ways per qualifying
+    pair.
+
+    All mass counts are BIGINT off two keyed aggs (pair counts via the
+    basket self-join bounded by per-basket fan-out — the part-affinity
+    contract; item counts map-side combined). ``support_micro`` and
+    ``confidence_micro`` are truncating integer divisions;
+    ``lift = co·N/(n_a·n_b)`` is ONE double shape rounded to 6
+    (> 1 means the pair co-occurs above independence).
+
+    → ``(antecedent, consequent, n_pair, n_antecedent, support_micro,
+    confidence_micro, lift)`` for pairs with ``n_pair ≥
+    min_pair_count``.
+    """
+    bi = df.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).distinct()
+    a = bi.select(F.col("b"), F.col("i").alias("x"))
+    c = bi.select(F.col("b"), F.col("i").alias("y"))
+    pairs = (
+        a.join(c, "b")
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("co"))
+        .where(F.col("co") >= F.lit(int(min_pair_count)))
+    )
+    items = bi.groupBy(F.col("i")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    n_baskets = bi.select("b").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    both = (
+        pairs.join(items.select(F.col("i").alias("x"), F.col("cnt").alias("nx")), "x")
+        .join(items.select(F.col("i").alias("y"), F.col("cnt").alias("ny")), "y")
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    fwd = both.select(
+        F.col("x").alias("antecedent"),
+        F.col("y").alias("consequent"),
+        F.col("co"),
+        F.col("nx").alias("n_ante"),
+        F.col("ny").alias("n_cons"),
+        F.col("n"),
+    )
+    rev = both.select(
+        F.col("y").alias("antecedent"),
+        F.col("x").alias("consequent"),
+        F.col("co"),
+        F.col("ny").alias("n_ante"),
+        F.col("nx").alias("n_cons"),
+        F.col("n"),
+    )
+    rules = fwd.unionByName(rev)
+    lift = F.round(
+        F.col("co").cast("double")
+        * F.col("n").cast("double")
+        / (F.col("n_ante").cast("double") * F.col("n_cons").cast("double")),
+        6,
+    )
+    return rules.select(
+        "antecedent",
+        "consequent",
+        F.col("co").alias("n_pair"),
+        F.col("n_ante").alias("n_antecedent"),
+        F.expr("CAST((co * 1000000) div n AS BIGINT)").alias("support_micro"),
+        F.expr("CAST((co * 1000000) div n_ante AS BIGINT)").alias(
+            "confidence_micro"
+        ),
+        lift.alias("lift"),
+    )

@@ -851,3 +851,103 @@ def rrf_fuse(
         .where(F.col("fused_rank") <= topk)
         .withColumnRenamed("__id", id_col)
     )
+
+
+# position-discount table for ndcg_at_k: W[i] = round(10^6 / log2(i+1)).
+# Materialized ONCE in Python so the Spark operator and the SQL oracle
+# share literal integers — no engine ever evaluates the log.
+def _ndcg_weights(k: int) -> list[tuple[int, int]]:
+    import math
+
+    return [(i, round(1_000_000 / math.log2(i + 1))) for i in range(1, k + 1)]
+
+
+def ndcg_at_k(
+    ranked: DataFrame,
+    query_col: str,
+    pos_col: str,
+    rel_col: str,
+    rel_totals: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """nDCG@k + MRR per query over an already-ranked candidate table
+    with binary relevance — the retrieval-eval pair every RAG/search
+    rollout gates on (Järvelin & Kekäläinen 2002, public), computed
+    WITHOUT a single engine-evaluated logarithm: the position
+    discounts ``1/log2(i+1)`` are micro-integer LITERALS materialized
+    in Python (k ≤ 20 contract), so DCG and IDCG are exact BIGINT sums
+    and only the final ratio is a double shape rounded to 6.
+
+    ``rel_totals`` supplies (query, n_relevant) — corpus-wide relevant
+    counts, so IDCG uses the ideal top-min(R, k) prefix, the standard
+    definition. MRR is ``10^6 div first-relevant-position`` (0 when
+    nothing relevant was retrieved).
+
+    Scale: the ranking is the caller's cost; this is a broadcast join
+    of a k-row weight table + one keyed agg over queries × k rows.
+
+    → ``(query, n_retrieved, n_relevant_total, dcg_micro, idcg_micro,
+    ndcg, mrr_micro)``.
+    """
+    if k > 20:
+        raise ValueError(f"ndcg_at_k supports k <= 20, got {k}")
+    spark = ranked.sparkSession
+    weights = _ndcg_weights(k)
+    wdf = spark.createDataFrame(weights, "pos long, w_micro long")
+    cum = []
+    acc = 0
+    for _, w in weights:
+        acc += w
+        cum.append(acc)
+    # IDCG lookup: m relevant (capped at k) -> sum of the first m weights
+    idcg_rows = [(0, 0)] + [(i + 1, c) for i, c in enumerate(cum)]
+    idf = spark.createDataFrame(idcg_rows, "m long, idcg_micro long")
+    base = ranked.select(
+        F.col(query_col).alias("query"),
+        F.col(pos_col).cast("long").alias("pos"),
+        F.col(rel_col).cast("boolean").alias("rel"),
+    ).where(F.col("pos") <= k)
+    scored = base.join(F.broadcast(wdf), "pos")
+    per_q = scored.groupBy("query").agg(
+        F.count(F.lit(1)).cast("long").alias("n_retrieved"),
+        F.sum(F.when(F.col("rel"), F.col("w_micro")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("dcg_micro"),
+        F.min(F.when(F.col("rel"), F.col("pos"))).alias("__first_rel"),
+    )
+    tot = rel_totals.select(
+        F.col(rel_totals.columns[0]).alias("query"),
+        F.col(rel_totals.columns[1]).cast("long").alias("n_relevant_total"),
+    )
+    joined = (
+        per_q.join(tot, "query", "left")
+        .withColumn(
+            "n_relevant_total",
+            F.coalesce(F.col("n_relevant_total"), F.lit(0).cast("long")),
+        )
+        .withColumn(
+            "__m", F.least(F.col("n_relevant_total"), F.lit(int(k)).cast("long"))
+        )
+        .join(F.broadcast(idf), F.col("__m") == F.col("m"))
+    )
+    ndcg = F.when(
+        F.col("idcg_micro") > 0,
+        F.round(
+            F.col("dcg_micro").cast("double")
+            / F.col("idcg_micro").cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    mrr = F.when(
+        F.col("__first_rel").isNotNull(),
+        F.expr("CAST(1000000 div __first_rel AS BIGINT)"),
+    ).otherwise(F.lit(0).cast("long"))
+    return joined.select(
+        "query",
+        "n_retrieved",
+        "n_relevant_total",
+        "dcg_micro",
+        "idcg_micro",
+        ndcg.alias("ndcg"),
+        mrr.alias("mrr_micro"),
+    )

@@ -5787,3 +5787,112 @@ SELECT category AS c_mktsegment, fold, n_in_fold,
     ELSE CAST(tot_s AS DOUBLE) / CAST(tot_n AS DOUBLE) END, 6) AS oof_mean
 FROM enr
 """
+
+
+# Association rules over (user, event_type) baskets — mirrors
+# relational.association_rules: exact counts, truncating micro
+# divisions, lift as one double shape.
+ORACLES["association_rules_events"] = """
+WITH bi AS (SELECT DISTINCT user_id AS b, event_type AS i FROM events),
+pairs AS (
+  SELECT a.i AS x, c.i AS y, CAST(count(*) AS BIGINT) AS co
+  FROM bi a JOIN bi c ON a.b = c.b AND a.i < c.i
+  GROUP BY 1, 2 HAVING count(*) >= 5),
+items AS (SELECT i, CAST(count(*) AS BIGINT) AS cnt FROM bi GROUP BY 1),
+nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM bi),
+pairboth AS (
+  SELECT p.x, p.y, p.co, ix.cnt AS nx, iy.cnt AS ny, nb.n
+  FROM pairs p
+  JOIN items ix ON ix.i = p.x
+  JOIN items iy ON iy.i = p.y
+  CROSS JOIN nb),
+rules AS (
+  SELECT x AS antecedent, y AS consequent, co, nx AS n_ante, ny AS n_cons, n
+  FROM pairboth
+  UNION ALL
+  SELECT y, x, co, ny, nx, n FROM pairboth)
+SELECT antecedent, consequent,
+  co AS n_pair,
+  n_ante AS n_antecedent,
+  CAST((co * 1000000) // n AS BIGINT) AS support_micro,
+  CAST((co * 1000000) // n_ante AS BIGINT) AS confidence_micro,
+  round(CAST(co AS DOUBLE) * CAST(n AS DOUBLE)
+        / (CAST(n_ante AS DOUBLE) * CAST(n_cons AS DOUBLE)), 6) AS lift
+FROM rules
+"""
+
+
+# nDCG@10 + MRR for three BM25 queries with lang-match relevance —
+# mirrors similarity.ndcg_at_k: position discounts are the SAME
+# Python-materialized micro-integer literals the operator ships
+# (generated from _ndcg_weights(10)), so DCG/IDCG are exact BIGINT.
+ORACLES["ndcg_bm25_langmatch"] = f"""
+WITH tk AS (SELECT doc_id, lang, {TOKS} AS toks FROM documents),
+tft AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tk) GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(toks) AS dl FROM tk),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+       FROM dl),
+dfreq AS (SELECT term, count(*) AS df FROM tft GROUP BY 1),
+q AS (SELECT DISTINCT doc_id AS qid, unnest(toks) AS term
+      FROM tk WHERE doc_id IN (0, 1, 2)),
+contrib AS (
+  SELECT q.qid, t.doc_id, d.dl,
+    CAST(round(
+      ln((CAST(st.n_docs AS DOUBLE) - fr.df + 0.5) / (fr.df + 0.5) + 1.0)
+      * ((CAST(t.tf AS DOUBLE) * 2.2)
+         / (CAST(t.tf AS DOUBLE)
+            + 1.2 * (0.25 + 0.75 * CAST(d.dl AS DOUBLE) / st.avgdl))),
+      6) AS DECIMAL(18,6)) AS c
+  FROM tft t
+  JOIN q ON q.term = t.term
+  JOIN dfreq fr ON fr.term = t.term
+  JOIN dl d ON d.doc_id = t.doc_id
+  CROSS JOIN st
+  WHERE t.doc_id <> q.qid),
+scores AS (
+  SELECT qid, doc_id,
+    CAST(sum(c) * 1000000 AS BIGINT) AS score_micro
+  FROM contrib GROUP BY 1, 2),
+ranked AS (
+  SELECT qid, doc_id,
+    CAST(row_number() OVER (PARTITION BY qid
+      ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS pos
+  FROM scores),
+top AS (
+  SELECT r.qid, r.pos,
+    (c.lang = ql.lang) AS rel
+  FROM ranked r
+  JOIN tk c ON c.doc_id = r.doc_id
+  JOIN tk ql ON ql.doc_id = r.qid
+  WHERE r.pos <= 10),
+wt (pos, w_micro) AS (VALUES (1, 1000000), (2, 630930), (3, 500000), (4, 430677), (5, 386853), (6, 356207), (7, 333333), (8, 315465), (9, 301030), (10, 289065)),
+idcg (m, idcg_micro) AS (VALUES (0, 0), (1, 1000000), (2, 1630930), (3, 2130930), (4, 2561607), (5, 2948460), (6, 3304667), (7, 3638000), (8, 3953465), (9, 4254495), (10, 4543560)),
+perq AS (
+  SELECT t.qid,
+    CAST(count(*) AS BIGINT) AS n_retrieved,
+    CAST(sum(CASE WHEN t.rel THEN w.w_micro ELSE 0 END) AS BIGINT)
+      AS dcg_micro,
+    min(CASE WHEN t.rel THEN t.pos END) AS first_rel
+  FROM top t JOIN wt w ON w.pos = t.pos
+  GROUP BY 1),
+tot AS (
+  SELECT ql.doc_id AS qid, CAST(count(*) AS BIGINT) AS n_relevant_total
+  FROM tk ql JOIN tk c ON c.lang = ql.lang AND c.doc_id <> ql.doc_id
+  WHERE ql.doc_id IN (0, 1, 2)
+  GROUP BY 1)
+SELECT p.qid AS query_doc, p.n_retrieved,
+  COALESCE(tot.n_relevant_total, 0) AS n_relevant_total,
+  p.dcg_micro,
+  CAST(i.idcg_micro AS BIGINT) AS idcg_micro,
+  CASE WHEN i.idcg_micro > 0
+    THEN round(CAST(p.dcg_micro AS DOUBLE) / CAST(i.idcg_micro AS DOUBLE), 6)
+    ELSE 0.0 END AS ndcg,
+  CASE WHEN p.first_rel IS NOT NULL
+    THEN CAST(1000000 // p.first_rel AS BIGINT) ELSE 0 END AS mrr_micro
+FROM perq p
+LEFT JOIN tot ON tot.qid = p.qid
+JOIN idcg i ON i.m = least(COALESCE(tot.n_relevant_total, 0), 10)
+"""

@@ -1006,3 +1006,29 @@ def test_target_encode_complements_are_post_agg(spark):
     agg_ids = [int(i) for i in re.findall(r"HashAggregate \((\d+)\)", plan)]
     assert win_ids and agg_ids, plan
     assert min(agg_ids) < min(win_ids), plan
+
+
+def test_association_rules_stay_keyed(spark):
+    """Pair counts ride the basket equi-join (bounded fan-out) and
+    item/basket totals are keyed aggs; nothing cartesian, nothing
+    Python; the 1-row basket total broadcasts."""
+    plan = plan_of(
+        entry_mod.queries()["association_rules_events"](spark, SF_DIR)
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_ndcg_weight_tables_broadcast(spark):
+    """The position-discount and IDCG lookup tables are broadcast-side
+    joins; the only windows are the per-query ranking windows."""
+    import re
+
+    plan = plan_of(entry_mod.queries()["ndcg_bm25_langmatch"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected the per-query ranking windows"
+    for spec in specs:
+        assert "query" in spec, f"unpartitioned window spec: {spec}"
