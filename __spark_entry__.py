@@ -5614,6 +5614,46 @@ def ndcg_bm25_langmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orderkey_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-id ranges (``relational.sequence_gaps``) in the id space
+    of FINALIZED orders — "which order-id ranges contain no completed
+    order?", the completeness audit as contiguous ranges. Two-level
+    distributed shape: block-partitioned internal gaps + a
+    block-summary boundary pass; gap_len ≥ 3 filters noise."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    )
+    return rel_ops.sequence_gaps(
+        orders, "o_orderkey", block_size=4096, min_gap_len=3
+    )
+
+
+def signup_purchase_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency (``relational.conversion_delay_quantiles``): by
+    HOUR of first signup (do morning signups activate faster?),
+    p50/p90/mean microseconds from a user's first signup to their
+    first later purchase — lower empirical quantiles at integer rank
+    indexes, truncating-div mean, nothing float. (The synthetic corpus
+    puts every first signup in one calendar week, so hour-of-day is
+    the cohort grain with support.)"""
+    ev = load_table(spark, sf_dir, "events")
+    return rel_ops.conversion_delay_quantiles(
+        ev,
+        "user_id",
+        "event_type",
+        "ts",
+        "signup",
+        "purchase",
+        lambda ts: F.hour(ts).cast("long"),
+    ).select(
+        F.col("cohort").alias("signup_hour"),
+        "n_converted",
+        "p50_delay_us",
+        "p90_delay_us",
+        "mean_delay_us",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # The driver's CORRECTNESS gate records only the first 50 entries.
@@ -5901,6 +5941,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encode_segment": target_encode_segment,
         "association_rules_events": association_rules_events,
         "ndcg_bm25_langmatch": ndcg_bm25_langmatch,
+        "orderkey_gaps": orderkey_gaps,
+        "signup_purchase_delay": signup_purchase_delay,
     }
 
 

@@ -282,6 +282,8 @@ HEADLINE = [
     "target_encode_segment",
     "association_rules_events",
     "ndcg_bm25_langmatch",
+    "orderkey_gaps",
+    "signup_purchase_delay",
 ]
 
 

@@ -2484,3 +2484,136 @@ def association_rules(
         ),
         lift.alias("lift"),
     )
+
+
+def sequence_gaps(
+    df: DataFrame,
+    id_col: str,
+    block_size: int = 4096,
+    min_gap_len: int = 1,
+) -> DataFrame:
+    """Missing-id ranges in a BIGINT key space — "which order ids never
+    landed?", the completeness audit behind replay/backfill decisions,
+    as contiguous ``[gap_start, gap_end]`` ranges instead of a
+    row-per-missing-id explosion.
+
+    The distributed design is TWO-LEVEL (a global lag window over every
+    distinct id would funnel the corpus through one task):
+
+    1. ids are hashed into ``id div block_size`` blocks; INTERNAL gaps
+       come from a lag window PARTITIONED by block — corpus-parallel;
+    2. BOUNDARY gaps (between one block's max and the next observed
+       block's min — including wholly-missing blocks in between) come
+       from a second lag window over the per-block (min, max) summary,
+       which is block-cardinality, not corpus-cardinality.
+
+    Everything is exact BIGINT arithmetic; ``min_gap_len`` filters
+    noise ranges. The union of (1) and (2) is exactly the global gap
+    set — pinned by the randomized-vs-sequential test.
+
+    → ``(gap_start, gap_end, gap_len)``.
+    """
+    ids = df.select(F.col(id_col).cast("long").alias("id")).distinct()
+    blocked = ids.withColumn(
+        "block", F.expr(f"id div {int(block_size)}")
+    )
+    w_in = Window.partitionBy("block").orderBy("id")
+    internal = (
+        blocked.withColumn("prev", F.lag("id").over(w_in))
+        .where(F.col("prev").isNotNull() & (F.col("id") - F.col("prev") > 1))
+        .select(
+            (F.col("prev") + 1).alias("gap_start"),
+            (F.col("id") - 1).alias("gap_end"),
+        )
+    )
+    summary = blocked.groupBy("block").agg(
+        F.min("id").alias("mn"), F.max("id").alias("mx")
+    )
+    w_blk = Window.orderBy("block")
+    boundary = (
+        summary.withColumn("prev_mx", F.lag("mx").over(w_blk))
+        .where(
+            F.col("prev_mx").isNotNull()
+            & (F.col("mn") - F.col("prev_mx") > 1)
+        )
+        .select(
+            (F.col("prev_mx") + 1).alias("gap_start"),
+            (F.col("mn") - 1).alias("gap_end"),
+        )
+    )
+    out = internal.unionByName(boundary).select(
+        "gap_start",
+        "gap_end",
+        (F.col("gap_end") - F.col("gap_start") + 1).cast("long").alias(
+            "gap_len"
+        ),
+    )
+    return out.where(F.col("gap_len") >= F.lit(int(min_gap_len)))
+
+
+def conversion_delay_quantiles(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    from_type: str,
+    to_type: str,
+    cohort_fn,
+) -> DataFrame:
+    """Funnel latency profile: per cohort, the p50/p90/mean delay from
+    a user's FIRST ``from_type`` event to their first LATER
+    ``to_type`` event — "how long from signup to purchase, by signup
+    month?", the activation metric a conversion count alone hides.
+
+    EXACTNESS (the ``interarrival_quantiles`` discipline): first-event
+    times are min() aggregates in integer microseconds; only
+    converted users (to strictly after from) survive; quantiles are
+    LOWER EMPIRICAL values at pure-integer rank indexes and the mean
+    is truncating BIGINT division. ``cohort_fn`` maps the from-event
+    timestamp Column to a cohort label Column (e.g. month truncation).
+
+    Scale: one user-keyed conditional agg over the two event types
+    (map-side combined), then one cohort-keyed rank window over one
+    row per converted user.
+
+    → ``(cohort, n_converted, p50_delay_us, p90_delay_us,
+    mean_delay_us)``.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    firsts = (
+        df.where(F.col(type_col).isin([from_type, to_type]))
+        .groupBy(F.col(user_col).alias("user"))
+        .agg(
+            F.min(F.when(F.col(type_col) == from_type, us)).alias("__t_from"),
+            F.min(F.when(F.col(type_col) == to_type, us)).alias("__t_to"),
+        )
+        .where(
+            F.col("__t_from").isNotNull()
+            & F.col("__t_to").isNotNull()
+            & (F.col("__t_to") > F.col("__t_from"))
+        )
+    )
+    delays = firsts.select(
+        cohort_fn(F.timestamp_micros(F.col("__t_from"))).alias("cohort"),
+        (F.col("__t_to") - F.col("__t_from")).cast("long").alias("delay_us"),
+    )
+    w_rank = Window.partitionBy("cohort").orderBy(F.col("delay_us").asc())
+    w_grp = Window.partitionBy("cohort")
+    ranked = delays.select(
+        "cohort",
+        "delay_us",
+        F.row_number().over(w_rank).cast("long").alias("r"),
+        F.count(F.lit(1)).over(w_grp).cast("long").alias("n"),
+    )
+    i50 = F.expr("(n - 1) div 2 + 1")
+    i90 = F.expr("((n - 1) * 9) div 10 + 1")
+    return ranked.groupBy("cohort").agg(
+        F.max("n").alias("n_converted"),
+        F.max(F.when(F.col("r") == i50, F.col("delay_us")))
+        .cast("long")
+        .alias("p50_delay_us"),
+        F.max(F.when(F.col("r") == i90, F.col("delay_us")))
+        .cast("long")
+        .alias("p90_delay_us"),
+        F.expr("sum(delay_us) div max(n)").cast("long").alias("mean_delay_us"),
+    )

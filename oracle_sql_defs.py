@@ -5896,3 +5896,52 @@ FROM perq p
 LEFT JOIN tot ON tot.qid = p.qid
 JOIN idcg i ON i.m = least(COALESCE(tot.n_relevant_total, 0), 10)
 """
+
+
+# Missing-id ranges in the finalized-order id space — mirrors
+# relational.sequence_gaps two-level shape; globally a single lag
+# suffices for the oracle (DuckDB is single-node).
+ORACLES["orderkey_gaps"] = """
+WITH ids AS (SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS id
+             FROM orders WHERE o_orderstatus = 'F'),
+lagd AS (
+  SELECT id, lag(id) OVER (ORDER BY id) AS prev FROM ids),
+gaps AS (
+  SELECT prev + 1 AS gap_start, id - 1 AS gap_end,
+    CAST(id - prev - 1 AS BIGINT) AS gap_len
+  FROM lagd WHERE prev IS NOT NULL AND id - prev > 1)
+SELECT gap_start, gap_end, gap_len FROM gaps WHERE gap_len >= 3
+"""
+
+
+# Signup -> purchase funnel latency — mirrors
+# relational.conversion_delay_quantiles: first-event micros, lower
+# empirical quantiles at integer rank indexes, truncating-div mean.
+ORACLES["signup_purchase_delay"] = """
+WITH firsts AS (
+  SELECT user_id,
+    min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t_from,
+    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_to
+  FROM events
+  WHERE event_type IN ('signup', 'purchase')
+  GROUP BY 1),
+conv AS (
+  SELECT CAST(hour(make_timestamp(t_from)) AS BIGINT) AS cohort,
+    CAST(t_to - t_from AS BIGINT) AS delay_us
+  FROM firsts
+  WHERE t_from IS NOT NULL AND t_to IS NOT NULL AND t_to > t_from),
+ranked AS (
+  SELECT cohort, delay_us,
+    CAST(row_number() OVER (PARTITION BY cohort ORDER BY delay_us)
+         AS BIGINT) AS r,
+    CAST(count(*) OVER (PARTITION BY cohort) AS BIGINT) AS n
+  FROM conv)
+SELECT cohort AS signup_hour,
+  CAST(max(n) AS BIGINT) AS n_converted,
+  CAST(max(CASE WHEN r = (n - 1) // 2 + 1 THEN delay_us END) AS BIGINT)
+    AS p50_delay_us,
+  CAST(max(CASE WHEN r = ((n - 1) * 9) // 10 + 1 THEN delay_us END)
+       AS BIGINT) AS p90_delay_us,
+  CAST(sum(delay_us) // max(n) AS BIGINT) AS mean_delay_us
+FROM ranked GROUP BY cohort
+"""

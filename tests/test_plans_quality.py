@@ -1032,3 +1032,32 @@ def test_ndcg_weight_tables_broadcast(spark):
     assert specs, "expected the per-query ranking windows"
     for spec in specs:
         assert "query" in spec, f"unpartitioned window spec: {spec}"
+
+
+def test_sequence_gaps_internal_window_is_blocked(spark):
+    """The corpus-sized lag window partitions by the id block; only
+    the block-SUMMARY pass (block-cardinality rows) runs
+    unpartitioned."""
+    import re
+
+    plan = plan_of(entry_mod.queries()["orderkey_gaps"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected window specs in the gaps plan"
+    blocked = [s for s in specs if "block" in s]
+    assert blocked, f"no block-partitioned window found: {specs}"
+
+
+def test_conversion_delay_windows_keyed(spark):
+    """The rank/count windows partition by the cohort over one row per
+    converted user; the corpus is collapsed by the user-keyed
+    conditional agg first (agg ids below window ids)."""
+    import re
+
+    plan = plan_of(entry_mod.queries()["signup_purchase_delay"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    win_ids = [int(i) for i in re.findall(r"Window \((\d+)\)", plan)]
+    agg_ids = [int(i) for i in re.findall(r"HashAggregate \((\d+)\)", plan)]
+    assert win_ids and agg_ids, plan
+    assert min(agg_ids) < min(win_ids), plan
