@@ -5654,6 +5654,26 @@ def signup_purchase_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def anova_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA (``relational.anova_oneway``) of document length
+    across all 20 sources — the k-group "do they differ at all?" gate
+    before ``welch_ttest_sources``' pairwise drill-down. Per-group
+    rational terms micro-quantized before the cross-group total, so
+    SSB/SSW are exact BIGINTs in any partition order."""
+    docs = load_table(spark, sf_dir, "documents")
+    return rel_ops.anova_oneway(docs, "source", "n_chars")
+
+
+def kruskal_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H (``relational.kruskal_wallis``) of document
+    length across sources — the rank-based twin of ``anova_doc_length``
+    with NO global rank window: doubled average ranks derive from the
+    value histogram (2·below + cnt_eq + 1), rank sums from the
+    (source, length) table, tie-corrected H as one double shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return rel_ops.kruskal_wallis(docs, "source", "n_chars")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # The driver's CORRECTNESS gate records only the first 50 entries.
@@ -5943,6 +5963,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndcg_bm25_langmatch": ndcg_bm25_langmatch,
         "orderkey_gaps": orderkey_gaps,
         "signup_purchase_delay": signup_purchase_delay,
+        "anova_doc_length": anova_doc_length,
+        "kruskal_doc_length": kruskal_doc_length,
     }
 
 

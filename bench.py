@@ -284,6 +284,8 @@ HEADLINE = [
     "ndcg_bm25_langmatch",
     "orderkey_gaps",
     "signup_purchase_delay",
+    "anova_doc_length",
+    "kruskal_doc_length",
 ]
 
 

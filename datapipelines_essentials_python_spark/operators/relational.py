@@ -2617,3 +2617,168 @@ def conversion_delay_quantiles(
         .alias("p90_delay_us"),
         F.expr("sum(delay_us) div max(n)").cast("long").alias("mean_delay_us"),
     )
+
+
+def anova_oneway(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """One-way ANOVA F-statistic across ALL groups at once — "do these
+    k sources differ in mean at all?", the k-group gate you run before
+    drilling into :func:`welch_ttest`'s pairwise table (Fisher 1925,
+    public).
+
+    EXACTNESS (the sum-of-doubles trap, again): the between-group sum
+    of squares is ``Σ_g S_g²/n_g − S²/N`` — a sum of per-group
+    RATIONALS, which as doubles would be partition-order-dependent.
+    Each term is therefore quantized FIRST: ``(10⁶·S_g²) div n_g`` is
+    truncating DECIMAL(38,0) division (S_g² overflows BIGINT at the
+    10× tier), so ``ssb_micro``/``ssw_micro`` are exact BIGINTs in any
+    order, and F is ONE double shape rounded to 6. Integer values are
+    the CONTRACT.
+
+    Scale: one group-keyed moment agg (map-side combined) over the
+    corpus; everything after is group-cardinality arithmetic riding
+    one bounded unpartitioned window (groups are bounded by contract).
+
+    → one row: ``(k_groups, n, ssb_micro, ssw_micro, df_between,
+    df_within, f_stat)``.
+    """
+    d38 = "decimal(38,0)"
+    g = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum(F.col(value_col).cast("long")).cast("long").alias("s_g"),
+        F.sum(
+            (F.col(value_col).cast("long") * F.col(value_col).cast("long"))
+            .cast(d38)
+        ).alias("s2_g"),
+    )
+    term = F.expr(
+        "CAST((CAST(s_g AS DECIMAL(38,0)) * s_g * 1000000) div n_g AS DECIMAL(38,0))"
+    )
+    tot = g.select(
+        F.col("n_g"),
+        F.col("s_g"),
+        F.col("s2_g"),
+        term.alias("__term_micro"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("long").alias("s"),
+        F.sum("s2_g").alias("sq"),
+        F.sum("__term_micro").alias("__terms"),
+    )
+    staged = tot.withColumn(
+        "__grand_micro",
+        F.expr(
+            "CAST((CAST(s AS DECIMAL(38,0)) * s * 1000000) div n AS DECIMAL(38,0))"
+        ),
+    )
+    ssb = (F.col("__terms") - F.col("__grand_micro")).cast(d38)
+    sst = (
+        F.col("sq") * F.lit(1000000).cast(d38) - F.col("__grand_micro")
+    ).cast(d38)
+    staged = staged.withColumn("__ssb", ssb).withColumn(
+        "__ssw", (sst - ssb).cast(d38)
+    )
+    df1 = (F.col("k_groups") - 1).cast("long")
+    df2 = (F.col("n") - F.col("k_groups")).cast("long")
+    f = F.when(
+        (df1 > 0) & (df2 > 0) & (F.col("__ssw") > 0),
+        F.round(
+            (F.col("__ssb").cast("double") / df1.cast("double"))
+            / (F.col("__ssw").cast("double") / df2.cast("double")),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return staged.select(
+        "k_groups",
+        "n",
+        F.col("__ssb").cast("long").alias("ssb_micro"),
+        F.col("__ssw").cast("long").alias("ssw_micro"),
+        df1.alias("df_between"),
+        df2.alias("df_within"),
+        f.alias("f_stat"),
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Kruskal-Wallis H across all groups — the rank-based (outlier-
+    immune) twin of :func:`anova_oneway` (Kruskal & Wallis 1952,
+    public) — computed WITHOUT the global rank window that would
+    funnel the corpus through one task: for discrete/binned values
+    (the ``kendall_tau_binned`` CONTRACT) the doubled average rank of
+    value v is ``2·cnt_below(v) + cnt_eq(v) + 1``, derivable from the
+    VALUE HISTOGRAM — so ranking costs one value-keyed count plus a
+    cumulative walk over value-cardinality rows, and rank sums come
+    from the (group, value) table.
+
+    EXACTNESS: per-group rank sums stay doubled BIGINTs; the H
+    numerator terms ``S2_g²/n_g`` are micro-quantized by truncating
+    DECIMAL(38,0) division BEFORE the cross-group total (order-free);
+    the tie term ``Σ t³−t`` is exact; H (with tie correction) is ONE
+    double shape rounded to 6.
+
+    → one row: ``(k_groups, n, tie_t, h_stat)``.
+    """
+    d38 = "decimal(38,0)"
+    gv = (
+        df.select(
+            F.col(group_col).alias("g"), F.col(value_col).cast("long").alias("v")
+        )
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    vh = gv.groupBy("v").agg(F.sum("c").cast("long").alias("cv"))
+    w_cum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    vh2 = vh.select(
+        "v",
+        "cv",
+        (F.sum("cv").over(w_cum).cast("long") - F.col("cv")).alias("below"),
+    )
+    # doubled average rank of value v: 2*below + cv + 1
+    ranked = gv.join(vh2, "v").select(
+        "g",
+        "c",
+        "cv",
+        (2 * F.col("below") + F.col("cv") + 1).cast("long").alias("r2"),
+    )
+    per_g = ranked.groupBy("g").agg(
+        F.sum("c").cast("long").alias("n_g"),
+        F.sum((F.col("c").cast(d38) * F.col("r2").cast(d38))).alias("s2_g"),
+    )
+    term = F.expr("CAST((s2_g * s2_g * 250000) div n_g AS DECIMAL(38,0))")
+    # 250000 = 10^6 / 4: S_g = S2_g/2, so S_g^2 = S2_g^2/4
+    tot_t = vh.agg(
+        F.sum(
+            (F.col("cv").cast(d38) * F.col("cv").cast(d38) * F.col("cv").cast(d38)
+             - F.col("cv").cast(d38))
+        ).alias("tie_t"),
+        F.sum("cv").cast("long").alias("n"),
+    )
+    tot = per_g.withColumn("__term", term).agg(
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum("__term").alias("__terms_micro"),
+    )
+    j = tot.crossJoin(F.broadcast(tot_t))
+    n = F.col("n").cast("double")
+    terms = F.col("__terms_micro").cast("double") / 1000000.0
+    h_raw = 12.0 * terms / (n * (n + 1.0)) - 3.0 * (n + 1.0)
+    tie_div = 1.0 - F.col("tie_t").cast("double") / (n * n * n - n)
+    h = F.when(
+        (F.col("n") > F.col("k_groups")) & (tie_div > 0),
+        F.round(h_raw / tie_div, 6),
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "k_groups",
+        "n",
+        F.col("tie_t").cast("long").alias("tie_t"),
+        h.alias("h_stat"),
+    )

@@ -5945,3 +5945,88 @@ SELECT cohort AS signup_hour,
   CAST(sum(delay_us) // max(n) AS BIGINT) AS mean_delay_us
 FROM ranked GROUP BY cohort
 """
+
+
+# One-way ANOVA — mirrors relational.anova_oneway on documents.n_chars
+# by source: per-group terms micro-quantized by truncating HUGEINT
+# division before the total; F the one double shape rounded to 6.
+ORACLES["anova_doc_length"] = """
+WITH g AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_g,
+    CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS s_g,
+    sum(CAST(n_chars AS HUGEINT) * n_chars) AS s2_g
+  FROM documents GROUP BY 1),
+t AS (
+  SELECT CAST(count(*) AS BIGINT) AS k_groups,
+    CAST(sum(n_g) AS BIGINT) AS n,
+    CAST(sum(s_g) AS BIGINT) AS s,
+    sum(s2_g) AS sq,
+    sum((CAST(s_g AS HUGEINT) * s_g * 1000000) // n_g) AS terms
+  FROM g),
+st AS (
+  SELECT *,
+    (CAST(s AS HUGEINT) * s * 1000000) // n AS grand
+  FROM t),
+fin AS (
+  SELECT k_groups, n,
+    CAST(terms - grand AS HUGEINT) AS ssb,
+    CAST(sq * 1000000 - grand - (terms - grand) AS HUGEINT) AS ssw
+  FROM st)
+SELECT k_groups, n,
+  CAST(ssb AS BIGINT) AS ssb_micro,
+  CAST(ssw AS BIGINT) AS ssw_micro,
+  CAST(k_groups - 1 AS BIGINT) AS df_between,
+  CAST(n - k_groups AS BIGINT) AS df_within,
+  CASE WHEN k_groups > 1 AND n > k_groups AND ssw > 0
+    THEN round((CAST(ssb AS DOUBLE) / CAST(k_groups - 1 AS DOUBLE))
+               / (CAST(ssw AS DOUBLE) / CAST(n - k_groups AS DOUBLE)), 6)
+    ELSE 0.0 END AS f_stat
+FROM fin
+"""
+
+
+# Kruskal-Wallis H — mirrors relational.kruskal_wallis: histogram-
+# derived doubled average ranks, micro-quantized numerator terms
+# (x250000 = 10^6/4 for the doubled-rank square), tie-corrected H.
+ORACLES["kruskal_doc_length"] = """
+WITH gv AS (
+  SELECT source AS g, CAST(n_chars AS BIGINT) AS v,
+    CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2),
+vh AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv FROM gv GROUP BY 1),
+vh2 AS (
+  SELECT v, cv,
+    CAST(sum(cv) OVER (ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cv AS BIGINT)
+      AS below
+  FROM vh),
+ranked AS (
+  SELECT gv.g, gv.c, CAST(2 * vh2.below + vh2.cv + 1 AS BIGINT) AS r2
+  FROM gv JOIN vh2 ON vh2.v = gv.v),
+per_g AS (
+  SELECT g, CAST(sum(c) AS BIGINT) AS n_g,
+    sum(CAST(c AS HUGEINT) * r2) AS s2_g
+  FROM ranked GROUP BY 1),
+tt AS (
+  SELECT sum(CAST(cv AS HUGEINT) * cv * cv - cv) AS tie_t,
+    CAST(sum(cv) AS BIGINT) AS n
+  FROM vh),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS k_groups,
+    sum((s2_g * s2_g * 250000) // n_g) AS terms_micro
+  FROM per_g)
+SELECT k_groups, n, CAST(tie_t AS BIGINT) AS tie_t,
+  CASE WHEN n > k_groups
+        AND 1.0 - CAST(tie_t AS DOUBLE)
+            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+               - CAST(n AS DOUBLE)) > 0
+    THEN round(
+      (12.0 * (CAST(terms_micro AS DOUBLE) / 1000000.0)
+         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+       - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+      / (1.0 - CAST(tie_t AS DOUBLE)
+         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+            - CAST(n AS DOUBLE))), 6)
+    ELSE 0.0 END AS h_stat
+FROM tot CROSS JOIN tt
+"""

@@ -1061,3 +1061,26 @@ def test_conversion_delay_windows_keyed(spark):
     agg_ids = [int(i) for i in re.findall(r"HashAggregate \((\d+)\)", plan)]
     assert win_ids and agg_ids, plan
     assert min(agg_ids) < min(win_ids), plan
+
+
+def test_anova_is_single_moment_pass(spark):
+    """One group-keyed corpus agg; no window over raw rows, no join,
+    no Python — the F statistic folds on group-cardinality rows."""
+    plan = plan_of(entry_mod.queries()["anova_doc_length"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_kruskal_has_no_global_rank_window(spark):
+    """The histogram-rank trick: the only window is the cumulative
+    walk over the VALUE HISTOGRAM (post-agg — agg ids below window
+    ids); raw rows are never globally ranked."""
+    import re
+
+    plan = plan_of(entry_mod.queries()["kruskal_doc_length"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    win_ids = [int(i) for i in re.findall(r"Window \((\d+)\)", plan)]
+    agg_ids = [int(i) for i in re.findall(r"HashAggregate \((\d+)\)", plan)]
+    assert win_ids and agg_ids, plan
+    assert min(agg_ids) < min(win_ids), plan
