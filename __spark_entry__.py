@@ -5674,6 +5674,68 @@ def kruskal_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel_ops.kruskal_wallis(docs, "source", "n_chars")
 
 
+def siegel_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Siegel repeated-medians trend (``relational.siegel_slopes``)
+    over the SAME monthly (nation, month, cents) series as
+    ``theil_sen_trend`` — the 50%-breakdown estimator (median of
+    per-anchor medians), all pure-BIGINT milli-slopes and two-middle
+    sums (×4 scale), no float anywhere."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    monthly = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy(
+            "n_name",
+            (
+                (F.year("o_orderdate") - F.lit(1995)) * 12
+                + F.month("o_orderdate")
+                - F.lit(1)
+            ).alias("t"),
+        )
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    return rel_ops.siegel_slopes(monthly, "n_name", "t", "rev_cents").select(
+        F.col("key").alias("n_name"), "n_points", "siegel_milli_x4"
+    )
+
+
+def delta_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-encoding compressibility audit
+    (``relational.delta_encoding_audit``) of the daily event-value
+    series per type — Σ|Δ| vs Σ|x| micro ratio and the exact bit-width
+    shrink, the storage-layout probe next to ``zorder_layout`` and
+    ``compaction_plan``. All BIGINT off one keyed lag window over
+    pre-aggregated daily rows."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"),
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
+            "day_idx"
+        ),
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("v_cents")
+    )
+    return rel_ops.delta_encoding_audit(
+        daily, "event_type", "day_idx", "v_cents"
+    ).select(
+        F.col("key").alias("event_type"),
+        "n_points",
+        "sum_abs_raw",
+        "sum_abs_delta",
+        "delta_ratio_micro",
+        "raw_bits",
+        "delta_bits",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # The driver's CORRECTNESS gate records only the first 50 entries.
@@ -5965,6 +6027,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "signup_purchase_delay": signup_purchase_delay,
         "anova_doc_length": anova_doc_length,
         "kruskal_doc_length": kruskal_doc_length,
+        "siegel_trend": siegel_trend,
+        "delta_audit_events": delta_audit_events,
     }
 
 

@@ -286,6 +286,8 @@ HEADLINE = [
     "signup_purchase_delay",
     "anova_doc_length",
     "kruskal_doc_length",
+    "siegel_trend",
+    "delta_audit_events",
 ]
 
 

@@ -2782,3 +2782,118 @@ def kruskal_wallis(
         F.col("tie_t").cast("long").alias("tie_t"),
         h.alias("h_stat"),
     )
+
+
+def siegel_slopes(
+    df: DataFrame,
+    key_col: str,
+    t_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Siegel repeated-medians trend per key: the median over points i
+    of (the median over j of the pairwise slope i→j) — the 50%
+    breakdown-point estimator (Siegel 1982, public), robust where even
+    :func:`theil_sen_slope` (29%) gives way: half the POINTS can be
+    corrupted, not just half the pairs.
+
+    CONTRACT and EXACTNESS are Theil-Sen's, taken one level deeper:
+    bounded pre-aggregated points per key (pair enumeration is C(n,2));
+    slopes quantized to MILLI-units by pure-BIGINT truncating division;
+    the INNER median per anchor point is the two-middle SUM (×2 scale,
+    exact), and the OUTER median is the two-middle sum of those
+    (×4 scale total) — no float ever. Divide by 4000 for the slope.
+
+    → ``(key, n_points, siegel_milli_x4)``.
+    """
+    left = df.select(
+        F.col(key_col).alias("key"),
+        F.col(t_col).cast("long").alias("t1"),
+        F.col(y_col).cast("long").alias("y1"),
+    )
+    right = df.select(
+        F.col(key_col).alias("key"),
+        F.col(t_col).cast("long").alias("t2"),
+        F.col(y_col).cast("long").alias("y2"),
+    )
+    pairs = left.join(right, "key").where(F.col("t1") != F.col("t2"))
+    slope_milli = F.expr("(1000 * (y2 - y1)) div (t2 - t1)")
+    inner = (
+        pairs.select("key", F.col("t1").alias("anchor"), slope_milli.alias("__s"))
+        .groupBy("key", "anchor")
+        .agg(
+            (F.lit(2.0) * F.percentile(F.col("__s"), 0.5))
+            .cast("long")
+            .alias("__med_x2")
+        )
+    )
+    n_pts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_points")
+    )
+    outer = inner.groupBy("key").agg(
+        (F.lit(2.0) * F.percentile(F.col("__med_x2"), 0.5))
+        .cast("long")
+        .alias("siegel_milli_x4")
+    )
+    return n_pts.join(outer, "key").select(
+        "key", "n_points", "siegel_milli_x4"
+    )
+
+
+def delta_encoding_audit(
+    df: DataFrame,
+    key_col: str,
+    t_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Delta-encoding compressibility audit per series: how much
+    smaller are successive DIFFERENCES than raw values — the
+    storage-layout probe (next to ``zorder_layout`` /
+    ``compaction_plan``) that says whether a sorted time-series column
+    should be delta-encoded before it costs 100 TB: a ratio near 0
+    means smooth series (delta wins), near/above 1 means noise (skip).
+
+    All integer: Σ|Δ| and Σ|x| are BIGINT sums off one keyed lag
+    window over pre-aggregated (key, t) rows; the ratio is micro-
+    quantized truncating division, plus the exact bit-width shrink
+    (max |Δ| vs max |x| log2 bucket — the explicit ln-ratio floor both
+    engines share).
+
+    → ``(key, n_points, sum_abs_raw, sum_abs_delta, delta_ratio_micro,
+    raw_bits, delta_bits)``.
+    """
+    w = Window.partitionBy("key").orderBy("t")
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(t_col).cast("long").alias("t"),
+        F.col(value_col).cast("long").alias("x"),
+    )
+    lagged = base.withColumn("__d", F.col("x") - F.lag("x").over(w))
+    agg = lagged.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum(F.abs(F.col("x"))).cast("long").alias("sum_abs_raw"),
+        F.sum(F.abs(F.col("__d"))).cast("long").alias("sum_abs_delta"),
+        F.max(F.abs(F.col("x"))).cast("long").alias("__max_raw"),
+        F.max(F.abs(F.col("__d"))).cast("long").alias("__max_delta"),
+    )
+
+    def _bits(c: Column) -> Column:
+        # exact bit width with NO float log at all: the length of the
+        # binary string (Spark bin() == DuckDB bin(), no leading zeros)
+        return (
+            F.when(c > 0, F.length(F.bin(c)).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+
+    ratio = F.when(
+        F.col("sum_abs_raw") > 0,
+        F.expr("CAST((sum_abs_delta * 1000000) div sum_abs_raw AS BIGINT)"),
+    ).otherwise(F.lit(0).cast("long"))
+    return agg.select(
+        "key",
+        "n_points",
+        "sum_abs_raw",
+        "sum_abs_delta",
+        ratio.alias("delta_ratio_micro"),
+        _bits(F.col("__max_raw")).alias("raw_bits"),
+        _bits(F.col("__max_delta")).alias("delta_bits"),
+    )

@@ -6030,3 +6030,70 @@ SELECT k_groups, n, CAST(tie_t AS BIGINT) AS tie_t,
     ELSE 0.0 END AS h_stat
 FROM tot CROSS JOIN tt
 """
+
+
+# Siegel repeated medians — mirrors relational.siegel_slopes over the
+# theil_sen monthly series: inner two-middle-sum median per anchor
+# (x2), outer two-middle-sum of those (x4), pure BIGINT milli-slopes.
+ORACLES["siegel_trend"] = """
+WITH monthly AS (
+  SELECT n.n_name,
+    (CAST(year(o_orderdate) AS BIGINT) - 1995) * 12
+      + CAST(month(o_orderdate) AS BIGINT) - 1 AS t,
+    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      AS rev_cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT a.n_name, a.t AS anchor,
+    (1000 * (b.rev_cents - a.rev_cents)) // (b.t - a.t) AS s
+  FROM monthly a JOIN monthly b
+    ON a.n_name = b.n_name AND a.t <> b.t),
+inner_med AS (
+  SELECT n_name, anchor, CAST(2 * median(s) AS BIGINT) AS med_x2
+  FROM pairs GROUP BY 1, 2),
+np AS (
+  SELECT n_name, CAST(count(*) AS BIGINT) AS n_points
+  FROM monthly GROUP BY 1)
+SELECT np.n_name, np.n_points,
+  CAST(2 * median(i.med_x2) AS BIGINT) AS siegel_milli_x4
+FROM np JOIN inner_med i ON i.n_name = np.n_name
+GROUP BY 1, 2
+"""
+
+
+# Delta-encoding audit — mirrors relational.delta_encoding_audit over
+# daily event cents: BIGINT lag deltas, micro ratio by truncating
+# division, bit widths via the explicit ln-ratio floor.
+ORACLES["delta_audit_events"] = """
+WITH daily AS (
+  SELECT event_type AS key,
+    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+      AS t,
+    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS x
+  FROM events GROUP BY 1, 2),
+lagd AS (
+  SELECT key, x,
+    x - lag(x) OVER (PARTITION BY key ORDER BY t) AS d
+  FROM daily),
+agg AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS n_points,
+    CAST(sum(abs(x)) AS BIGINT) AS sum_abs_raw,
+    CAST(sum(abs(d)) AS BIGINT) AS sum_abs_delta,
+    CAST(max(abs(x)) AS BIGINT) AS max_raw,
+    CAST(max(abs(d)) AS BIGINT) AS max_delta
+  FROM lagd GROUP BY 1)
+SELECT key AS event_type, n_points, sum_abs_raw, sum_abs_delta,
+  CASE WHEN sum_abs_raw > 0
+    THEN CAST((sum_abs_delta * 1000000) // sum_abs_raw AS BIGINT)
+    ELSE 0 END AS delta_ratio_micro,
+  CASE WHEN max_raw > 0
+    THEN CAST(length(bin(max_raw)) AS BIGINT)
+    ELSE 0 END AS raw_bits,
+  CASE WHEN max_delta > 0
+    THEN CAST(length(bin(max_delta)) AS BIGINT)
+    ELSE 0 END AS delta_bits
+FROM agg
+"""

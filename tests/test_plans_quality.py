@@ -1084,3 +1084,24 @@ def test_kruskal_has_no_global_rank_window(spark):
     agg_ids = [int(i) for i in re.findall(r"HashAggregate \((\d+)\)", plan)]
     assert win_ids and agg_ids, plan
     assert min(agg_ids) < min(win_ids), plan
+
+
+def test_siegel_double_median_is_aggregated(spark):
+    """Both median levels are combinable percentile AGGREGATES over
+    the keyed pair join — no window, no cartesian (the theil_sen
+    shape, one level deeper)."""
+    plan = plan_of(entry_mod.queries()["siegel_trend"](spark, SF_DIR))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_delta_audit_lag_is_keyed_no_float_log(spark):
+    """One keyed lag window over pre-aggregated daily rows; bit widths
+    come from bin() string length — the plan contains no log call."""
+    import re
+
+    plan = plan_of(entry_mod.queries()["delta_audit_events"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("key" in s or "event_type" in s for s in specs), specs
+    assert "LOG(" not in plan.upper(), plan
