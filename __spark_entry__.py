@@ -5736,6 +5736,35 @@ def delta_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% two-sided trimmed mean of extended price per return flag
+    (``relational.trimmed_mean``): the robust location estimate
+    between mean and median — integer rank bounds, DECIMAL kept-mass
+    sum, one double shape. Complements ``winsorize_events`` (clamp)
+    with the drop-the-tails variant."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return rel_ops.trimmed_mean(
+        li, "l_returnflag", "l_extendedprice", 0.1
+    ).select(
+        F.col("group").alias("l_returnflag"), "n", "n_kept", "trimmed_mean"
+    )
+
+
+def mode_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode of order quantity per return flag
+    (``relational.mode_value``): highest count, smallest value on
+    ties, via one keyed count + a max-struct fold — no window, no
+    second shuffle (Spark's builtin mode is tie-arbitrary; this one
+    is a total function of the data)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return rel_ops.mode_value(li, "l_returnflag", "l_quantity").select(
+        F.col("group").alias("l_returnflag"),
+        "mode_value",
+        "mode_count",
+        "n_distinct",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # The driver's CORRECTNESS gate records only the first 50 entries.
@@ -6029,6 +6058,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kruskal_doc_length": kruskal_doc_length,
         "siegel_trend": siegel_trend,
         "delta_audit_events": delta_audit_events,
+        "trimmed_mean_price": trimmed_mean_price,
+        "mode_quantity": mode_quantity,
     }
 
 

@@ -288,6 +288,8 @@ HEADLINE = [
     "kruskal_doc_length",
     "siegel_trend",
     "delta_audit_events",
+    "trimmed_mean_price",
+    "mode_quantity",
 ]
 
 

@@ -2897,3 +2897,104 @@ def delta_encoding_audit(
         _bits(F.col("__max_raw")).alias("raw_bits"),
         _bits(F.col("__max_delta")).alias("delta_bits"),
     )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    trim_frac: float = 0.1,
+) -> DataFrame:
+    """Two-sided trimmed mean per group: drop the lowest and highest
+    ``floor(n·trim)`` observations by rank, average the middle — the
+    robust location estimate between the mean (trim 0) and the median
+    (trim 0.5), standard for latency/price summaries where tails are
+    noise. Complements :func:`winsorize` (which CLAMPS tails instead
+    of dropping them).
+
+    EXACTNESS: rank bounds are pure integers (``lo = n·t div d + 1``,
+    ``hi = n − n·t div d`` with the trim fraction as an exact
+    rational), the kept-mass sum is DECIMAL, and the mean is one
+    double shape rounded to 6. Ties are interchangeable under
+    rank-range selection, so value ordering alone determines the
+    result.
+
+    Scale: one rank window partitioned by group + one keyed agg.
+
+    → ``(group, n, n_kept, trimmed_mean)``.
+    """
+    if not (0 <= trim_frac < 0.5):
+        raise ValueError(f"trim_frac must be in [0, 0.5), got {trim_frac}")
+    # exact rational: trim_frac quantized to ppm
+    t_ppm = int(round(trim_frac * 1_000_000))
+    ranked = df.select(
+        F.col(group_col).alias("group"),
+        F.col(value_col).cast("decimal(18,2)").alias("v"),
+    ).select(
+        "group",
+        "v",
+        F.row_number().over(
+            Window.partitionBy("group").orderBy("v")
+        ).cast("long").alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("group")).cast("long").alias("n"),
+    )
+    k = F.expr(f"(n * {t_ppm}) div 1000000")
+    kept = ranked.withColumn("__lo", k + 1).withColumn(
+        "__hi", F.col("n") - k
+    )
+    agg = kept.groupBy("group").agg(
+        F.max("n").alias("n"),
+        F.sum(
+            F.when(
+                (F.col("r") >= F.col("__lo")) & (F.col("r") <= F.col("__hi")),
+                F.col("v"),
+            )
+        ).alias("__s"),
+        F.sum(
+            F.when(
+                (F.col("r") >= F.col("__lo")) & (F.col("r") <= F.col("__hi")),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("n_kept"),
+    )
+    mean = F.when(
+        F.col("n_kept") > 0,
+        F.round(F.col("__s").cast("double") / F.col("n_kept").cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+    return agg.select("group", "n", "n_kept", mean.alias("trimmed_mean"))
+
+
+def mode_value(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Deterministic mode per group: the most frequent value, SMALLEST
+    value winning count ties — the categorical/discrete summary the
+    mean misrepresents, with a total tie order so the result is a
+    function of the data (Spark's own ``mode`` is tie-arbitrary).
+
+    One (group, value) keyed count + one keyed max-struct fold —
+    ``max(struct(cnt, -value))`` picks highest count then lowest
+    value without a window or a second shuffle. Integer values are
+    the CONTRACT (negation needs a numeric total order).
+
+    → ``(group, mode_value, mode_count, n_distinct)``.
+    """
+    vc = (
+        df.groupBy(
+            F.col(group_col).alias("group"),
+            F.col(value_col).cast("long").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    best = F.max(F.struct(F.col("cnt"), (-F.col("v")).alias("nv"))).alias("__b")
+    return vc.groupBy("group").agg(
+        best,
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+    ).select(
+        "group",
+        (-F.col("__b.nv")).cast("long").alias("mode_value"),
+        F.col("__b.cnt").alias("mode_count"),
+        "n_distinct",
+    )

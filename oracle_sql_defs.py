@@ -6097,3 +6097,47 @@ SELECT key AS event_type, n_points, sum_abs_raw, sum_abs_delta,
     ELSE 0 END AS delta_bits
 FROM agg
 """
+
+
+# Trimmed mean — mirrors relational.trimmed_mean (10% two-sided, ppm
+# rank bounds, DECIMAL kept sum, one double shape).
+ORACLES["trimmed_mean_price"] = """
+WITH ranked AS (
+  SELECT l_returnflag AS g, CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+    CAST(row_number() OVER (PARTITION BY l_returnflag
+      ORDER BY CAST(l_extendedprice AS DECIMAL(18,2))) AS BIGINT) AS r,
+    CAST(count(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+  FROM lineitem),
+k AS (
+  SELECT *, (n * 100000) // 1000000 AS kk FROM ranked),
+agg AS (
+  SELECT g, CAST(max(n) AS BIGINT) AS n,
+    sum(CASE WHEN r >= kk + 1 AND r <= n - kk THEN v END) AS s,
+    CAST(sum(CASE WHEN r >= kk + 1 AND r <= n - kk THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_kept
+  FROM k GROUP BY g)
+SELECT g AS l_returnflag, n, n_kept,
+  CASE WHEN n_kept > 0
+    THEN round(CAST(s AS DOUBLE) / CAST(n_kept AS DOUBLE), 6)
+    ELSE 0.0 END AS trimmed_mean
+FROM agg
+"""
+
+
+# Deterministic mode — mirrors relational.mode_value: max (count,
+# -value) struct fold, highest count then smallest value.
+ORACLES["mode_quantity"] = """
+WITH vc AS (
+  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v,
+    CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1, 2),
+best AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n_distinct,
+    CAST(max(cnt) AS BIGINT) AS mode_count
+  FROM vc GROUP BY g)
+SELECT b.g AS l_returnflag,
+  CAST(min(v.v) AS BIGINT) AS mode_value,
+  b.mode_count, b.n_distinct
+FROM best b JOIN vc v ON v.g = b.g AND v.cnt = b.mode_count
+GROUP BY 1, 3, 4
+"""

@@ -95,3 +95,56 @@ def test_delta_audit_exact_bits(spark):
     assert got["k"]["raw_bits"] == 3
     assert got["k"]["delta_bits"] == 3  # |Δ| = 4 -> bin "100" = 3 bits
     assert got["b"]["raw_bits"] == 4  # bin "1000" = 4 bits
+
+
+# ------------------------------------------------- trimmed mean / mode
+
+
+def test_trimmed_mean_drops_tails(spark):
+    """Values 1..10 with a blown-up outlier 1000 instead of 10:
+    trim 10% drops one from each side (the 1000 among them)."""
+    from datapipelines_essentials_python_spark.operators.relational import (
+        trimmed_mean,
+    )
+
+    vals = list(range(1, 10)) + [1000]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v long")
+    r = trimmed_mean(df, "g", "v", 0.1).collect()[0]
+    assert r["n"] == 10 and r["n_kept"] == 8
+    assert r["trimmed_mean"] == pytest.approx(sum(range(2, 10)) / 8, abs=1e-6)
+
+
+def test_trimmed_mean_zero_trim_is_mean(spark):
+    from datapipelines_essentials_python_spark.operators.relational import (
+        trimmed_mean,
+    )
+
+    df = spark.createDataFrame([("g", v) for v in (10, 20, 40)],
+                               "g string, v long")
+    r = trimmed_mean(df, "g", "v", 0.0).collect()[0]
+    assert r["n_kept"] == 3
+    assert r["trimmed_mean"] == pytest.approx(70 / 3, abs=1e-6)
+
+
+def test_trimmed_mean_rejects_half(spark):
+    from datapipelines_essentials_python_spark.operators.relational import (
+        trimmed_mean,
+    )
+
+    df = spark.createDataFrame([("g", 1)], "g string, v long")
+    with pytest.raises(ValueError):
+        trimmed_mean(df, "g", "v", 0.5)
+
+
+def test_mode_deterministic_tie_break(spark):
+    """Counts tie between values 3 and 7: the SMALLEST value wins."""
+    from datapipelines_essentials_python_spark.operators.relational import (
+        mode_value,
+    )
+
+    rows = [("g", 7)] * 3 + [("g", 3)] * 3 + [("g", 5)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = mode_value(df, "g", "v").collect()[0]
+    assert r["mode_value"] == 3
+    assert r["mode_count"] == 3
+    assert r["n_distinct"] == 3
