@@ -5765,6 +5765,59 @@ def mode_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def psi_doc_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index (``relational.psi_drift``) of the
+    doc-length distribution between the even-id (reference) and odd-id
+    corpus halves — the model-monitoring drift gauge next to
+    ``drift_chi2``, now that the 9dp-rounded-decimal-term discipline
+    makes the per-bucket (q−p)·ln(q/p) terms order-independent and
+    oracle-replayable. Same buckets, same single-pass shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return rel_ops.psi_drift(
+        docs, "n_chars", F.col("doc_id") % 2 == 0, _DRIFT_EDGES
+    ).orderBy("bucket")
+
+
+def distinctive_terms_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinctive vocabulary (``text.distinctive_terms``):
+    top-5 terms by the Monroe log-odds-with-Dirichlet-prior z-score —
+    systematic overuse, not TF-IDF's rarity. Two vocab-bounded keyed
+    aggs + broadcast totals + one group top-k window with the
+    (z DESC, term ASC) total order."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    return text_ops.distinctive_terms(docs, "source", "text").select(
+        F.col("group").alias("source"),
+        "term",
+        "n_in_group",
+        "n_rest",
+        "z_score",
+        "rank",
+    )
+
+
+def weighted_affinity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman collaboration-weighted part affinity
+    (``graph.newman_weighted_projection``): each order of d parts
+    contributes 10⁶ div (d−1) micro-weight to its pairs — small
+    focused baskets dominate, mega-orders stop flooding the
+    projection. Pairs with ≥ 1.5 expected-contribution mass kept;
+    exact BIGINT weights."""
+    from datapipelines_essentials_python_spark.operators import graph as graph_ops
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    return graph_ops.newman_weighted_projection(
+        li, "k", "p", min_weight_micro=500_000
+    ).select("u", "v", "n_baskets", "weight_micro")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # The driver's CORRECTNESS gate records only the first 50 entries.
@@ -6060,6 +6113,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_audit_events": delta_audit_events,
         "trimmed_mean_price": trimmed_mean_price,
         "mode_quantity": mode_quantity,
+        "psi_doc_length_drift": psi_doc_length_drift,
+        "distinctive_terms_sources": distinctive_terms_sources,
+        "weighted_affinity_pairs": weighted_affinity_pairs,
     }
 
 

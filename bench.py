@@ -290,6 +290,9 @@ HEADLINE = [
     "delta_audit_events",
     "trimmed_mean_price",
     "mode_quantity",
+    "psi_doc_length_drift",
+    "distinctive_terms_sources",
+    "weighted_affinity_pairs",
 ]
 
 

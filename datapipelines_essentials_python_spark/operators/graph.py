@@ -1503,3 +1503,55 @@ def rich_club(edges: DataFrame, k_values: list[int]) -> DataFrame:
         ),
     ).otherwise(F.lit(0.0))
     return out.select("k", "n_rich_nodes", "n_rich_edges", phi.alias("phi"))
+
+
+def newman_weighted_projection(
+    bipartite: DataFrame,
+    basket_col: str = "k",
+    item_col: str = "p",
+    min_weight_micro: int = 0,
+) -> DataFrame:
+    """Newman collaboration-weighted one-mode projection of a
+    bipartite graph: each basket of size d contributes ``1/(d−1)`` to
+    every item pair it contains (Newman 2001, public) — so a pair
+    co-occurring in three 2-item baskets outweighs one buried in a
+    single 100-item basket, the discounting the raw co-count
+    projection (:func:`undirected_edges` on the affinity join)
+    doesn't do.
+
+    EXACTNESS: contributions are micro-quantized per basket —
+    ``10⁶ div (d−1)`` is pure BIGINT truncating division — so pair
+    weights are exact integer sums in any order.
+
+    Scale: one basket-keyed size agg joined back (broadcast-eligible
+    post-agg), then the same bounded-fan-out pair expansion as the
+    co-count projection; the per-basket discount costs nothing extra.
+
+    → ``(u, v, n_baskets, weight_micro)`` with u < v.
+    """
+    sizes = bipartite.groupBy(F.col(basket_col).alias("__k")).agg(
+        F.count(F.lit(1)).cast("long").alias("__d")
+    )
+    contrib = F.expr("CAST(1000000 div (__d - 1) AS BIGINT)")
+    annotated = (
+        bipartite.select(
+            F.col(basket_col).alias("__k"), F.col(item_col).alias("__p")
+        )
+        .join(sizes, "__k")
+        .where(F.col("__d") >= 2)
+        .withColumn("__w", contrib)
+    )
+    a = annotated.select(
+        F.col("__k"), F.col("__p").alias("u"), F.col("__w")
+    )
+    b = annotated.select(F.col("__k"), F.col("__p").alias("v"))
+    pairs = (
+        a.join(b, "__k")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_baskets"),
+            F.sum("__w").cast("long").alias("weight_micro"),
+        )
+    )
+    return pairs.where(F.col("weight_micro") >= F.lit(int(min_weight_micro)))

@@ -2998,3 +2998,60 @@ def mode_value(
         F.col("__b.cnt").alias("mode_count"),
         "n_distinct",
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str,
+    split_col: Column,
+    edges: list[float],
+) -> DataFrame:
+    """Population Stability Index between two corpus slices — the
+    model-monitoring standard (banking's "PSI > 0.25 = retrain")
+    :func:`chi2_drift` deliberately avoided while the engine lacked a
+    portable log discipline: each bucket term
+    ``(q − p)·ln(q/p)`` is rounded to 9 dp and summed as DECIMAL (the
+    ``token_entropy_by_group`` treatment), so the total is
+    order-independent and the oracle replays libm's ln bit-for-bit at
+    that precision.
+
+    Same single-pass shape as chi2_drift: one bucket-keyed conditional
+    agg (map-side combined), totals via a window over the POST-AGG
+    bucket table, Laplace +1 smoothing on counts so empty buckets
+    contribute finite mass.
+
+    → one row per bucket: ``(bucket, n_ref, n_cur, p_ref, q_cur,
+    psi_term, psi_total)`` with the exact-decimal total repeated.
+    """
+    v = F.col(value_col).cast("double")
+    bucket: Column = F.lit(0)
+    for i, e in enumerate(edges):
+        bucket = F.when(v >= F.lit(float(e)), F.lit(i + 1)).otherwise(bucket)
+    per_bucket = df.select(
+        bucket.alias("bucket"), split_col.alias("is_ref")
+    ).groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).cast("long").alias("n_ref"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).cast("long").alias("n_cur"),
+    )
+    full = Window.partitionBy()
+    # Laplace smoothing: +1 per bucket on both sides (portable, keeps
+    # ln finite); shares therefore use the smoothed totals
+    nb = F.count(F.lit(1)).over(full).cast("long")
+    sm_ref = (F.col("n_ref") + 1).cast("double")
+    sm_cur = (F.col("n_cur") + 1).cast("double")
+    tot_ref = (F.sum("n_ref").over(full) + nb).cast("double")
+    tot_cur = (F.sum("n_cur").over(full) + nb).cast("double")
+    p = sm_ref / tot_ref
+    q = sm_cur / tot_cur
+    term = F.round((q - p) * F.log(q / p), 9).cast("decimal(28,12)")
+    staged = per_bucket.withColumn("__term", term)
+    psi_total = F.sum("__term").over(full)
+    return staged.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.round(p, 6).alias("p_ref"),
+        F.round(q, 6).alias("q_cur"),
+        F.round(F.col("__term").cast("double"), 9).alias("psi_term"),
+        F.round(psi_total.cast("double"), 6).alias("psi_total"),
+    )

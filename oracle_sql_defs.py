@@ -6141,3 +6141,110 @@ SELECT b.g AS l_returnflag,
 FROM best b JOIN vc v ON v.g = b.g AND v.cnt = b.mode_count
 GROUP BY 1, 3, 4
 """
+
+
+# PSI drift — mirrors relational.psi_drift: Laplace +1 smoothing per
+# bucket, 9dp-rounded DECIMAL (q-p)*ln(q/p) terms (order-independent
+# sum), totals over the post-agg bucket table.
+ORACLES["psi_doc_length_drift"] = """
+WITH bucketed AS (
+  SELECT CASE WHEN CAST(n_chars AS DOUBLE) >= 350 THEN 5
+              WHEN CAST(n_chars AS DOUBLE) >= 300 THEN 4
+              WHEN CAST(n_chars AS DOUBLE) >= 250 THEN 3
+              WHEN CAST(n_chars AS DOUBLE) >= 200 THEN 2
+              WHEN CAST(n_chars AS DOUBLE) >= 150 THEN 1
+              ELSE 0 END AS bucket,
+         doc_id % 2 = 0 AS is_ref
+  FROM documents),
+per_bucket AS (
+  SELECT bucket,
+    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+    CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+  FROM bucketed GROUP BY bucket),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS nb,
+    CAST(sum(n_ref) AS BIGINT) AS t_ref,
+    CAST(sum(n_cur) AS BIGINT) AS t_cur
+  FROM per_bucket),
+terms AS (
+  SELECT b.bucket, b.n_ref, b.n_cur,
+    CAST(b.n_ref + 1 AS DOUBLE) / CAST(t.t_ref + t.nb AS DOUBLE) AS p,
+    CAST(b.n_cur + 1 AS DOUBLE) / CAST(t.t_cur + t.nb AS DOUBLE) AS q
+  FROM per_bucket b CROSS JOIN tot t),
+dec_terms AS (
+  SELECT bucket, n_ref, n_cur, p, q,
+    CAST(round((q - p) * ln(q / p), 9) AS DECIMAL(28,12)) AS term
+  FROM terms),
+total AS (SELECT sum(term) AS psi FROM dec_terms)
+SELECT bucket, n_ref, n_cur,
+  round(p, 6) AS p_ref, round(q, 6) AS q_cur,
+  round(CAST(term AS DOUBLE), 9) AS psi_term,
+  round(CAST(total.psi AS DOUBLE), 6) AS psi_total
+FROM dec_terms CROSS JOIN total
+ORDER BY bucket
+"""
+
+
+# Distinctive terms — mirrors text.distinctive_terms: Monroe log-odds
+# with Dirichlet prior (a_w = 0.01*y_w), fixed IEEE z shape rounded to
+# 6, top-5 per source by (z DESC, term ASC).
+ORACLES["distinctive_terms_sources"] = f"""
+WITH tok AS (
+  SELECT source AS grp, unnest({TOKS}) AS term FROM documents),
+gt AS (
+  SELECT grp, term, CAST(count(*) AS BIGINT) AS y_gw
+  FROM tok GROUP BY 1, 2),
+tw AS (SELECT term, CAST(sum(y_gw) AS BIGINT) AS y_w FROM gt GROUP BY 1),
+ng AS (SELECT grp, CAST(sum(y_gw) AS BIGINT) AS n_g FROM gt GROUP BY 1),
+tot AS (SELECT CAST(sum(y_w) AS BIGINT) AS n_all FROM tw),
+j AS (
+  SELECT gt.grp, gt.term, gt.y_gw, tw.y_w, ng.n_g, tot.n_all,
+    0.01 * CAST(tw.y_w AS DOUBLE) AS a_w,
+    0.01 * CAST(tot.n_all AS DOUBLE) AS a0
+  FROM gt
+  JOIN tw ON tw.term = gt.term
+  JOIN ng ON ng.grp = gt.grp
+  CROSS JOIN tot),
+z AS (
+  SELECT grp, term, y_gw,
+    CAST(y_w - y_gw AS BIGINT) AS n_rest_cnt,
+    round(
+      (ln(CAST(y_gw AS DOUBLE) + a_w)
+       - ln(CAST(n_g AS DOUBLE) + a0 - CAST(y_gw AS DOUBLE) - a_w)
+       - ln(CAST(y_w - y_gw AS DOUBLE) + a_w)
+       + ln(CAST(n_all - n_g AS DOUBLE) + a0
+            - CAST(y_w - y_gw AS DOUBLE) - a_w))
+      / sqrt(1.0 / (CAST(y_gw AS DOUBLE) + a_w)
+             + 1.0 / (CAST(y_w - y_gw AS DOUBLE) + a_w)), 6) AS z_score
+  FROM j),
+ranked AS (
+  SELECT grp, term, y_gw, n_rest_cnt, z_score,
+    CAST(row_number() OVER (PARTITION BY grp
+      ORDER BY z_score DESC, term ASC) AS BIGINT) AS rank
+  FROM z)
+SELECT grp AS source, term, y_gw AS n_in_group, n_rest_cnt AS n_rest,
+  z_score, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+# Newman-weighted projection — mirrors graph.newman_weighted_projection
+# over the windowed order->part bipartite graph: 10^6 div (d-1) per
+# basket, exact BIGINT pair sums, >= 500000 micro filter.
+ORACLES["weighted_affinity_pairs"] = """
+WITH lp AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'),
+sizes AS (SELECT k, CAST(count(*) AS BIGINT) AS d FROM lp GROUP BY 1),
+ann AS (
+  SELECT lp.k, lp.p, CAST(1000000 // (s.d - 1) AS BIGINT) AS w
+  FROM lp JOIN sizes s ON s.k = lp.k WHERE s.d >= 2),
+pairs AS (
+  SELECT a.p AS u, b.p AS v,
+    CAST(count(*) AS BIGINT) AS n_baskets,
+    CAST(sum(a.w) AS BIGINT) AS weight_micro
+  FROM ann a JOIN ann b ON a.k = b.k AND a.p < b.p
+  GROUP BY 1, 2)
+SELECT u, v, n_baskets, weight_micro
+FROM pairs WHERE weight_micro >= 500000
+"""

@@ -1105,3 +1105,42 @@ def test_delta_audit_lag_is_keyed_no_float_log(spark):
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs and all("key" in s or "event_type" in s for s in specs), specs
     assert "LOG(" not in plan.upper(), plan
+
+
+def test_psi_totals_ride_bucket_window(spark):
+    """Single corpus pass (one conditional bucket agg); totals and the
+    PSI sum are windows over bucket-cardinality rows with the term
+    already decimal-quantized."""
+    import re
+
+    plan = plan_of(entry_mod.queries()["psi_doc_length_drift"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    win_ids = [int(i) for i in re.findall(r"Window \((\d+)\)", plan)]
+    agg_ids = [int(i) for i in re.findall(r"HashAggregate \((\d+)\)", plan)]
+    assert win_ids and agg_ids, plan
+    assert min(agg_ids) < min(win_ids), plan
+
+
+def test_distinctive_terms_vocab_bounded(spark):
+    """Two vocab-bounded keyed aggs + broadcast totals + one keyed
+    top-k window; never cartesian, never Python."""
+    import re
+
+    plan = plan_of(
+        entry_mod.queries()["distinctive_terms_sources"](spark, SF_DIR)
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("group" in s or "source" in s for s in specs), specs
+
+
+def test_newman_projection_is_keyed_pair_join(spark):
+    """Per-basket discounts join back on the basket key (equi-join)
+    and the pair expansion is the bounded-fan-out affinity shape —
+    no cartesian, no window."""
+    plan = plan_of(entry_mod.queries()["weighted_affinity_pairs"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
