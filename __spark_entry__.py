@@ -5818,6 +5818,38 @@ def weighted_affinity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("u", "v", "n_baskets", "weight_micro")
 
 
+def bloom_fpr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom false-positive-rate calibration
+    (``relational.bloom_fpr_audit``): filter built from even-id order
+    keys (m = 2^16, k = 3), probed with the odd-id keys — realized FPR
+    in exact micro-units vs the (1 − e^(−kn/m))^k theory scalar. The
+    sizing check a 100-TB decontamination run should read before
+    trusting its bitmap."""
+    orders = load_table(spark, sf_dir, "orders")
+    member = orders.where(F.col("o_orderkey") % 2 == 0).select("o_orderkey")
+    probe = orders.where(F.col("o_orderkey") % 2 == 1).select("o_orderkey")
+    return rel_ops.bloom_fpr_audit(
+        member, probe, "o_orderkey", "o_orderkey",
+        num_bits=1 << 16, num_hashes=3,
+    )
+
+
+def zipf_fit_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-exponent fit per source (``text.zipf_fit``): OLS of
+    ln(count) on ln(rank) over each source's top-100 terms — natural
+    text ≈ −1, templated sources bend away; the corpus-naturalness
+    gauge beside entropy and Simpson. 9dp-rounded decimal log terms,
+    fixed double shapes."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    return text_ops.zipf_fit(docs, "source", "text", top_n=100).select(
+        F.col("group").alias("source"),
+        "n_terms_fit",
+        "zipf_slope",
+        "zipf_intercept",
+        "r2",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # The driver's CORRECTNESS gate records only the first 50 entries.
@@ -6116,6 +6148,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_doc_length_drift": psi_doc_length_drift,
         "distinctive_terms_sources": distinctive_terms_sources,
         "weighted_affinity_pairs": weighted_affinity_pairs,
+        "bloom_fpr_calibration": bloom_fpr_calibration,
+        "zipf_fit_sources": zipf_fit_sources,
     }
 
 

@@ -293,6 +293,8 @@ HEADLINE = [
     "psi_doc_length_drift",
     "distinctive_terms_sources",
     "weighted_affinity_pairs",
+    "bloom_fpr_calibration",
+    "zipf_fit_sources",
 ]
 
 

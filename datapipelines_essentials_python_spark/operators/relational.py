@@ -3055,3 +3055,93 @@ def psi_drift(
         F.round(F.col("__term").cast("double"), 9).alias("psi_term"),
         F.round(psi_total.cast("double"), 6).alias("psi_total"),
     )
+
+
+def bloom_fpr_audit(
+    member: DataFrame,
+    probe: DataFrame,
+    member_key: str,
+    probe_key: str,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """Realized-vs-theoretical false-positive-rate audit of the
+    engine's Bloom machinery (:func:`bloom_prefilter` /
+    ``text.bloom_contamination``): build the filter from ``member``,
+    probe it with keys DISJOINT from the member set, and compare the
+    measured FPR against ``(1 − e^(−k·n/m))^k`` — the calibration
+    check that says whether m/k are sized right BEFORE a 100-TB
+    decontamination run trusts them.
+
+    All counts are exact BIGINT (a probe is a false positive iff all
+    k of its deterministic bit positions are set); the hash family is
+    the PORTABLE md5-prefix one (`sampling.hash_fraction` discipline
+    — seed-salted, first 8 hex chars mod m) so the oracle replays the
+    filter bit-for-bit (``bloom_prefilter`` itself uses xxhash64 for
+    speed because its RESULT is hash-transparent; this audit's result
+    IS the hash behavior). Only the theory column evaluates a libm
+    exp, rounded to 6 — a single scalar, the entropy-discipline
+    exposure. Probes that ARE members are excluded (they'd be true
+    positives, not errors).
+
+    → one row: ``(n_member, n_probe, bits_set, n_false_positive,
+    fpr_micro, theory_fpr)``.
+    """
+    def positions(key_col: Column, seed: int) -> Column:
+        h = F.md5(F.concat(F.lit(str(seed)), F.lit("|"), key_col.cast("string")))
+        return F.pmod(
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long"),
+            F.lit(num_bits),
+        )
+
+    bits = None
+    for s in range(num_hashes):
+        p = member.select(positions(F.col(member_key), s).alias("bit"))
+        bits = p if bits is None else bits.unionByName(p)
+    bits = bits.distinct()
+
+    probes = probe.select(F.col(probe_key).alias("__pk")).distinct().join(
+        member.select(F.col(member_key).alias("__pk")).distinct(),
+        "__pk",
+        "left_anti",
+    )
+    hit = probes
+    for s in range(num_hashes):
+        hit = hit.join(
+            F.broadcast(bits.withColumnRenamed("bit", f"_b{s}")),
+            positions(F.col("__pk"), s) == F.col(f"_b{s}"),
+            "left_semi",
+        )
+    n_member = member.select(F.col(member_key)).distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_member")
+    )
+    n_probe = probes.agg(F.count(F.lit(1)).cast("long").alias("n_probe"))
+    n_bits = bits.agg(F.count(F.lit(1)).cast("long").alias("bits_set"))
+    n_fp = hit.agg(F.count(F.lit(1)).cast("long").alias("n_false_positive"))
+    out = (
+        n_member.crossJoin(F.broadcast(n_probe))
+        .crossJoin(F.broadcast(n_bits))
+        .crossJoin(F.broadcast(n_fp))
+    )
+    fpr_micro = F.when(
+        F.col("n_probe") > 0,
+        F.expr("CAST((n_false_positive * 1000000) div n_probe AS BIGINT)"),
+    ).otherwise(F.lit(0).cast("long"))
+    k = float(num_hashes)
+    m = float(num_bits)
+    theory = F.round(
+        F.pow(
+            1.0
+            - F.exp(-k * F.col("n_member").cast("double") / F.lit(m)),
+            k,
+        ),
+        6,
+    )
+    return out.select(
+        "n_member",
+        "n_probe",
+        "bits_set",
+        "n_false_positive",
+        fpr_micro.alias("fpr_micro"),
+        theory.alias("theory_fpr"),
+    )

@@ -1370,3 +1370,81 @@ def distinctive_terms(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= top_k)
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    top_n: int = 100,
+) -> DataFrame:
+    """Zipf-law fit per group: OLS slope of ln(count) on ln(rank) over
+    the top-N terms — natural text runs slope ≈ −1 (Zipf 1949,
+    public); templated/spam sources bend flat (every term equally
+    common) or cliff-steep (a handful of tokens dominate), so the
+    exponent is a one-number corpus-naturalness gauge next to
+    entropy/Simpson.
+
+    Determinism: ranks come from the (count DESC, term ASC) total
+    order; each ln is rounded to 9 dp and the OLS moments are summed
+    as DECIMAL (the entropy discipline — order-independent despite
+    libm), and the slope/intercept/r² are fixed double shapes rounded
+    to 6. ``top_n`` bounds the fit (rank window over vocab-bounded
+    per-group counts).
+
+    → ``(group, n_terms_fit, zipf_slope, zipf_intercept, r2)``.
+    """
+    from pyspark.sql import Window
+
+    gt = (
+        df.select(
+            F.col(group_col).alias("group"),
+            F.explode(tokens(text_col)).alias("term"),
+        )
+        .groupBy("group", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("group").orderBy(
+        F.col("cnt").desc(), F.col("term").asc()
+    )
+    ranked = (
+        gt.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= top_n)
+    )
+    # DECIMAL(18,9): the 9dp log terms fit, and (18,9)x(18,9) products
+    # keep full scale inside precision 38 on BOTH engines — a (28,12)
+    # term made Spark round the product at a different scale than
+    # DuckDB (caught by the first parity run at the 6th decimal)
+    lx = F.round(F.log(F.col("rank").cast("double")), 9).cast("decimal(18,9)")
+    ly = F.round(F.log(F.col("cnt").cast("double")), 9).cast("decimal(18,9)")
+    m = ranked.select(
+        "group", lx.alias("x"), ly.alias("y")
+    ).groupBy("group").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms_fit"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n_terms_fit").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    den = n * sxx - sx * sx
+    slope = F.when(den > 0, (n * sxy - sx * sy) / den).otherwise(F.lit(0.0))
+    intercept = (sy - slope * sx) / n
+    r2_den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    r2 = F.when(
+        r2_den > 0,
+        ((n * sxy - sx * sy) * (n * sxy - sx * sy)) / r2_den,
+    ).otherwise(F.lit(0.0))
+    return m.select(
+        "group",
+        "n_terms_fit",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("zipf_intercept"),
+        F.round(r2, 6).alias("r2"),
+    )

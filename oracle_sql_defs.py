@@ -6248,3 +6248,88 @@ pairs AS (
 SELECT u, v, n_baskets, weight_micro
 FROM pairs WHERE weight_micro >= 500000
 """
+
+
+# Bloom FPR calibration — mirrors relational.bloom_fpr_audit with the
+# portable md5-prefix hash family: realized counts exact BIGINT,
+# theory = (1 - e^(-k*n/m))^k the single rounded libm scalar.
+ORACLES["bloom_fpr_calibration"] = """
+WITH member AS (SELECT DISTINCT o_orderkey FROM orders WHERE o_orderkey % 2 = 0),
+probe AS (
+  SELECT DISTINCT o_orderkey FROM orders WHERE o_orderkey % 2 = 1),
+probe2 AS (
+  SELECT p.o_orderkey FROM probe p
+  LEFT JOIN member m ON m.o_orderkey = p.o_orderkey
+  WHERE m.o_orderkey IS NULL),
+bits AS (
+  SELECT DISTINCT bit FROM (
+    SELECT (CAST(list_sum([(strpos('0123456789abcdef', substr(md5('0' || '|' || CAST(o_orderkey AS VARCHAR)), j, 1)) - 1) * power(16, 8 - j) for j in range(1, 9)]) AS BIGINT)) % 65536 AS bit FROM member
+    UNION ALL SELECT (CAST(list_sum([(strpos('0123456789abcdef', substr(md5('1' || '|' || CAST(o_orderkey AS VARCHAR)), j, 1)) - 1) * power(16, 8 - j) for j in range(1, 9)]) AS BIGINT)) % 65536 FROM member
+    UNION ALL SELECT (CAST(list_sum([(strpos('0123456789abcdef', substr(md5('2' || '|' || CAST(o_orderkey AS VARCHAR)), j, 1)) - 1) * power(16, 8 - j) for j in range(1, 9)]) AS BIGINT)) % 65536 FROM member)),
+fp AS (
+  SELECT count(*) AS n_false_positive FROM probe2 p
+  WHERE ((CAST(list_sum([(strpos('0123456789abcdef', substr(md5('0' || '|' || CAST(p.o_orderkey AS VARCHAR)), j, 1)) - 1) * power(16, 8 - j) for j in range(1, 9)]) AS BIGINT)) % 65536) IN (SELECT bit FROM bits)
+    AND ((CAST(list_sum([(strpos('0123456789abcdef', substr(md5('1' || '|' || CAST(p.o_orderkey AS VARCHAR)), j, 1)) - 1) * power(16, 8 - j) for j in range(1, 9)]) AS BIGINT)) % 65536) IN (SELECT bit FROM bits)
+    AND ((CAST(list_sum([(strpos('0123456789abcdef', substr(md5('2' || '|' || CAST(p.o_orderkey AS VARCHAR)), j, 1)) - 1) * power(16, 8 - j) for j in range(1, 9)]) AS BIGINT)) % 65536) IN (SELECT bit FROM bits))
+SELECT
+  CAST((SELECT count(*) FROM member) AS BIGINT) AS n_member,
+  CAST((SELECT count(*) FROM probe2) AS BIGINT) AS n_probe,
+  CAST((SELECT count(*) FROM bits) AS BIGINT) AS bits_set,
+  CAST(fp.n_false_positive AS BIGINT) AS n_false_positive,
+  CASE WHEN (SELECT count(*) FROM probe2) > 0
+    THEN CAST((fp.n_false_positive * 1000000)
+              // (SELECT count(*) FROM probe2) AS BIGINT)
+    ELSE 0 END AS fpr_micro,
+  round(pow(1.0 - exp(-3.0 * CAST((SELECT count(*) FROM member) AS DOUBLE)
+                      / 65536.0), 3.0), 6) AS theory_fpr
+FROM fp
+"""
+
+
+# Zipf fit — mirrors text.zipf_fit: (count DESC, term ASC) ranks,
+# 9dp-rounded DECIMAL log terms, fixed OLS double shapes.
+ORACLES["zipf_fit_sources"] = f"""
+WITH tok AS (
+  SELECT source AS grp, unnest({TOKS}) AS term FROM documents),
+gt AS (
+  SELECT grp, term, CAST(count(*) AS BIGINT) AS cnt
+  FROM tok GROUP BY 1, 2),
+ranked AS (
+  SELECT grp, cnt,
+    CAST(row_number() OVER (PARTITION BY grp
+      ORDER BY cnt DESC, term ASC) AS BIGINT) AS rank
+  FROM gt),
+top AS (SELECT * FROM ranked WHERE rank <= 100),
+terms AS (
+  SELECT grp,
+    CAST(round(ln(CAST(rank AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x,
+    CAST(round(ln(CAST(cnt AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y
+  FROM top),
+m AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_terms_fit,
+    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+    sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM terms GROUP BY 1),
+fin AS (
+  SELECT grp, n_terms_fit,
+    CAST(n_terms_fit AS DOUBLE) AS n,
+    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+    CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd,
+    CAST(syy AS DOUBLE) AS syyd
+  FROM m),
+sl AS (
+  SELECT grp, n_terms_fit, n, sxd, syd,
+    CASE WHEN n * sxxd - sxd * sxd > 0
+      THEN (n * sxyd - sxd * syd) / (n * sxxd - sxd * sxd)
+      ELSE 0.0 END AS slope,
+    CASE WHEN (n * sxxd - sxd * sxd) * (n * syyd - syd * syd) > 0
+      THEN ((n * sxyd - sxd * syd) * (n * sxyd - sxd * syd))
+           / ((n * sxxd - sxd * sxd) * (n * syyd - syd * syd))
+      ELSE 0.0 END AS r2
+  FROM fin)
+SELECT grp AS source, n_terms_fit,
+  round(slope, 6) AS zipf_slope,
+  round((syd - slope * sxd) / n, 6) AS zipf_intercept,
+  round(r2, 6) AS r2
+FROM sl
+"""

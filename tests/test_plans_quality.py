@@ -1144,3 +1144,27 @@ def test_newman_projection_is_keyed_pair_join(spark):
     assert "CartesianProduct" not in plan, plan
     assert "Window" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_bloom_audit_is_semi_joins_and_scalars(spark):
+    """The probe pass is k broadcast left-semi joins against the bit
+    table; all counts are 1-row broadcast scalars — no cartesian data
+    product, no Python."""
+    plan = plan_of(entry_mod.queries()["bloom_fpr_calibration"](spark, SF_DIR))
+    assert plan.count("LeftSemi") >= 3, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_zipf_rank_window_is_keyed(spark):
+    """The top-N rank window partitions by the source over the
+    vocab-bounded (group, term) counts (agg below window), and the
+    OLS fold is aggregate-only after it."""
+    import re
+
+    plan = plan_of(entry_mod.queries()["zipf_fit_sources"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("group" in s or "source" in s for s in specs), specs
+    win_ids = [int(i) for i in re.findall(r"Window \((\d+)\)", plan)]
+    agg_ids = [int(i) for i in re.findall(r"HashAggregate \((\d+)\)", plan)]
+    assert min(agg_ids) < min(win_ids), plan

@@ -148,3 +148,82 @@ def test_newman_min_weight_filter(spark):
     out = newman_weighted_projection(df, "k", "p", min_weight_micro=600_000)
     got = {(r["u"], r["v"]) for r in out.collect()}
     assert got == {(1, 2)}
+
+
+# ------------------------------------------------- bloom fpr audit
+
+
+def test_bloom_audit_counts_and_theory(spark):
+    """Small filter, disjoint probes: realized FPR is measured against
+    set bit positions replayed in Python (md5 family), and the theory
+    scalar matches the closed form."""
+    import hashlib
+    import math
+
+    from datapipelines_essentials_python_spark.operators.relational import (
+        bloom_fpr_audit,
+    )
+
+    bits_m, k = 256, 3
+    member = spark.createDataFrame([(i,) for i in range(0, 100, 2)], "id long")
+    probe = spark.createDataFrame([(i,) for i in range(1, 100, 2)], "id long")
+    r = bloom_fpr_audit(member, probe, "id", "id",
+                        num_bits=bits_m, num_hashes=k).collect()[0]
+
+    def pos(seed, key):
+        h = hashlib.md5(f"{seed}|{key}".encode()).hexdigest()
+        return int(h[:8], 16) % bits_m
+
+    bitset = {pos(s, i) for s in range(k) for i in range(0, 100, 2)}
+    fps = sum(
+        1 for i in range(1, 100, 2)
+        if all(pos(s, i) in bitset for s in range(k))
+    )
+    assert r["n_member"] == 50 and r["n_probe"] == 50
+    assert r["bits_set"] == len(bitset)
+    assert r["n_false_positive"] == fps
+    assert r["fpr_micro"] == (fps * 1_000_000) // 50
+    theory = (1 - math.exp(-k * 50 / bits_m)) ** k
+    assert r["theory_fpr"] == pytest.approx(theory, abs=1e-6)
+
+
+def test_bloom_audit_excludes_members_from_probe(spark):
+    """Probes that ARE members never count as false positives."""
+    from datapipelines_essentials_python_spark.operators.relational import (
+        bloom_fpr_audit,
+    )
+
+    member = spark.createDataFrame([(i,) for i in range(20)], "id long")
+    r = bloom_fpr_audit(member, member, "id", "id",
+                        num_bits=64, num_hashes=2).collect()[0]
+    assert r["n_probe"] == 0
+    assert r["n_false_positive"] == 0
+
+
+# ------------------------------------------------- zipf fit
+
+
+def test_zipf_exact_power_law(spark):
+    """counts = 1000 / rank exactly: slope -1, r2 ~ 1."""
+    from datapipelines_essentials_python_spark.operators.text import zipf_fit
+
+    words = []
+    for rank in range(1, 21):
+        cnt = 1024 // rank
+        words += [f"w{rank:02d}"] * cnt
+    df = spark.createDataFrame([("s", " ".join(words))], "src string, text string")
+    r = zipf_fit(df, "src", "text", top_n=20).collect()[0]
+    assert r["n_terms_fit"] == 20
+    assert r["zipf_slope"] == pytest.approx(-1.0, abs=0.05)
+    assert r["r2"] > 0.99
+
+
+def test_zipf_flat_distribution_slope_zero(spark):
+    """Every term equally common: slope ~ 0, the templated-source
+    signature."""
+    from datapipelines_essentials_python_spark.operators.text import zipf_fit
+
+    words = [f"t{i}" for i in range(30)] * 10
+    df = spark.createDataFrame([("s", " ".join(words))], "src string, text string")
+    r = zipf_fit(df, "src", "text", top_n=30).collect()[0]
+    assert r["zipf_slope"] == pytest.approx(0.0, abs=1e-6)
