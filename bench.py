@@ -295,6 +295,8 @@ HEADLINE = [
     "weighted_affinity_pairs",
     "bloom_fpr_calibration",
     "zipf_fit_sources",
+    "geo_hotspot_clusters",
+    "did_weekend_premium",
 ]
 
 

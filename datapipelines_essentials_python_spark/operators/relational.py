@@ -3145,3 +3145,170 @@ def bloom_fpr_audit(
         fpr_micro.alias("fpr_micro"),
         theory.alias("theory_fpr"),
     )
+
+
+def grid_dbscan(
+    points: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    eps: float,
+    min_pts: int,
+) -> DataFrame:
+    """Grid-cell DBSCAN approximation: bucket points into eps-sized
+    cells, keep CORE cells (≥ min_pts points), and cluster core cells
+    by 8-neighborhood connectivity — the density-clustering shape that
+    scales where point-level DBSCAN's eps-neighborhood join doesn't
+    (cells quantize the neighborhood query into an equi-join; the
+    classic grid/GriDBSCAN family, public). Points in non-core cells
+    are noise (cluster_id NULL); the per-cluster rollup is what a
+    hotspot/venue-detection pipeline reads.
+
+    Determinism: cell ids are integer floors (`eps` quantized to ppm
+    so both engines bucket identically), adjacency is a bounded
+    8-offset explode + equi-join, and labels are MIN-cell-id
+    components via POINTER JUMPING
+    (:func:`dedup.connected_components_star`): a dense grid collapses
+    into one component whose diameter grows with the grid SIDE
+    (O(√cells) — the 10× tier's 40×40 grid has diameter ~78, which
+    min-label propagation's O(diameter) rounds cannot finish), and
+    large-star/small-star converges in O(log n) rounds regardless.
+
+    Scale: one cell-keyed count (map-side combined) collapses the
+    corpus; everything after is core-cell cardinality — the adjacency
+    join is 8× cells, the components loop O(cluster diameter) rounds.
+
+    → per-cluster rows ``(cluster_id, n_cells, n_points)``.
+    """
+    from datapipelines_essentials_python_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    eps_ppm = int(round(eps * 1_000_000))
+    cx = F.expr(
+        f"CAST(floor(CAST({x_col} AS DECIMAL(18,6)) * 1000000 / {eps_ppm}) AS BIGINT)"
+    )
+    cy = F.expr(
+        f"CAST(floor(CAST({y_col} AS DECIMAL(18,6)) * 1000000 / {eps_ppm}) AS BIGINT)"
+    )
+    cells = (
+        points.select(
+            F.col(id_col).alias("pid"), cx.alias("cx"), cy.alias("cy")
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+    )
+    core = cells.where(F.col("n_points") >= F.lit(int(min_pts)))
+    # encode cell id (coords are non-negative after the +OFFSET shift;
+    # generic inputs may be negative, so shift into positive range)
+    offset = F.lit(1_000_000).cast("long")
+    enc = ((F.col("cx") + offset) * F.lit(4_000_000).cast("long")
+           + (F.col("cy") + offset)).cast("long")
+    core_enc = core.withColumn("cell_id", enc)
+    spark = points.sparkSession
+    offsets = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+         if not (dx == 0 and dy == 0)],
+        "dx long, dy long",
+    )
+    shifted = (
+        core_enc.crossJoin(F.broadcast(offsets))
+        .select(
+            (F.col("cx") + F.col("dx")).alias("nx"),
+            (F.col("cy") + F.col("dy")).alias("ny"),
+            F.col("cell_id").alias("id_a"),
+        )
+    )
+    neighbor = core_enc.select(
+        F.col("cx").alias("nx"), F.col("cy").alias("ny"),
+        F.col("cell_id").alias("id_b"),
+    )
+    adj = (
+        shifted.join(neighbor, ["nx", "ny"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    comp = connected_components_star(
+        adj,
+        nodes=core_enc.select(F.col("cell_id").alias("id")),
+    )
+    labeled = core_enc.join(
+        comp, core_enc["cell_id"] == comp["id"]
+    ).select(
+        F.col("component").alias("cluster_id"),
+        F.col("n_points"),
+    )
+    return labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("n_points").cast("long").alias("n_points"),
+    )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    treat_col: Column,
+    post_col: Column,
+    value_col: str,
+) -> DataFrame:
+    """Difference-in-differences estimate with its standard error —
+    the workhorse quasi-experimental effect estimator (Card & Krueger
+    1994 popularized it, public): DiD = (T_post − T_pre) −
+    (C_post − C_pre), SE from the four cells' sample variances
+    (Welch-style), t = DiD/SE.
+
+    EXACTNESS: integer values (cents, the CONTRACT); the four cells'
+    (n, Σx, Σx²) come from ONE conditional moment pass (squares as
+    DECIMAL(38,0)); means/variances/DiD/SE/t are fixed double shapes
+    rounded to 6; ``significant`` uses the unrounded t.
+
+    → one row: ``(n_t_pre, n_t_post, n_c_pre, n_c_post, did, se,
+    t_stat, significant)``.
+    """
+    d38 = "decimal(38,0)"
+    x = F.col(value_col).cast("long")
+    base = df.select(
+        treat_col.alias("t"), post_col.alias("p"), x.alias("x")
+    )
+
+    def _cell(tv: bool, pv: bool, suffix: str) -> list[Column]:
+        flag = (F.col("t") == tv) & (F.col("p") == pv)
+        z = F.lit(0).cast("long")
+        return [
+            F.sum(F.when(flag, 1).otherwise(0)).cast("long").alias(f"n_{suffix}"),
+            F.sum(F.when(flag, F.col("x")).otherwise(z)).cast("long").alias(f"s_{suffix}"),
+            F.sum(F.when(flag, (F.col("x") * F.col("x")).cast(d38)).otherwise(F.lit(0).cast(d38))).alias(f"q_{suffix}"),
+        ]
+
+    m = base.agg(
+        *_cell(True, False, "t_pre"),
+        *_cell(True, True, "t_post"),
+        *_cell(False, False, "c_pre"),
+        *_cell(False, True, "c_post"),
+    )
+
+    def _mean(sfx: str) -> Column:
+        return F.col(f"s_{sfx}").cast("double") / F.col(f"n_{sfx}").cast("double")
+
+    def _varn(sfx: str) -> Column:
+        n = F.col(f"n_{sfx}").cast("double")
+        s = F.col(f"s_{sfx}").cast("double")
+        q = F.col(f"q_{sfx}").cast("double")
+        return ((q - s * s / n) / (n - 1.0)) / n
+
+    did = (_mean("t_post") - _mean("t_pre")) - (
+        _mean("c_post") - _mean("c_pre")
+    )
+    se2 = _varn("t_post") + _varn("t_pre") + _varn("c_post") + _varn("c_pre")
+    se = F.sqrt(se2)
+    t = F.when(se2 > 0, did / se).otherwise(F.lit(0.0))
+    return m.select(
+        "n_t_pre",
+        "n_t_post",
+        "n_c_pre",
+        "n_c_post",
+        F.round(did, 6).alias("did"),
+        F.round(se, 6).alias("se"),
+        F.round(t, 6).alias("t_stat"),
+        (F.abs(t) > F.lit(1.96)).alias("significant"),
+    )

@@ -6333,3 +6333,100 @@ SELECT grp AS source, n_terms_fit,
   round(r2, 6) AS r2
 FROM sl
 """
+
+
+# Grid-cell DBSCAN — mirrors relational.grid_dbscan over the md5
+# customer coordinates: ppm-quantized cell floors, core cells >= 3,
+# 8-neighbor adjacency, recursive-closure min-label components.
+ORACLES["geo_hotspot_clusters"] = f"""
+WITH RECURSIVE pts AS (
+  SELECT c_custkey AS pid,
+    round(({_GEO_FRAC('lat')}) * 10, 6) AS x,
+    round(({_GEO_FRAC('lon')}) * 10, 6) AS y
+  FROM customer),
+cells AS (
+  SELECT CAST(floor(CAST(x AS DECIMAL(18,6)) * 1000000 / 250000) AS BIGINT)
+      AS cx,
+    CAST(floor(CAST(y AS DECIMAL(18,6)) * 1000000 / 250000) AS BIGINT)
+      AS cy,
+    CAST(count(*) AS BIGINT) AS n_points
+  FROM pts GROUP BY 1, 2),
+core AS (
+  SELECT cx, cy, n_points,
+    CAST((cx + 1000000) * 4000000 + (cy + 1000000) AS BIGINT) AS cell_id
+  FROM cells WHERE n_points >= 3),
+offs AS (
+  SELECT unnest([-1, -1, -1, 0, 0, 1, 1, 1]) AS dx,
+    unnest([-1, 0, 1, -1, 1, -1, 0, 1]) AS dy),
+adj AS (
+  SELECT DISTINCT a.cell_id AS id_a, b.cell_id AS id_b
+  FROM core a CROSS JOIN offs o
+  JOIN core b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+  WHERE a.cell_id < b.cell_id),
+und AS (
+  SELECT id_a AS src, id_b AS dst FROM adj
+  UNION SELECT id_b, id_a FROM adj),
+reach(src, dst) AS (
+  SELECT src, dst FROM und
+  UNION
+  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
+comp AS (
+  SELECT src AS id, least(src, MIN(dst)) AS c FROM reach GROUP BY src)
+SELECT CAST(COALESCE(comp.c, core.cell_id) AS BIGINT) AS cluster_id,
+  CAST(count(*) AS BIGINT) AS n_cells,
+  CAST(sum(core.n_points) AS BIGINT) AS n_points
+FROM core LEFT JOIN comp ON comp.id = core.cell_id
+GROUP BY 1
+"""
+
+
+# Difference-in-differences — mirrors relational.diff_in_diff: hash
+# treatment split, midpoint time split, one four-cell conditional
+# moment pass (squares HUGEINT), Welch-style SE, fixed double shapes.
+ORACLES["did_weekend_premium"] = """
+WITH rng AS (
+  SELECT min(CAST(ts AS DATE)) AS mn, max(CAST(ts AS DATE)) AS mx
+  FROM events),
+base AS (
+  SELECT
+    ((CAST(list_sum([(strpos('0123456789abcdef', substr(md5('did' || '|' || CAST(user_id AS VARCHAR)), j, 1)) - 1) * power(16, 8 - j) for j in range(1, 9)]) AS BIGINT)) / 4294967296.0) < 0.5 AS t,
+    date_diff('day', rng.mn, CAST(ts AS DATE))
+      > date_diff('day', rng.mn, rng.mx) / 2 AS p,
+    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+  FROM events CROSS JOIN rng),
+m AS (
+  SELECT
+    CAST(sum(CASE WHEN t AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS n_t_pre,
+    CAST(sum(CASE WHEN t AND NOT p THEN x ELSE 0 END) AS BIGINT) AS s_t_pre,
+    sum(CASE WHEN t AND NOT p THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS q_t_pre,
+    CAST(sum(CASE WHEN t AND p THEN 1 ELSE 0 END) AS BIGINT) AS n_t_post,
+    CAST(sum(CASE WHEN t AND p THEN x ELSE 0 END) AS BIGINT) AS s_t_post,
+    sum(CASE WHEN t AND p THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS q_t_post,
+    CAST(sum(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS n_c_pre,
+    CAST(sum(CASE WHEN NOT t AND NOT p THEN x ELSE 0 END) AS BIGINT) AS s_c_pre,
+    sum(CASE WHEN NOT t AND NOT p THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS q_c_pre,
+    CAST(sum(CASE WHEN NOT t AND p THEN 1 ELSE 0 END) AS BIGINT) AS n_c_post,
+    CAST(sum(CASE WHEN NOT t AND p THEN x ELSE 0 END) AS BIGINT) AS s_c_post,
+    sum(CASE WHEN NOT t AND p THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS q_c_post
+  FROM base),
+fin AS (
+  SELECT *,
+    (CAST(s_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE)
+     - CAST(s_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE))
+    - (CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE)
+       - CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE)) AS did_raw,
+    ((CAST(q_t_post AS DOUBLE) - CAST(s_t_post AS DOUBLE) * CAST(s_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE)) / (CAST(n_t_post AS DOUBLE) - 1.0)) / CAST(n_t_post AS DOUBLE)
+    + ((CAST(q_t_pre AS DOUBLE) - CAST(s_t_pre AS DOUBLE) * CAST(s_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE)) / (CAST(n_t_pre AS DOUBLE) - 1.0)) / CAST(n_t_pre AS DOUBLE)
+    + ((CAST(q_c_post AS DOUBLE) - CAST(s_c_post AS DOUBLE) * CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE)) / (CAST(n_c_post AS DOUBLE) - 1.0)) / CAST(n_c_post AS DOUBLE)
+    + ((CAST(q_c_pre AS DOUBLE) - CAST(s_c_pre AS DOUBLE) * CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE)) / (CAST(n_c_pre AS DOUBLE) - 1.0)) / CAST(n_c_pre AS DOUBLE)
+      AS se2
+  FROM m)
+SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+  round(did_raw, 6) AS did,
+  round(sqrt(se2), 6) AS se,
+  round(CASE WHEN se2 > 0 THEN did_raw / sqrt(se2) ELSE 0.0 END, 6)
+    AS t_stat,
+  abs(CASE WHEN se2 > 0 THEN did_raw / sqrt(se2) ELSE 0.0 END) > 1.96
+    AS significant
+FROM fin
+"""

@@ -1168,3 +1168,24 @@ def test_zipf_rank_window_is_keyed(spark):
     win_ids = [int(i) for i in re.findall(r"Window \((\d+)\)", plan)]
     agg_ids = [int(i) for i in re.findall(r"HashAggregate \((\d+)\)", plan)]
     assert min(agg_ids) < min(win_ids), plan
+
+
+def test_grid_dbscan_adjacency_is_equi_join(spark):
+    """The 8-neighborhood is a broadcast offset explode + equi-join on
+    shifted cell coords — never a spatial cross product; the corpus is
+    collapsed by the cell-keyed count first."""
+    plan = plan_of(entry_mod.queries()["geo_hotspot_clusters"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_did_is_single_conditional_pass(spark):
+    """All four cells' moments come from ONE aggregation over the
+    event scan — no join of four subqueries, no window."""
+    plan = plan_of(entry_mod.queries()["did_weekend_premium"](spark, SF_DIR))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "events.parquet" in plan
+    # two scans only (moments + the 1-row date range); formatted plans
+    # print each node twice (tree + detail)
+    assert plan.count("Scan parquet") <= 4, plan

@@ -1,0 +1,117 @@
+"""Unit/property tests for the round-8 seventeenth batch: grid-cell
+DBSCAN and the difference-in-differences estimator.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from datapipelines_essentials_python_spark.operators.relational import (
+    diff_in_diff,
+    grid_dbscan,
+)
+
+
+# ------------------------------------------------- grid dbscan
+
+
+def test_dbscan_two_separated_blobs(spark):
+    """Two dense blobs far apart -> two clusters with the right point
+    mass; a lone point elsewhere is noise (absent)."""
+    blob_a = [(i, 1.0 + (i % 3) * 0.01, 1.0 + (i // 3) * 0.01)
+              for i in range(9)]
+    blob_b = [(100 + i, 8.0 + (i % 3) * 0.01, 8.0 + (i // 3) * 0.01)
+              for i in range(9)]
+    lone = [(999, 5.0, 5.0)]
+    df = spark.createDataFrame(blob_a + blob_b + lone,
+                               "pid long, x double, y double")
+    out = grid_dbscan(df, "pid", "x", "y", eps=0.5, min_pts=3).collect()
+    assert len(out) == 2
+    assert sorted(r["n_points"] for r in out) == [9, 9]
+
+
+def test_dbscan_diagonal_adjacency_merges(spark):
+    """Core cells touching only DIAGONALLY still merge (8-neighborhood,
+    not 4): points in cells (0,0) and (1,1)."""
+    a = [(i, 0.1, 0.1) for i in range(5)]
+    b = [(10 + i, 1.1, 1.1) for i in range(5)]
+    df = spark.createDataFrame(a + b, "pid long, x double, y double")
+    out = grid_dbscan(df, "pid", "x", "y", eps=1.0, min_pts=3).collect()
+    assert len(out) == 1
+    assert out[0]["n_cells"] == 2
+    assert out[0]["n_points"] == 10
+
+
+def test_dbscan_min_pts_gate(spark):
+    """A 2-point cell never becomes core at min_pts=3."""
+    df = spark.createDataFrame(
+        [(1, 0.1, 0.1), (2, 0.15, 0.12)], "pid long, x double, y double"
+    )
+    assert grid_dbscan(df, "pid", "x", "y", eps=1.0, min_pts=3).collect() == []
+
+
+def test_dbscan_long_chain_converges(spark):
+    """A 60-cell chain of core cells is ONE cluster — the pointer-
+    jumping requirement (min-label propagation would need 60 rounds)."""
+    rows = []
+    for c in range(60):
+        for j in range(3):
+            rows.append((c * 10 + j, c + 0.5, 0.5))
+    df = spark.createDataFrame(rows, "pid long, x double, y double")
+    out = grid_dbscan(df, "pid", "x", "y", eps=1.0, min_pts=3).collect()
+    assert len(out) == 1
+    assert out[0]["n_cells"] == 60
+    assert out[0]["n_points"] == 180
+
+
+# ------------------------------------------------- diff in diff
+
+
+def _did_reference(cells):
+    means = {k: sum(v) / len(v) for k, v in cells.items()}
+    did = (means[("t", "post")] - means[("t", "pre")]) - (
+        means[("c", "post")] - means[("c", "pre")]
+    )
+    se2 = 0.0
+    for v in cells.values():
+        m = sum(v) / len(v)
+        var = sum((x - m) ** 2 for x in v) / (len(v) - 1)
+        se2 += var / len(v)
+    return did, math.sqrt(se2)
+
+
+def test_did_recovers_planted_effect(spark):
+    """Treatment gains +50 in post while control gains +10: DiD = 40,
+    matching the sequential reference with its SE."""
+    cells = {
+        ("t", "pre"): [100, 110, 120, 130],
+        ("t", "post"): [155, 165, 175, 185],  # +55 raw, +50 vs control drift
+        ("c", "pre"): [200, 210, 220, 230],
+        ("c", "post"): [215, 225, 235, 245],  # +15
+    }
+    rows = []
+    for (t, p), vals in cells.items():
+        rows += [(t == "t", p == "post", v) for v in vals]
+    df = spark.createDataFrame(rows, "t boolean, p boolean, v long")
+    r = diff_in_diff(df, F.col("t"), F.col("p"), "v").collect()[0]
+    did, se = _did_reference(cells)
+    assert r["did"] == pytest.approx(did, abs=1e-6)
+    assert r["se"] == pytest.approx(se, abs=1e-6)
+    assert r["did"] == pytest.approx(40.0, abs=1e-6)
+    assert bool(r["significant"]) == (abs(did / se) > 1.96)
+
+
+def test_did_placebo_is_zero(spark):
+    """Identical trends in both arms: DiD exactly 0, not significant."""
+    rows = []
+    for t in (True, False):
+        rows += [(t, False, v) for v in (10, 20, 30)]
+        rows += [(t, True, v) for v in (40, 50, 60)]
+    df = spark.createDataFrame(rows, "t boolean, p boolean, v long")
+    r = diff_in_diff(df, F.col("t"), F.col("p"), "v").collect()[0]
+    assert r["did"] == 0.0
+    assert not r["significant"]
+    assert r["n_t_pre"] == 3 and r["n_c_post"] == 3
