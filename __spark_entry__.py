@@ -5897,6 +5897,33 @@ def did_weekend_premium(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cache_hit_curve_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cache-admission hit-rate curve (``relational.cache_hit_curve``)
+    over event user keys at k ∈ {10, 100, 1000}: what share of event
+    traffic the top-k hottest users account for — the broadcast/pin
+    capacity-planning curve next to ``skew_profile_events``. Exact
+    micro hit rates off one keyed count + a distinct-key rank."""
+    ev = load_table(spark, sf_dir, "events")
+    return rel_ops.cache_hit_curve(ev, "user_id", [10, 100, 1000])
+
+
+def char_entropy_gibberish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy gibberish detection (``text.char_entropy``)
+    over every 20th document (bounded output): natural text ~4 bits
+    per char; mashes and blobs fall out at the 2.0 threshold. Per-doc
+    9dp-decimal-quantized p·log2 p folds, scan-linear char explode."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True).where(
+        F.col("doc_id") % 20 == 0
+    )
+    return text_ops.char_entropy(docs, "doc_id", "text").select(
+        F.col("id").cast("long").alias("doc_id"),
+        "n_chars",
+        "n_distinct_chars",
+        "char_entropy",
+        "is_low_entropy",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # The driver's CORRECTNESS gate records only the first 50 entries.
@@ -6199,6 +6226,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit_sources": zipf_fit_sources,
         "geo_hotspot_clusters": geo_hotspot_clusters,
         "did_weekend_premium": did_weekend_premium,
+        "cache_hit_curve_users": cache_hit_curve_users,
+        "char_entropy_gibberish": char_entropy_gibberish,
     }
 
 

@@ -297,6 +297,8 @@ HEADLINE = [
     "zipf_fit_sources",
     "geo_hotspot_clusters",
     "did_weekend_premium",
+    "cache_hit_curve_users",
+    "char_entropy_gibberish",
 ]
 
 

@@ -3312,3 +3312,60 @@ def diff_in_diff(
         F.round(t, 6).alias("t_stat"),
         (F.abs(t) > F.lit(1.96)).alias("significant"),
     )
+
+
+def cache_hit_curve(
+    df: DataFrame,
+    key_col: str,
+    k_values: list[int],
+) -> DataFrame:
+    """Cache-admission hit-rate curve: if the TOP-k hottest keys were
+    pinned (LFU-style), what share of accesses would hit — the
+    capacity-planning curve behind dictionary pinning, broadcast-side
+    caching, and hot-partition replication ("how much skew can k slots
+    absorb?"). Reads next to ``heavy_hitters`` / ``skew_profile``.
+
+    All exact: one key-keyed count collapses the accesses; keys rank
+    by (count DESC, key ASC); per k the covered mass is a conditional
+    sum and ``hit_micro`` is truncating division. ``k_values`` is the
+    bounded contract; the rank window runs over DISTINCT keys (the
+    range-partition note of `range_partition_plan` applies when key
+    cardinality is extreme).
+
+    → ``(k, n_keys_total, covered_accesses, total_accesses,
+    hit_micro)``, one row per requested k.
+    """
+    if not k_values:
+        raise ValueError("cache_hit_curve needs at least one k")
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key").asc())
+    ranked = counts.select(
+        "cnt", F.row_number().over(w).cast("long").alias("r")
+    )
+    spark = df.sparkSession
+    ks = spark.createDataFrame(
+        [(int(k),) for k in sorted(set(k_values))], "k long"
+    )
+    tot = ranked.agg(
+        F.sum("cnt").cast("long").alias("total_accesses"),
+        F.count(F.lit(1)).cast("long").alias("n_keys_total"),
+    )
+    per_k = (
+        ranked.join(F.broadcast(ks), ranked["r"] <= ks["k"])
+        .groupBy("k")
+        .agg(F.sum("cnt").cast("long").alias("covered_accesses"))
+    )
+    out = ks.join(per_k, "k", "left").crossJoin(F.broadcast(tot)).select(
+        "k",
+        "n_keys_total",
+        F.coalesce(F.col("covered_accesses"), F.lit(0).cast("long")).alias(
+            "covered_accesses"
+        ),
+        "total_accesses",
+    )
+    return out.withColumn(
+        "hit_micro",
+        F.expr("CAST((covered_accesses * 1000000) div total_accesses AS BIGINT)"),
+    )

@@ -1448,3 +1448,68 @@ def zipf_fit(
         F.round(intercept, 6).alias("zipf_intercept"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+def char_entropy(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    low_threshold: float = 2.0,
+) -> DataFrame:
+    """Per-document CHARACTER-level Shannon entropy — the gibberish /
+    keyboard-mash / base64-blob detector that token-level signals miss
+    (a blob is ONE token; its characters still give it away: natural
+    English runs ~4.0-4.4 bits/char, 'aaaa…' near 0, uniform random
+    bytes near 8). The flag column gates the obvious degenerates.
+
+    Exactness (the entropy discipline, doc-grain): per (doc, char)
+    counts are exact; each p·log2 p term is rounded to 9 dp and summed
+    as DECIMAL so the per-doc fold is order-independent; the final
+    entropy is rounded to 6.
+
+    Scale: the char explode is length×rows — scan-linear, shuffled on
+    (doc, char) with map-side partials (≤ alphabet-size state per
+    doc), then one doc-keyed fold.
+
+    → ``(id, n_chars, n_distinct_chars, char_entropy, is_low_entropy)``.
+    """
+    dc = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), "")).alias("ch"),
+        )
+        .where(F.col("ch") != "")
+        .groupBy("id", "ch")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    totals = dc.groupBy("id").agg(
+        F.sum("cnt").cast("long").alias("n_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+    )
+    p = F.col("cnt").cast("double") / F.col("n_chars").cast("double")
+    # EXPLICIT ln ratio, never log2(): Spark's log2 is ln/ln2 while
+    # DuckDB's is native — they disagreed at the 9dp rounding boundary
+    # on exactly one sf0.1 doc (the degree_assortativity lesson,
+    # re-learned at doc grain where 200k rounded terms buy more
+    # collision lottery tickets)
+    term = F.round(p * (F.log(p) / F.log(F.lit(2.0))), 9).cast(
+        "decimal(28,12)"
+    )
+    ent = (
+        dc.join(totals, "id")
+        .groupBy("id")
+        .agg(
+            F.max("n_chars").alias("n_chars"),
+            F.max("n_distinct_chars").alias("n_distinct_chars"),
+            # NO final 6dp round: the exact DECIMAL term sum casts to
+            # the same double on both engines, while round(x, 6) hit a
+            # perfect half tie (sum = -4.1438415 on one sf0.1 doc —
+            # Spark HALF_UPs the shortest decimal, DuckDB rounds the
+            # binary double, and they split). The value is already
+            # 9dp-quantized by the term rounding.
+            (-F.sum(term)).cast("double").alias("char_entropy"),
+        )
+    )
+    return ent.withColumn(
+        "is_low_entropy", F.col("char_entropy") < F.lit(float(low_threshold))
+    )

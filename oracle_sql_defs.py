@@ -6430,3 +6430,62 @@ SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
     AS significant
 FROM fin
 """
+
+
+# Cache hit curve — mirrors relational.cache_hit_curve on event user
+# keys: (count DESC, key ASC) ranks, conditional covered mass,
+# truncating micro division.
+ORACLES["cache_hit_curve_users"] = """
+WITH counts AS (
+  SELECT user_id AS key, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1),
+ranked AS (
+  SELECT cnt,
+    CAST(row_number() OVER (ORDER BY cnt DESC, key ASC) AS BIGINT) AS r
+  FROM counts),
+ks AS (SELECT unnest([10, 100, 1000]) AS k),
+tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS total_accesses,
+    CAST(count(*) AS BIGINT) AS n_keys_total
+  FROM ranked),
+per_k AS (
+  SELECT ks.k, CAST(sum(ranked.cnt) AS BIGINT) AS covered_accesses
+  FROM ranked JOIN ks ON ranked.r <= ks.k GROUP BY 1)
+SELECT CAST(ks.k AS BIGINT) AS k, tot.n_keys_total,
+  COALESCE(per_k.covered_accesses, 0) AS covered_accesses,
+  tot.total_accesses,
+  CAST((COALESCE(per_k.covered_accesses, 0) * 1000000)
+       // tot.total_accesses AS BIGINT) AS hit_micro
+FROM ks LEFT JOIN per_k ON per_k.k = ks.k CROSS JOIN tot
+"""
+
+
+# Char entropy — mirrors text.char_entropy on every 20th doc: per
+# (doc, char) counts via per-character unnest, 9dp-rounded DECIMAL
+# p*log2 p terms, doc-keyed fold.
+ORACLES["char_entropy_gibberish"] = """
+WITH dc AS (
+  SELECT doc_id AS id, unnest(string_split_regex(text, '')) AS ch
+  FROM documents WHERE doc_id % 20 = 0),
+dc2 AS (
+  SELECT id, ch, CAST(count(*) AS BIGINT) AS cnt
+  FROM dc WHERE ch <> '' GROUP BY 1, 2),
+totals AS (
+  SELECT id, CAST(sum(cnt) AS BIGINT) AS n_chars,
+    CAST(count(*) AS BIGINT) AS n_distinct_chars
+  FROM dc2 GROUP BY 1),
+terms AS (
+  SELECT d.id,
+    CAST(round((CAST(d.cnt AS DOUBLE) / CAST(t.n_chars AS DOUBLE))
+      * (ln(CAST(d.cnt AS DOUBLE) / CAST(t.n_chars AS DOUBLE))
+         / ln(CAST(2.0 AS DOUBLE))), 9)
+      AS DECIMAL(28,12)) AS term
+  FROM dc2 d JOIN totals t ON t.id = d.id),
+ent AS (
+  SELECT id, CAST(-sum(term) AS DOUBLE) AS char_entropy
+  FROM terms GROUP BY 1)
+SELECT CAST(t.id AS BIGINT) AS doc_id, t.n_chars, t.n_distinct_chars,
+  e.char_entropy,
+  e.char_entropy < 2.0 AS is_low_entropy
+FROM totals t JOIN ent e ON e.id = t.id
+"""

@@ -1189,3 +1189,27 @@ def test_did_is_single_conditional_pass(spark):
     # two scans only (moments + the 1-row date range); formatted plans
     # print each node twice (tree + detail)
     assert plan.count("Scan parquet") <= 4, plan
+
+
+def test_cache_hit_rank_is_post_agg(spark):
+    """One key-keyed count collapses the accesses; the rank window and
+    k joins run over the distinct-key table (agg ids below window)."""
+    import re
+
+    plan = plan_of(entry_mod.queries()["cache_hit_curve_users"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    win_ids = [int(i) for i in re.findall(r"Window \((\d+)\)", plan)]
+    agg_ids = [int(i) for i in re.findall(r"HashAggregate \((\d+)\)", plan)]
+    assert win_ids and agg_ids, plan
+    assert min(agg_ids) < min(win_ids), plan
+
+
+def test_char_entropy_is_keyed_aggs_only(spark):
+    """Char explode -> (doc, char) agg -> doc fold: no window, no
+    join back beyond the totals equi-join, no Python, and the explode
+    is the generate node."""
+    plan = plan_of(entry_mod.queries()["char_entropy_gibberish"](spark, SF_DIR))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "Generate" in plan, plan

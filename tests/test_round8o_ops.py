@@ -115,3 +115,83 @@ def test_did_placebo_is_zero(spark):
     assert r["did"] == 0.0
     assert not r["significant"]
     assert r["n_t_pre"] == 3 and r["n_c_post"] == 3
+
+
+# ------------------------------------------------- cache hit curve
+
+
+def test_cache_hit_exact_shares(spark):
+    """Keys with counts 50/30/20: top-1 covers 50%, top-2 80%,
+    top-k>n covers 100%."""
+    from datapipelines_essentials_python_spark.operators.relational import (
+        cache_hit_curve,
+    )
+
+    rows = [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 20
+    df = spark.createDataFrame(rows, "k string")
+    got = {r["k"]: r for r in cache_hit_curve(df, "k", [1, 2, 10]).collect()}
+    assert got[1]["hit_micro"] == 500_000
+    assert got[2]["hit_micro"] == 800_000
+    assert got[10]["hit_micro"] == 1_000_000
+    assert got[1]["n_keys_total"] == 3
+
+
+def test_cache_hit_count_tie_breaks_by_key(spark):
+    """Counts tie: rank order is (count DESC, key ASC), so top-1 is
+    the alphabetically first of the tied keys — deterministic."""
+    from datapipelines_essentials_python_spark.operators.relational import (
+        cache_hit_curve,
+    )
+
+    rows = [("zz",)] * 10 + [("aa",)] * 10
+    df = spark.createDataFrame(rows, "k string")
+    got = {r["k"]: r for r in cache_hit_curve(df, "k", [1]).collect()}
+    assert got[1]["covered_accesses"] == 10
+    assert got[1]["hit_micro"] == 500_000
+
+
+# ------------------------------------------------- char entropy
+
+
+def test_char_entropy_degenerate_vs_natural(spark):
+    """'aaaa…' has entropy 0 (flagged); varied text clears the 2.0
+    threshold; exact two-symbol half-half gives exactly 1 bit."""
+    from datapipelines_essentials_python_spark.operators.text import (
+        char_entropy,
+    )
+
+    rows = [
+        (1, "a" * 64),
+        (2, "ab" * 32),
+        (3, "the quick brown fox jumps over the lazy dog"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r for r in char_entropy(df, "id", "text").collect()}
+    assert got[1]["char_entropy"] == 0.0 and got[1]["is_low_entropy"]
+    assert got[2]["char_entropy"] == pytest.approx(1.0, abs=1e-6)
+    assert got[2]["is_low_entropy"]
+    assert got[3]["char_entropy"] > 3.5 and not got[3]["is_low_entropy"]
+
+
+def test_char_entropy_matches_sequential(spark):
+    """Pseudo-random text vs a pure-Python fold with the same 9dp term
+    rounding."""
+    import math
+    from collections import Counter
+    from decimal import Decimal
+
+    from datapipelines_essentials_python_spark.operators.text import (
+        char_entropy,
+    )
+
+    txt = "".join(chr(97 + (i * 7) % 13) for i in range(500))
+    df = spark.createDataFrame([(1, txt)], "id long, text string")
+    c = Counter(txt)
+    n = sum(c.values())
+    total = Decimal(0)
+    for cnt in c.values():
+        p = cnt / n
+        total += Decimal(str(round(p * (math.log(p) / math.log(2.0)), 9)))
+    r = char_entropy(df, "id", "text").collect()[0]
+    assert r["char_entropy"] == pytest.approx(-float(total), abs=1e-9)
+    assert r["n_distinct_chars"] == 13
