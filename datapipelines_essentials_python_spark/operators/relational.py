@@ -1935,7 +1935,6 @@ def kendall_tau_binned(
     )
     tot = cells.groupBy("g").agg(F.sum("w").cast("long").alias("n"))
     j = tot.join(cd, "g", "left").join(tx, "g").join(ty, "g")
-    n = F.col("n")
     n0 = F.expr("(n * (n - 1)) div 2")
     c = F.coalesce(F.col("concordant"), F.lit(0))
     d = F.coalesce(F.col("discordant"), F.lit(0))
