@@ -5924,6 +5924,45 @@ def char_entropy_gibberish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def wilson_en_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95% score interval (``relational.wilson_intervals``) for
+    each source's English-document rate — the small-segment-safe CI
+    the naive normal interval gets wrong near 0/1. Exact conditional
+    counts, fixed double interval shapes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return rel_ops.wilson_intervals(
+        docs, "source", F.col("lang") == "en", z=1.96
+    ).select(
+        F.col("group").alias("source"),
+        "n",
+        "successes",
+        "rate",
+        "ci_low",
+        "ci_high",
+    )
+
+
+def eb_shrunk_en_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes beta-binomial shrinkage
+    (``relational.eb_shrunk_rates``) of per-source English rates — the
+    smoothed-rate companion of ``wilson_en_rate``: a MoM Beta prior
+    fitted to the group-rate table pulls small sources toward the
+    corpus mean. Bounded-group prior fit via one broadcast scalar
+    row."""
+    docs = load_table(spark, sf_dir, "documents")
+    return rel_ops.eb_shrunk_rates(
+        docs, "source", F.col("lang") == "en"
+    ).select(
+        F.col("group").alias("source"),
+        "n",
+        "successes",
+        "raw_rate",
+        "alpha",
+        "beta",
+        "shrunk_rate",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # The driver's CORRECTNESS gate records only the first 50 entries.
@@ -6228,6 +6267,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "did_weekend_premium": did_weekend_premium,
         "cache_hit_curve_users": cache_hit_curve_users,
         "char_entropy_gibberish": char_entropy_gibberish,
+        "wilson_en_rate": wilson_en_rate,
+        "eb_shrunk_en_rate": eb_shrunk_en_rate,
     }
 
 

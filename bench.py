@@ -299,6 +299,8 @@ HEADLINE = [
     "did_weekend_premium",
     "cache_hit_curve_users",
     "char_entropy_gibberish",
+    "wilson_en_rate",
+    "eb_shrunk_en_rate",
 ]
 
 

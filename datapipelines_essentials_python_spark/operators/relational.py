@@ -3368,3 +3368,111 @@ def cache_hit_curve(
         "hit_micro",
         F.expr("CAST((covered_accesses * 1000000) div total_accesses AS BIGINT)"),
     )
+
+
+def wilson_intervals(
+    df: DataFrame,
+    group_col: str,
+    success_col: Column,
+    z: float = 1.96,
+) -> DataFrame:
+    """Wilson score interval per group for a binomial proportion — the
+    small-n-safe confidence interval (Wilson 1927, public) that the
+    naive ±z√(p(1−p)/n) gets wrong exactly where it matters (rates
+    near 0/1, small segments): lower/upper =
+    ``(p + z²/2n ± z·√(p(1−p)/n + z²/4n²)) / (1 + z²/n)``.
+
+    Counts are exact BIGINT from one conditional agg; the interval is
+    fixed double shapes over them, rounded to 6. z is a caller
+    constant (1.96 = 95%).
+
+    → ``(group, n, successes, rate, ci_low, ci_high)``.
+    """
+    m = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(success_col, 1).otherwise(0)).cast("long").alias(
+            "successes"
+        ),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("successes").cast("double") / n
+    z2 = float(z) * float(z)
+    center = p + z2 / (2.0 * n)
+    half = float(z) * F.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+    denom = 1.0 + z2 / n
+    return m.select(
+        "group",
+        "n",
+        "successes",
+        F.round(p, 6).alias("rate"),
+        F.round((center - half) / denom, 6).alias("ci_low"),
+        F.round((center + half) / denom, 6).alias("ci_high"),
+    )
+
+
+def eb_shrunk_rates(
+    df: DataFrame,
+    group_col: str,
+    success_col: Column,
+) -> DataFrame:
+    """Empirical-Bayes (beta-binomial) shrinkage of per-group rates:
+    fit a Beta(α, β) prior to the OBSERVED group rates by method of
+    moments, then report each group's posterior mean
+    ``(x + α)/(n + α + β)`` — the smoothed-CTR workhorse that stops a
+    2-of-3 segment outranking a 400-of-1000 one (Robbins 1956 /
+    the standard MoM recipe, public).
+
+    Determinism: group counts are exact BIGINT; the prior moments are
+    computed from the group-rate table (group-cardinality, bounded) as
+    fixed double shapes via a 1-row broadcast; the shrunk rate is one
+    more fixed shape rounded to 6. Degenerate prior variance (all
+    groups identical) falls back to the raw rate.
+
+    → ``(group, n, successes, raw_rate, alpha, beta, shrunk_rate)``
+    with the fitted prior repeated (grain: group).
+    """
+    m = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(success_col, 1).otherwise(0)).cast("long").alias(
+            "successes"
+        ),
+    )
+    rate = F.col("successes").cast("double") / F.col("n").cast("double")
+    rated = m.withColumn("__r", F.round(rate, 9))
+    # prior moments over the GROUP-RATE table (bounded): mean and
+    # variance of rates as fixed shapes from 9dp-rounded decimal sums
+    stats = rated.agg(
+        F.count(F.lit(1)).cast("long").alias("__k"),
+        F.sum(F.col("__r").cast("decimal(28,12)")).alias("__sr"),
+        F.sum(
+            (F.col("__r") * F.col("__r")).cast("decimal(28,12)")
+        ).alias("__sr2"),
+    )
+    j = rated.crossJoin(F.broadcast(stats))
+    k = F.col("__k").cast("double")
+    mu = F.col("__sr").cast("double") / k
+    var = F.col("__sr2").cast("double") / k - mu * mu
+    # method of moments: alpha+beta = mu(1-mu)/var - 1 (guarded)
+    strength = F.when(
+        (var > 0) & (mu > 0) & (mu < 1) & (mu * (1.0 - mu) > var),
+        mu * (1.0 - mu) / var - 1.0,
+    ).otherwise(F.lit(0.0))
+    alpha = mu * strength
+    beta = (1.0 - mu) * strength
+    # denominator uses `strength` directly, not alpha + beta: the two
+    # are equal mathematically but mu·s + (1−mu)·s can drift an ulp
+    # from s in IEEE — one fixed shape, mirrored verbatim in the oracle
+    shrunk = F.when(
+        strength > 0,
+        (F.col("successes").cast("double") + alpha)
+        / (F.col("n").cast("double") + strength),
+    ).otherwise(F.col("__r"))
+    return j.select(
+        "group",
+        "n",
+        "successes",
+        F.col("__r").alias("raw_rate"),
+        F.round(alpha, 6).alias("alpha"),
+        F.round(beta, 6).alias("beta"),
+        F.round(shrunk, 6).alias("shrunk_rate"),
+    )

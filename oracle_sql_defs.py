@@ -6489,3 +6489,66 @@ SELECT CAST(t.id AS BIGINT) AS doc_id, t.n_chars, t.n_distinct_chars,
   e.char_entropy < 2.0 AS is_low_entropy
 FROM totals t JOIN ent e ON e.id = t.id
 """
+
+
+# Wilson interval — mirrors relational.wilson_intervals (z = 1.96).
+ORACLES["wilson_en_rate"] = """
+WITH m AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+      AS successes
+  FROM documents GROUP BY 1),
+f AS (
+  SELECT source, n, successes,
+    CAST(successes AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+    CAST(n AS DOUBLE) AS nd
+  FROM m)
+SELECT source, n, successes,
+  round(p, 6) AS rate,
+  round((p + 3.8416 / (2.0 * nd)
+         - 1.96 * sqrt(p * (1.0 - p) / nd + 3.8416 / (4.0 * nd * nd)))
+        / (1.0 + 3.8416 / nd), 6) AS ci_low,
+  round((p + 3.8416 / (2.0 * nd)
+         + 1.96 * sqrt(p * (1.0 - p) / nd + 3.8416 / (4.0 * nd * nd)))
+        / (1.0 + 3.8416 / nd), 6) AS ci_high
+FROM f
+"""
+
+
+# EB beta-binomial shrinkage — mirrors relational.eb_shrunk_rates:
+# MoM prior from the 9dp-rounded group-rate table, posterior mean.
+ORACLES["eb_shrunk_en_rate"] = """
+WITH m AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+      AS successes
+  FROM documents GROUP BY 1),
+rated AS (
+  SELECT *, round(CAST(successes AS DOUBLE) / CAST(n AS DOUBLE), 9) AS r
+  FROM m),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+    sum(CAST(r AS DECIMAL(28,12))) AS sr,
+    sum(CAST(r * r AS DECIMAL(28,12))) AS sr2
+  FROM rated),
+j AS (
+  SELECT rated.*, stats.k, stats.sr, stats.sr2,
+    CAST(stats.sr AS DOUBLE) / CAST(stats.k AS DOUBLE) AS mu,
+    CAST(stats.sr2 AS DOUBLE) / CAST(stats.k AS DOUBLE)
+      - (CAST(stats.sr AS DOUBLE) / CAST(stats.k AS DOUBLE))
+        * (CAST(stats.sr AS DOUBLE) / CAST(stats.k AS DOUBLE)) AS var
+  FROM rated CROSS JOIN stats),
+pri AS (
+  SELECT *,
+    CASE WHEN var > 0 AND mu > 0 AND mu < 1 AND mu * (1.0 - mu) > var
+      THEN mu * (1.0 - mu) / var - 1.0 ELSE 0.0 END AS strength
+  FROM j)
+SELECT source, n, successes, r AS raw_rate,
+  round(mu * strength, 6) AS alpha,
+  round((1.0 - mu) * strength, 6) AS beta,
+  round(CASE WHEN strength > 0
+    THEN (CAST(successes AS DOUBLE) + mu * strength)
+         / (CAST(n AS DOUBLE) + strength)
+    ELSE r END, 6) AS shrunk_rate
+FROM pri
+"""

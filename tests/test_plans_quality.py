@@ -1213,3 +1213,21 @@ def test_char_entropy_is_keyed_aggs_only(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
     assert "Generate" in plan, plan
+
+
+def test_wilson_single_conditional_agg(spark):
+    """One corpus-sized conditional count; intervals are scalar shapes
+    on the group table — no window, no join, no Python."""
+    plan = plan_of(entry_mod.queries()["wilson_en_rate"](spark, SF_DIR))
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_eb_prior_is_one_broadcast_scalar(spark):
+    """The MoM prior fit runs over the group-rate table and comes back
+    as a 1-row broadcast — the corpus is scanned once."""
+    plan = plan_of(entry_mod.queries()["eb_shrunk_en_rate"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert plan.count("Scan parquet") <= 4, plan

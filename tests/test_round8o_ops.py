@@ -195,3 +195,80 @@ def test_char_entropy_matches_sequential(spark):
     r = char_entropy(df, "id", "text").collect()[0]
     assert r["char_entropy"] == pytest.approx(-float(total), abs=1e-9)
     assert r["n_distinct_chars"] == 13
+
+
+# ------------------------------------------------- wilson / EB
+
+
+def test_wilson_matches_closed_form(spark):
+    """7 of 10: interval matches the textbook Wilson formula and
+    contains the point estimate; tighter than [0,1]."""
+    from datapipelines_essentials_python_spark.operators.relational import (
+        wilson_intervals,
+    )
+
+    rows = [("g", i < 7) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, y boolean")
+    r = wilson_intervals(df, "g", F.col("y")).collect()[0]
+    p, n, z = 0.7, 10, 1.96
+    denom = 1 + z * z / n
+    center = p + z * z / (2 * n)
+    half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+    assert r["ci_low"] == pytest.approx((center - half) / denom, abs=1e-6)
+    assert r["ci_high"] == pytest.approx((center + half) / denom, abs=1e-6)
+    assert r["ci_low"] < 0.7 < r["ci_high"]
+
+
+def test_wilson_extreme_rates_stay_in_bounds(spark):
+    """0-of-5 and 5-of-5: the Wilson interval stays inside [0, 1] and
+    is NOT degenerate (the naive interval collapses to a point)."""
+    from datapipelines_essentials_python_spark.operators.relational import (
+        wilson_intervals,
+    )
+
+    rows = [("zero", False)] * 5 + [("one", True)] * 5
+    df = spark.createDataFrame(rows, "g string, y boolean")
+    got = {r["group"]: r for r in
+           wilson_intervals(df, "g", F.col("y")).collect()}
+    assert 0.0 <= got["zero"]["ci_low"] and got["zero"]["ci_high"] > 0.0
+    assert got["one"]["ci_low"] < 1.0 and got["one"]["ci_high"] <= 1.0
+
+
+def test_eb_shrinks_small_groups_more(spark):
+    """A 2-of-3 segment shrinks toward the corpus mean far more than a
+    400-of-1000 one with the same raw direction."""
+    from datapipelines_essentials_python_spark.operators.relational import (
+        eb_shrunk_rates,
+    )
+
+    rows = []
+    rows += [("tiny", i < 2) for i in range(3)]          # 0.667 raw
+    rows += [("big", i < 400) for i in range(1000)]      # 0.4 raw
+    rows += [("mid1", i < 30) for i in range(100)]       # 0.3
+    rows += [("mid2", i < 50) for i in range(100)]       # 0.5
+    rows += [("mid3", i < 45) for i in range(100)]       # 0.45
+    df = spark.createDataFrame(rows, "g string, y boolean")
+    got = {r["group"]: r for r in
+           eb_shrunk_rates(df, "g", F.col("y")).collect()}
+    tiny_shift = abs(got["tiny"]["shrunk_rate"] - got["tiny"]["raw_rate"])
+    big_shift = abs(got["big"]["shrunk_rate"] - got["big"]["raw_rate"])
+    assert tiny_shift > big_shift
+    assert got["tiny"]["alpha"] > 0 and got["tiny"]["beta"] > 0
+    # posterior stays between raw rate and prior mean
+    mu = sum(v["raw_rate"] for v in got.values()) / len(got)
+    lo, hi = sorted((got["tiny"]["raw_rate"], mu))
+    assert lo - 1e-6 <= got["tiny"]["shrunk_rate"] <= hi + 1e-6
+
+
+def test_eb_degenerate_prior_falls_back(spark):
+    """All groups identical rates: prior variance 0 -> raw rates pass
+    through unshrunk."""
+    from datapipelines_essentials_python_spark.operators.relational import (
+        eb_shrunk_rates,
+    )
+
+    rows = [(g, i < 5) for g in ("a", "b", "c") for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, y boolean")
+    for r in eb_shrunk_rates(df, "g", F.col("y")).collect():
+        assert r["shrunk_rate"] == r["raw_rate"] == 0.5
+        assert r["alpha"] == 0.0
