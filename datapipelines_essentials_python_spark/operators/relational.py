@@ -346,6 +346,10 @@ def chi2_drift(
     bucket: Column = F.lit(0)
     for i, e in enumerate(edges):
         bucket = F.when(v >= F.lit(float(e)), F.lit(i + 1)).otherwise(bucket)
+    # NULL values get a DEDICATED bucket (-1) rather than silently
+    # falling through the NULL comparisons into bucket 0 (the
+    # psi_drift missingness discipline).
+    bucket = F.when(v.isNull(), F.lit(-1)).otherwise(bucket)
     is_ref = split_col
     per_bucket = df.select(
         bucket.alias("bucket"), is_ref.alias("is_ref")
@@ -1594,7 +1598,13 @@ def mann_kendall(
             .alias("__tie18"),
         )
     )
-    joined = tie.join(s_per_key, "key")
+    # LEFT join + coalesce: a single-point key has no i<j pair, so
+    # s_per_key carries no row for it — an inner join would silently
+    # drop the key from the output; instead it must surface as
+    # n_points=1, s_stat=0, var18=0, trend='flat'.
+    joined = tie.join(s_per_key, "key", "left").withColumn(
+        "s_stat", F.coalesce(F.col("s_stat"), F.lit(0).cast("long"))
+    )
     n_l = F.col("n_points")
     var18 = (n_l * (n_l - 1) * (2 * n_l + 5) - F.col("__tie18")).cast("long")
     s = F.col("s_stat")
@@ -3026,6 +3036,11 @@ def psi_drift(
     bucket: Column = F.lit(0)
     for i, e in enumerate(edges):
         bucket = F.when(v >= F.lit(float(e)), F.lit(i + 1)).otherwise(bucket)
+    # NULL values get a DEDICATED bucket (-1): every `v >= edge`
+    # comparison is NULL for a NULL value, so the when-chain would
+    # otherwise fall through to bucket 0 and silently conflate
+    # missingness with below-first-edge mass.
+    bucket = F.when(v.isNull(), F.lit(-1)).otherwise(bucket)
     per_bucket = df.select(
         bucket.alias("bucket"), split_col.alias("is_ref")
     ).groupBy("bucket").agg(
@@ -3199,7 +3214,31 @@ def grid_dbscan(
     )
     core = cells.where(F.col("n_points") >= F.lit(int(min_pts)))
     # encode cell id (coords are non-negative after the +OFFSET shift;
-    # generic inputs may be negative, so shift into positive range)
+    # generic inputs may be negative, so shift into positive range).
+    # The (cx+1e6)*4e6+(cy+1e6) packing is injective ONLY for cell
+    # indices in [-1e6, 3e6): outside that range two distinct cells
+    # can collide (or the id goes negative), which would silently
+    # merge unrelated clusters. The core-cell table is tiny (it is
+    # the post-agg grid), so one min/max job is a cheap guard.
+    bounds = core.agg(
+        F.min("cx").alias("x_lo"),
+        F.max("cx").alias("x_hi"),
+        F.min("cy").alias("y_lo"),
+        F.max("cy").alias("y_hi"),
+    ).collect()[0]
+    _lo, _hi = -1_000_000, 3_000_000
+    if bounds["x_lo"] is not None and (
+        bounds["x_lo"] < _lo
+        or bounds["x_hi"] >= _hi
+        or bounds["y_lo"] < _lo
+        or bounds["y_hi"] >= _hi
+    ):
+        raise ValueError(
+            "grid_dbscan: cell indices out of the injective encoding "
+            f"range [{_lo}, {_hi}): cx in [{bounds['x_lo']}, "
+            f"{bounds['x_hi']}], cy in [{bounds['y_lo']}, "
+            f"{bounds['y_hi']}]. Increase eps or rescale coordinates."
+        )
     offset = F.lit(1_000_000).cast("long")
     enc = ((F.col("cx") + offset) * F.lit(4_000_000).cast("long")
            + (F.col("cy") + offset)).cast("long")

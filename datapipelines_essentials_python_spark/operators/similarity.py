@@ -919,8 +919,21 @@ def ndcg_at_k(
         F.col(rel_totals.columns[0]).alias("query"),
         F.col(rel_totals.columns[1]).cast("long").alias("n_relevant_total"),
     )
+    # FULL outer join: a query present in rel_totals but with zero
+    # retrieved rows within top-k must still surface (n_retrieved=0,
+    # dcg=0, ndcg=0, mrr=0) — dropping it would silently overstate a
+    # downstream mean over this table. Queries retrieved but absent
+    # from rel_totals keep the n_relevant_total=0 treatment.
     joined = (
-        per_q.join(tot, "query", "left")
+        per_q.join(tot, "query", "full")
+        .withColumn(
+            "n_retrieved",
+            F.coalesce(F.col("n_retrieved"), F.lit(0).cast("long")),
+        )
+        .withColumn(
+            "dcg_micro",
+            F.coalesce(F.col("dcg_micro"), F.lit(0).cast("long")),
+        )
         .withColumn(
             "n_relevant_total",
             F.coalesce(F.col("n_relevant_total"), F.lit(0).cast("long")),

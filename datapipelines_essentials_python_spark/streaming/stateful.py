@@ -37,7 +37,8 @@ def stateful_running_totals(
     Unlike a windowed aggregate, the state never resets: this is the
     lifetime-counter / feature-store-refresh pattern.
     """
-    out_schema = f"{key_col} long, n_events long, total_value double"
+    key_type = stream.schema[key_col].dataType.simpleString()
+    out_schema = f"{key_col} {key_type}, n_events long, total_value double"
     state_schema = "n long, total double"
 
     def update_totals(
@@ -78,7 +79,11 @@ def stateful_session_counts(
     first→last event time). The classic applyInPandasWithState example —
     semantics the built-in window functions cannot express incrementally.
     """
-    out_schema = f"{key_col} long, session_events long, first_ts timestamp, last_ts timestamp"
+    key_type = stream.schema[key_col].dataType.simpleString()
+    out_schema = (
+        f"{key_col} {key_type}, session_events long, "
+        "first_ts timestamp, last_ts timestamp"
+    )
     state_schema = "n long, first_ts timestamp, last_ts timestamp"
 
     def track_sessions(
@@ -149,8 +154,11 @@ def streaming_mad_control_chart(
 
     → update-mode rows ``(key, day, v, med_x2, mad_x4, is_anomaly)``.
     """
+    # key type derived from the input schema (not hardcoded) so
+    # non-string keys work — the streaming_staleness_monitor fix.
+    key_type = stream.schema[key_col].dataType.simpleString()
     out_schema = (
-        f"{key_col} string, {day_col} long, {value_col} long, "
+        f"{key_col} {key_type}, {day_col} long, {value_col} long, "
         "med_x2 long, mad_x4 long, is_anomaly boolean"
     )
     state_schema = "days array<long>, vals array<long>"
@@ -230,7 +238,13 @@ def streaming_staleness_monitor(
     → update-mode rows ``(key, ts_us, gap_us, is_stale)``; the first
     event of a key has a NULL gap and is never stale.
     """
-    out_schema = f"{key_col} string, {ts_col} long, gap_us long, is_stale boolean"
+    # Derive the key field's type from the input schema — a hardcoded
+    # `string` would break non-string keys (e.g. BIGINT device ids) at
+    # runtime despite the generic key_col parameter.
+    key_type = stream.schema[key_col].dataType.simpleString()
+    out_schema = (
+        f"{key_col} {key_type}, {ts_col} long, gap_us long, is_stale boolean"
+    )
     state_schema = "last_ts long"
 
     def monitor(

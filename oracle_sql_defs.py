@@ -2661,7 +2661,11 @@ FROM m CROSS JOIN z
 
 ORACLES["drift_chi2"] = """
 WITH bucketed AS (
-  SELECT CASE WHEN CAST(n_chars AS DOUBLE) >= 350 THEN 5
+  -- NULLs get the dedicated -1 bucket (mirrors the operators'
+  -- missingness bucket; n_chars is NOT NULL here so output is
+  -- unchanged, but the twin must share the semantics)
+  SELECT CASE WHEN n_chars IS NULL THEN -1
+              WHEN CAST(n_chars AS DOUBLE) >= 350 THEN 5
               WHEN CAST(n_chars AS DOUBLE) >= 300 THEN 4
               WHEN CAST(n_chars AS DOUBLE) >= 250 THEN 3
               WHEN CAST(n_chars AS DOUBLE) >= 200 THEN 2
@@ -5213,10 +5217,14 @@ tt AS (
     CAST(sum(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT) AS tie18
   FROM ties GROUP BY 1),
 j AS (
-  SELECT tt.n_name, n_points, s_stat,
+  -- LEFT join + coalesce mirrors relational.mann_kendall: a
+  -- single-point key has no i<j pair, so s has no row for it —
+  -- it must still surface as s_stat=0 / var18=0 / 'flat'.
+  SELECT tt.n_name, n_points,
+    CAST(coalesce(s_stat, 0) AS BIGINT) AS s_stat,
     CAST(n_points * (n_points - 1) * (2 * n_points + 5) - tie18
          AS BIGINT) AS var18
-  FROM tt JOIN s ON s.n_name = tt.n_name)
+  FROM tt LEFT JOIN s ON s.n_name = tt.n_name)
 SELECT n_name, n_points, s_stat, var18,
   round(CASE
     WHEN var18 > 0 AND s_stat > 0
@@ -5883,17 +5891,21 @@ tot AS (
   FROM tk ql JOIN tk c ON c.lang = ql.lang AND c.doc_id <> ql.doc_id
   WHERE ql.doc_id IN (0, 1, 2)
   GROUP BY 1)
-SELECT p.qid AS query_doc, p.n_retrieved,
+-- FULL join mirrors ndcg_at_k: a query with zero retrieved rows
+-- within top-k still surfaces as n_retrieved=0 / ndcg=0 / mrr=0
+SELECT COALESCE(p.qid, tot.qid) AS query_doc,
+  CAST(COALESCE(p.n_retrieved, 0) AS BIGINT) AS n_retrieved,
   COALESCE(tot.n_relevant_total, 0) AS n_relevant_total,
-  p.dcg_micro,
+  CAST(COALESCE(p.dcg_micro, 0) AS BIGINT) AS dcg_micro,
   CAST(i.idcg_micro AS BIGINT) AS idcg_micro,
   CASE WHEN i.idcg_micro > 0
-    THEN round(CAST(p.dcg_micro AS DOUBLE) / CAST(i.idcg_micro AS DOUBLE), 6)
+    THEN round(CAST(COALESCE(p.dcg_micro, 0) AS DOUBLE)
+               / CAST(i.idcg_micro AS DOUBLE), 6)
     ELSE 0.0 END AS ndcg,
   CASE WHEN p.first_rel IS NOT NULL
     THEN CAST(1000000 // p.first_rel AS BIGINT) ELSE 0 END AS mrr_micro
 FROM perq p
-LEFT JOIN tot ON tot.qid = p.qid
+FULL JOIN tot ON tot.qid = p.qid
 JOIN idcg i ON i.m = least(COALESCE(tot.n_relevant_total, 0), 10)
 """
 
@@ -6148,7 +6160,11 @@ GROUP BY 1, 3, 4
 # sum), totals over the post-agg bucket table.
 ORACLES["psi_doc_length_drift"] = """
 WITH bucketed AS (
-  SELECT CASE WHEN CAST(n_chars AS DOUBLE) >= 350 THEN 5
+  -- NULLs get the dedicated -1 bucket (mirrors the operators'
+  -- missingness bucket; n_chars is NOT NULL here so output is
+  -- unchanged, but the twin must share the semantics)
+  SELECT CASE WHEN n_chars IS NULL THEN -1
+              WHEN CAST(n_chars AS DOUBLE) >= 350 THEN 5
               WHEN CAST(n_chars AS DOUBLE) >= 300 THEN 4
               WHEN CAST(n_chars AS DOUBLE) >= 250 THEN 3
               WHEN CAST(n_chars AS DOUBLE) >= 200 THEN 2

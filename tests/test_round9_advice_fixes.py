@@ -1,0 +1,146 @@
+"""Round-9 regression tests for the r8 ADVICE lows.
+
+Each test pins one fixed edge case:
+- mann_kendall: single-point keys surface (s_stat=0, flat) instead of
+  vanishing through the inner join.
+- grid_dbscan: cell indices outside the injective encoding range raise
+  instead of silently colliding.
+- psi_drift / chi2_drift: NULL values get the dedicated -1 bucket, not
+  bucket 0.
+- streaming_staleness_monitor: non-string keys (BIGINT) work — the
+  output schema derives the key type from the input.
+- ndcg_at_k: queries that retrieved zero rows within top-k still emit
+  a zero row instead of vanishing from the output.
+"""
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from datapipelines_essentials_python_spark.operators import relational as rel
+
+
+def test_mann_kendall_single_point_key_surfaces(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("a", 3, 30), ("solo", 7, 99)],
+        "k string, t int, y int",
+    )
+    rows = {
+        r["key"]: r
+        for r in rel.mann_kendall(df, "k", "t", "y").collect()
+    }
+    assert set(rows) == {"a", "solo"}
+    solo = rows["solo"]
+    assert solo["n_points"] == 1
+    assert solo["s_stat"] == 0
+    assert solo["var18"] == 0
+    assert solo["mk_z"] == 0.0
+    assert solo["trend"] == "flat"
+    # the multi-point key is unaffected
+    assert rows["a"]["s_stat"] == 3
+    assert rows["a"]["trend"] == "increasing"
+
+
+def test_grid_dbscan_rejects_out_of_range_cells(spark):
+    # eps 0.001 on coordinates ~1e4 → cell index ~1e7, far outside the
+    # injective [-1e6, 3e6) packing range: must raise, not mislabel.
+    pts = spark.createDataFrame(
+        [(i, 10_000.0 + i, 10_000.0) for i in range(5)],
+        "pid long, x double, y double",
+    )
+    with pytest.raises(ValueError, match="injective encoding"):
+        rel.grid_dbscan(pts, "pid", "x", "y", eps=0.001, min_pts=1).collect()
+
+
+def test_grid_dbscan_in_range_still_works(spark):
+    pts = spark.createDataFrame(
+        [(i, 0.05 * (i % 3), 0.05 * (i // 3)) for i in range(9)],
+        "pid long, x double, y double",
+    )
+    out = rel.grid_dbscan(pts, "pid", "x", "y", eps=0.2, min_pts=1).collect()
+    assert sum(r["n_points"] for r in out) == 9
+
+
+def test_psi_drift_nulls_get_dedicated_bucket(spark):
+    df = spark.createDataFrame(
+        [(None, True), (None, False), (5.0, True), (50.0, False)],
+        "v double, is_ref boolean",
+    )
+    out = {
+        r["bucket"]: (r["n_ref"], r["n_cur"])
+        for r in rel.psi_drift(df, "v", F.col("is_ref"), [10.0]).collect()
+    }
+    # NULLs land in -1, not in bucket 0 (5.0 alone is below the edge)
+    assert out[-1] == (1, 1)
+    assert out[0] == (1, 0)
+    assert out[1] == (0, 1)
+
+
+def test_chi2_drift_nulls_get_dedicated_bucket(spark):
+    df = spark.createDataFrame(
+        [(None, True), (5.0, True), (50.0, False)],
+        "v double, is_ref boolean",
+    )
+    out = {
+        r["bucket"]: (r["n_ref"], r["n_cur"])
+        for r in rel.chi2_drift(df, "v", F.col("is_ref"), [10.0]).collect()
+    }
+    assert out[-1] == (1, 0)
+    assert out[0] == (1, 0)
+    assert out[1] == (0, 1)
+
+
+def test_staleness_monitor_bigint_key(spark, tmp_path):
+    from datapipelines_essentials_python_spark.streaming.stateful import (
+        streaming_staleness_monitor,
+    )
+
+    schema = "key long, ts_us long"
+    rows = [(7, 1_000_000), (7, 2_000_000), (7, 400_000_000)]
+    src = str(tmp_path / "stale_bigint")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        streaming_staleness_monitor(stream, "key", "ts_us", 300_000_000)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stale_bigint_mon")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["ts_us"]: (r["key"], r["gap_us"], r["is_stale"])
+            for r in spark.sql("SELECT * FROM stale_bigint_mon").collect()
+        }
+    finally:
+        q.stop()
+    assert got[1_000_000] == (7, None, False)
+    assert got[2_000_000] == (7, 1_000_000, False)
+    assert got[400_000_000] == (7, 398_000_000, True)
+
+
+def test_ndcg_zero_retrieved_query_emits_zero_row(spark):
+    from datapipelines_essentials_python_spark.operators.similarity import (
+        ndcg_at_k,
+    )
+
+    # query 1 retrieved two rows; query 2 retrieved NOTHING but has
+    # relevant documents in the corpus — it must appear with zeros.
+    ranked = spark.createDataFrame(
+        [(1, 1, True), (1, 2, False)], "q long, pos long, rel boolean"
+    )
+    totals = spark.createDataFrame([(1, 3), (2, 5)], "q long, n_rel long")
+    out = {
+        r["query"]: r
+        for r in ndcg_at_k(ranked, "q", "pos", "rel", totals, k=10).collect()
+    }
+    assert set(out) == {1, 2}
+    ghost = out[2]
+    assert ghost["n_retrieved"] == 0
+    assert ghost["n_relevant_total"] == 5
+    assert ghost["dcg_micro"] == 0
+    assert ghost["ndcg"] == 0.0
+    assert ghost["mrr_micro"] == 0
+    assert out[1]["n_retrieved"] == 2
+    assert out[1]["mrr_micro"] == 1_000_000
