@@ -5592,8 +5592,12 @@ def ndcg_bm25_langmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("lang") == F.col("__qlang")).alias("rel"),
         )
     )
+    # rel_totals defines ndcg_at_k's query universe (zero-retrieved
+    # queries surface as zero rows), so restrict it to the actual
+    # query set — not every doc in the corpus.
     rel_totals = (
-        qlang.join(
+        qlang.where(F.col("query").isin(0, 1, 2))
+        .join(
             langs.select(F.col("doc_id"), F.col("lang")),
             F.col("lang") == F.col("__qlang"),
         )
