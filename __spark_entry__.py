@@ -5970,24 +5970,23 @@ def eb_shrunk_en_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # The driver's CORRECTNESS gate records only the first 50 entries.
-        # Window layout, round 8 (fifth rotation, VERDICT r07 item 2):
+        # Window layout, round 9 (SIXTH rotation, VERDICT r08 item 1):
         # rows 1-14 are the SURVEY §2 flagship spine pinned by the
         # round-3 contract (tests/test_registry_contract.py); rows 15-50
-        # carry 36 FIRST-TIME queries — the 3 operators added this round
-        # (k-core peeling, label-propagation communities, exact-substring
-        # span dedup), the 20 never-gated rows the r7 verdict named, and
-        # 13 more never-gated rows. Everything displaced below the marker
-        # is driver-green in CORRECTNESS_r04-r07 and stays covered by the
-        # committed full-suite parity sweeps (tools/check_parity.py,
-        # PARITY_r{N}*.txt at sf0.01 / sf0.1 / sf1). The 16 remaining
-        # never-gated rows, plus the 10 operators added after this
-        # window was frozen (ktruss_edges, link_prediction_aa,
-        # ngram_novelty, bfs_reach_3hop, boilerplate_removal,
-        # source_minhash_matrix, random_walk_hops, token_budget_plan,
-        # link_prediction_jaccard, training_pipeline_v4 — all at the
-        # registry tail, all green in the r8 222/222 three-tier
-        # sweeps), are the round-9 rotation pool (26 rows).
-        # ---- §2 flagship spine (all driver-green since r6/r7) ----
+        # carry 36 FIRST-TIME queries drawn from the 77-row never-gated
+        # pool the r8 verdict enumerated (cumulative driver-green was
+        # 196/273 after five rotations; this window takes it to 232).
+        # Priority per the verdict: the round-8 graph tail (ktruss,
+        # link prediction, harmonic centrality, BFS/walks/routes), the
+        # dedup/chunking tail (ngram novelty, boilerplate removal,
+        # minhash matrix, threshold sweep, token budget, pipeline v4),
+        # and the statistics family. Everything below the marker is
+        # covered by the committed full-suite parity sweeps
+        # (tools/check_parity.py, PARITY_r{N}*.txt at sf0.01/sf0.1/sf1).
+        # After this window lands, the never-gated pool for the round-10
+        # rotation is the 41 rows listed in COVERAGE.md ("last
+        # driver-gated round" column, value "never").
+        # ---- §2 flagship spine (driver-green since r6/r7) ----
         "q1_pricing_summary": q1_pricing_summary,
         "q5_nation_revenue": q5_nation_revenue,
         "metadata_pipeline": metadata_pipeline,
@@ -6002,12 +6001,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_flatten": json_flatten,
         "cdc_merge": cdc_merge,
         "scd2_merge": scd2_merge_q,
-        # ---- NEW round-8 operators ----
+        # ---- sixth rotation: 36 first-time rows ----
+        "ktruss_edges": ktruss_edges,
+        "link_prediction_aa": link_prediction_aa,
+        "link_prediction_jaccard": link_prediction_jaccard,
+        "link_prediction_salton": link_prediction_salton,
+        "harmonic_centrality": harmonic_centrality,
+        "bfs_reach_3hop": bfs_reach_3hop,
+        "cheapest_route_3hop": cheapest_route_3hop,
+        "random_walk_hops": random_walk_hops,
+        "rich_club_parts": rich_club_parts,
+        "weighted_affinity_pairs": weighted_affinity_pairs,
+        "ngram_novelty": ngram_novelty_q,
+        "boilerplate_removal": boilerplate_removal,
+        "source_minhash_matrix": source_minhash_matrix,
+        "dedup_threshold_sweep": dedup_threshold_sweep,
+        "token_budget_plan": token_budget_plan,
+        "training_pipeline_v4": training_pipeline_v4,
+        "theil_sen_trend": theil_sen_trend,
+        "mann_kendall_nation_trend": mann_kendall_nation_trend,
+        "welch_ttest_sources": welch_ttest_sources,
+        "gini_revenue_by_nation": gini_revenue_by_nation,
+        "anova_doc_length": anova_doc_length,
+        "kruskal_doc_length": kruskal_doc_length,
+        "spearman_qty_price": spearman_qty_price,
+        "kendall_tau_qty_discount": kendall_tau_qty_discount,
+        "wilson_en_rate": wilson_en_rate,
+        "eb_shrunk_en_rate": eb_shrunk_en_rate,
+        "psi_doc_length_drift": psi_doc_length_drift,
+        "did_weekend_premium": did_weekend_premium,
+        "cusum_changepoint": cusum_changepoint,
+        "siegel_trend": siegel_trend,
+        "geo_hotspot_clusters": geo_hotspot_clusters,
+        "char_entropy_gibberish": char_entropy_gibberish,
+        "bloom_fpr_calibration": bloom_fpr_calibration,
+        "ndcg_bm25_langmatch": ndcg_bm25_langmatch,
+        "zipf_fit_sources": zipf_fit_sources,
+        "source_token_entropy": source_token_entropy,
+        # ---- entries below are covered by tools/check_parity.py
+        # ---- (full-suite log committed per round as PARITY_r{N}.txt);
+        # ---- every row below EXCEPT the 41-row round-10 rotation pool
+        # ---- (see COVERAGE.md) has a driver-green CORRECTNESS record ----
         "kcore_nodes": kcore_nodes,
         "lpa_communities": lpa_communities_parts,
         "exact_substring_dedup": exact_substring_dedup_q,
-        # ---- fifth rotation: the 20 never-gated rows named by
-        # ---- the r7 verdict ----
         "q2_cheapest_parts": q2_cheapest_parts,
         "q15_top_suppliers": q15_top_suppliers,
         "q20_excess_shippers": q20_excess_shippers,
@@ -6028,7 +6065,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_supply_graph": hits_supply_graph,
         "containment_pairs": containment_pairs,
         "script_mix": script_mix,
-        # ---- fifth rotation: 13 more never-gated rows ----
         "media_chunks": media_chunks,
         "pack_sequences": pack_sequences,
         "quantile_profile": quantile_profile,
@@ -6042,10 +6078,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_shuffle_order": global_shuffle_order,
         "bloom_join_orders": bloom_join_orders,
         "iqr_outlier_events": iqr_outlier_events,
-        # ---- entries below are covered by tools/check_parity.py
-        # ---- (full-suite log committed per round as PARITY_r{N}.txt);
-        # ---- every row here has a driver-green CORRECTNESS record
-        # ---- except the 16 round-9 deferrals noted above ----
         "text_normalize": text_normalize,
         "domain_balance": domain_balance,
         "feature_hash_tf": feature_hash_tf_q,
@@ -6208,44 +6240,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_holdout_split": train_holdout_split,
         "chunk_documents": chunk_documents_q,
         "dense_rank_ties": dense_rank_ties,
-        # ---- round-8 additions (tail: parity-gated; round-9 gate
-        # ---- candidates alongside the 16 deferred rotation rows)
-        "ktruss_edges": ktruss_edges,
-        "link_prediction_aa": link_prediction_aa,
-        "ngram_novelty": ngram_novelty_q,
-        "bfs_reach_3hop": bfs_reach_3hop,
-        "boilerplate_removal": boilerplate_removal,
-        "source_minhash_matrix": source_minhash_matrix,
-        "random_walk_hops": random_walk_hops,
-        "token_budget_plan": token_budget_plan,
-        "link_prediction_jaccard": link_prediction_jaccard,
-        "training_pipeline_v4": training_pipeline_v4,
-        # ---- round-8 third batch (registry tail; round-9 rotation pool) ----
-        "harmonic_centrality": harmonic_centrality,
-        "theil_sen_trend": theil_sen_trend,
-        "cusum_changepoint": cusum_changepoint,
         "skyline_parts": skyline_parts,
         "rolling_mad_anomaly": rolling_mad_anomaly,
-        "source_token_entropy": source_token_entropy,
         "dow_outlier_days": dow_outlier_days,
         "hilbert_layout": hilbert_layout,
-        "link_prediction_salton": link_prediction_salton,
-        "dedup_threshold_sweep": dedup_threshold_sweep,
-        "cheapest_route_3hop": cheapest_route_3hop,
         "activity_streaks": activity_streaks,
         "fd_check": fd_check,
-        # ---- round-8 sixth batch (registry tail; round-9 rotation pool) ----
-        "spearman_qty_price": spearman_qty_price,
-        "mann_kendall_nation_trend": mann_kendall_nation_trend,
-        "welch_ttest_sources": welch_ttest_sources,
-        "gini_revenue_by_nation": gini_revenue_by_nation,
         "contingency_priority_status": contingency_priority_status,
         "kfold_balance": kfold_balance,
-        "kendall_tau_qty_discount": kendall_tau_qty_discount,
         "interarrival_profile": interarrival_profile,
         "trend_break_fit": trend_break_fit,
         "simpson_diversity_sources": simpson_diversity_sources,
-        "rich_club_parts": rich_club_parts,
         "range_partition_audit": range_partition_audit,
         "peak_concurrency_daily": peak_concurrency_daily,
         "weighted_median_price": weighted_median_price,
@@ -6253,26 +6258,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_calibration": quality_calibration,
         "target_encode_segment": target_encode_segment,
         "association_rules_events": association_rules_events,
-        "ndcg_bm25_langmatch": ndcg_bm25_langmatch,
         "orderkey_gaps": orderkey_gaps,
         "signup_purchase_delay": signup_purchase_delay,
-        "anova_doc_length": anova_doc_length,
-        "kruskal_doc_length": kruskal_doc_length,
-        "siegel_trend": siegel_trend,
         "delta_audit_events": delta_audit_events,
         "trimmed_mean_price": trimmed_mean_price,
         "mode_quantity": mode_quantity,
-        "psi_doc_length_drift": psi_doc_length_drift,
         "distinctive_terms_sources": distinctive_terms_sources,
-        "weighted_affinity_pairs": weighted_affinity_pairs,
-        "bloom_fpr_calibration": bloom_fpr_calibration,
-        "zipf_fit_sources": zipf_fit_sources,
-        "geo_hotspot_clusters": geo_hotspot_clusters,
-        "did_weekend_premium": did_weekend_premium,
         "cache_hit_curve_users": cache_hit_curve_users,
-        "char_entropy_gibberish": char_entropy_gibberish,
-        "wilson_en_rate": wilson_en_rate,
-        "eb_shrunk_en_rate": eb_shrunk_en_rate,
     }
 
 
