@@ -257,10 +257,17 @@ def exact_substring_dedup(
        skew-immune on boilerplate hot keys; a ranking window would sort
        one hot partition) — every non-first occurrence marks its covered
        interval ``[start, start+w)`` for removal;
-    3. reassembly: removal starts collect per doc (one keyed agg), then
-       a per-token ``filter(toks, (t, i) -> ¬∃ s: s ≤ i < s+w)`` — the
-       per-doc interval array is bounded by the doc's own duplicated-
-       window count, so the predicate is array-local, no range join.
+    3. reassembly: removal starts collect per doc (one keyed agg), are
+       sorted and FOLDED INTO DISJOINT INTERVALS (``array_sort`` +
+       ``aggregate`` — overlapping/adjacent ``[s, s+w)`` spans merge),
+       then a per-token ``filter(toks, (t, i) -> ¬∃ [lo,hi): lo ≤ i <
+       hi)`` over the merged intervals. Merging bounds the per-token
+       predicate by the number of DISJOINT duplicated regions, not raw
+       removal count: a fully-duplicated 10k-token document has ~10k
+       removal starts but ONE merged interval, so reassembly is
+       O(tokens) instead of the O(tokens × removals) ≈ 10⁸ lambda
+       evaluations the unmerged form would evaluate in one row —
+       and boilerplate-heavy corpora are exactly where this runs.
 
     The true ExactSubstr uses a corpus suffix array; the window
     approximation trades sub-window precision (duplicates shorter than
@@ -309,11 +316,49 @@ def exact_substring_dedup(
         .agg(F.collect_list("start").alias("rm"))
     )
     rm = F.coalesce(F.col("rm"), F.array().cast("array<int>"))
+    # fold the SORTED starts into disjoint [lo, hi) intervals: starts
+    # are uniform-width spans, so after sorting, s extends the last
+    # interval iff s <= last.hi (adjacency merges too — coverage is
+    # contiguous either way); otherwise it opens a new interval. The
+    # fold is O(starts × merged) array work per doc, and merged is 1
+    # for the fully-duplicated worst case.
+    iv_t = "array<struct<lo:int,hi:int>>"
+    merged = F.aggregate(
+        F.array_sort(rm),
+        F.array().cast(iv_t),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (s <= F.element_at(acc, -1)["hi"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["lo"].alias("lo"),
+                        (s + F.lit(w)).cast("int").alias("hi"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        s.cast("int").alias("lo"),
+                        (s + F.lit(w)).cast("int").alias("hi"),
+                    )
+                ),
+            )
+        ),
+    )
+    # materialize the merged intervals as a column so the per-token
+    # lambda tests against the computed array, not a re-evaluated fold
+    staged = base.join(removed, id_col, "left").withColumn("__iv", merged)
     kept = F.filter(
         F.col("toks"),
-        lambda t, i: ~F.exists(rm, lambda s: (s <= i) & (i < s + F.lit(w))),
+        lambda t, i: ~F.exists(
+            F.col("__iv"), lambda v: (v["lo"] <= i) & (i < v["hi"])
+        ),
     )
-    return base.join(removed, id_col, "left").select(
+    return staged.select(
         F.col(id_col),
         F.array_join(kept, " ").alias("text_clean"),
         F.col("n").cast("long").alias("n_tokens_total"),

@@ -144,3 +144,64 @@ def test_ndcg_zero_retrieved_query_emits_zero_row(spark):
     assert ghost["mrr_micro"] == 0
     assert out[1]["n_retrieved"] == 2
     assert out[1]["mrr_micro"] == 1_000_000
+
+
+def test_exact_substring_dedup_fully_duplicated_long_doc(spark):
+    """Interval-merge hardening (r8 verdict item 4): a >=5k-token fully
+    duplicated document must reassemble in O(tokens), not
+    O(tokens x removals) — the unmerged form evaluates ~2.5e7 lambda
+    terms for this input; merged it is one interval. Wall-clock bound
+    plus exact removal accounting."""
+    import time
+
+    from datapipelines_essentials_python_spark.operators.chunking import (
+        exact_substring_dedup,
+    )
+
+    n_tok = 5_000
+    text = " ".join(f"tok{i}" for i in range(n_tok))
+    df = spark.createDataFrame(
+        [(0, text), (1, text)], "doc_id long, text string"
+    )
+    t0 = time.monotonic()
+    rows = {
+        r["doc_id"]: r
+        for r in exact_substring_dedup(df, "text", "doc_id", 8).collect()
+    }
+    elapsed = time.monotonic() - t0
+    # doc 0 is the first occurrence of every window and keeps all tokens;
+    # doc 1's windows are all later occurrences -> one merged interval
+    # covering the entire doc, empty text_clean.
+    assert rows[0]["n_tokens_removed"] == 0
+    assert rows[0]["n_tokens_total"] == n_tok
+    assert rows[1]["n_tokens_removed"] == n_tok
+    assert rows[1]["text_clean"] == ""
+    # generous bound: the quadratic form takes minutes on this input
+    assert elapsed < 60, f"reassembly took {elapsed:.1f}s"
+
+
+def test_exact_substring_dedup_disjoint_intervals(spark):
+    """Two duplicated passages separated by unique text merge into two
+    disjoint intervals; unique middle tokens survive."""
+    from datapipelines_essentials_python_spark.operators.chunking import (
+        exact_substring_dedup,
+    )
+
+    dup_a = " ".join(f"a{i}" for i in range(10))
+    dup_b = " ".join(f"b{i}" for i in range(10))
+    uniq = " ".join(f"u{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [
+            (0, dup_a + " " + dup_b),
+            (1, dup_a + " " + uniq + " " + dup_b),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in exact_substring_dedup(df, "text", "doc_id", 8).collect()
+    }
+    assert rows[0]["n_tokens_removed"] == 0
+    # doc 1 loses both 10-token duplicated passages, keeps the middle
+    assert rows[1]["n_tokens_removed"] == 20
+    assert rows[1]["text_clean"] == uniq
