@@ -5,7 +5,13 @@ Runs every ``__spark_entry__.queries()`` entry on Spark and its
 row count, schema (column names), and order-insensitive values — the same
 contract CORRECTNESS_r{N}.json records.
 
-Usage: python tools/check_parity.py [sf_dir] [query ...]
+Usage: python tools/check_parity.py [--since PARITY_FILE] [sf_dir] [query ...]
+
+``--since PARITY_FILE`` runs only the registry queries NOT already
+attested (a ``PASS <name>:`` line) in the given parity log — the
+batch-addendum mode (r8 verdict item 7): each late-round operator batch
+gets a reproducible incremental attestation, and the single full-cost
+sweep stays the only run that touches every query.
 """
 
 from __future__ import annotations
@@ -66,9 +72,28 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
     return problems
 
 
+def attested_in(parity_file: str) -> set[str]:
+    """Query names with a PASS line in a committed parity log."""
+    import re
+
+    names = set()
+    for line in Path(parity_file).read_text().splitlines():
+        m = re.match(r"PASS (\S+):", line.strip())
+        if m:
+            names.add(m.group(1))
+    return names
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    since: set[str] | None = None
+    if argv and argv[0] == "--since":
+        since_file = argv[1]
+        since = attested_in(since_file)
+        print(f"--since {since_file}: {len(since)} queries already attested")
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     spark = get_or_create_spark_session()
     con = duckdb.connect()
@@ -83,6 +108,8 @@ def main() -> int:
     n_run = 0
     for name, fn in queries.items():
         if only and name not in only:
+            continue
+        if since is not None and name in since:
             continue
         # Long-sweep hygiene: a 200+-query single session accumulates
         # localCheckpoint RDD blocks whose release waits on PYTHON GC of
