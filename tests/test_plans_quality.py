@@ -1231,3 +1231,20 @@ def test_eb_prior_is_one_broadcast_scalar(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert plan.count("Scan parquet") <= 4, plan
+
+
+def test_exact_substring_dedup_shuffle_count_and_jvm(spark):
+    """The round-9 interval-merge reassembly is pure projection work:
+    the plan keeps exactly the two aggregation exchanges (fingerprint
+    first-occurrence, per-doc removal collect) plus joins — no new
+    shuffle, no Python, and the interval fold shows up as an aggregate
+    expression inside a Project, evaluated once per row."""
+    plan = plan_of(
+        entry_mod.queries()["exact_substring_dedup"](spark, SF_DIR)
+    )
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # shuffle budget: fingerprint agg + removal-collect agg (plus AQE
+    # broadcast exchanges, which are not hash-partition shuffles)
+    n_shuffles = plan.count("Exchange hashpartitioning")
+    assert n_shuffles <= 3, f"{n_shuffles} hash exchanges:\n{plan}"
