@@ -2812,7 +2812,11 @@ def siegel_slopes(
     exact), and the OUTER median is the two-middle sum of those
     (×4 scale total) — no float ever. Divide by 4000 for the slope.
 
-    → ``(key, n_points, siegel_milli_x4)``.
+    → ``(key, n_points, siegel_milli_x4)``, one row per key with ≥ 2
+    points (a single-point key has no pairwise slope — same documented
+    contract as :func:`theil_sen_slope`; :func:`mann_kendall` differs
+    deliberately because its output is a VERDICT, and "flat" is the
+    right verdict for one point, whereas an undefined slope is not 0).
     """
     left = df.select(
         F.col(key_col).alias("key"),
@@ -3334,12 +3338,26 @@ def diff_in_diff(
         q = F.col(f"q_{sfx}").cast("double")
         return ((q - s * s / n) / (n - 1.0)) / n
 
-    did = (_mean("t_post") - _mean("t_pre")) - (
+    did_raw = (_mean("t_post") - _mean("t_pre")) - (
         _mean("c_post") - _mean("c_pre")
     )
     se2 = _varn("t_post") + _varn("t_pre") + _varn("c_post") + _varn("c_pre")
-    se = F.sqrt(se2)
-    t = F.when(se2 > 0, did / se).otherwise(F.lit(0.0))
+    # Degenerate-cell guards: an EMPTY cell makes a mean 0/0 (NaN), a
+    # single-row cell makes its variance divide by n-1 = 0 — either
+    # would leak NaN into the output. NULL says "not estimable"; 0
+    # would lie.
+    cells = ["t_pre", "t_post", "c_pre", "c_post"]
+    all_nonempty = None
+    all_var_ok = None
+    for sfx in cells:
+        ne = F.col(f"n_{sfx}") > 0
+        vo = F.col(f"n_{sfx}") > 1
+        all_nonempty = ne if all_nonempty is None else (all_nonempty & ne)
+        all_var_ok = vo if all_var_ok is None else (all_var_ok & vo)
+    did = F.when(all_nonempty, did_raw)
+    est_ok = all_var_ok & (se2 > 0)
+    se = F.when(est_ok, F.sqrt(se2))
+    t = F.when(est_ok, did_raw / F.sqrt(se2))
     return m.select(
         "n_t_pre",
         "n_t_post",
@@ -3348,7 +3366,9 @@ def diff_in_diff(
         F.round(did, 6).alias("did"),
         F.round(se, 6).alias("se"),
         F.round(t, 6).alias("t_stat"),
-        (F.abs(t) > F.lit(1.96)).alias("significant"),
+        F.coalesce(F.abs(t) > F.lit(1.96), F.lit(False)).alias(
+            "significant"
+        ),
     )
 
 

@@ -6437,12 +6437,22 @@ fin AS (
     + ((CAST(q_c_pre AS DOUBLE) - CAST(s_c_pre AS DOUBLE) * CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE)) / (CAST(n_c_pre AS DOUBLE) - 1.0)) / CAST(n_c_pre AS DOUBLE)
       AS se2
   FROM m)
+-- degenerate-cell guards mirror relational.diff_in_diff: empty cell
+-- -> did NULL; any cell with n<2 (or se2<=0) -> se/t_stat NULL,
+-- significant FALSE. The events table never triggers them; the twin
+-- shares the semantics.
 SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
-  round(did_raw, 6) AS did,
-  round(sqrt(se2), 6) AS se,
-  round(CASE WHEN se2 > 0 THEN did_raw / sqrt(se2) ELSE 0.0 END, 6)
-    AS t_stat,
-  abs(CASE WHEN se2 > 0 THEN did_raw / sqrt(se2) ELSE 0.0 END) > 1.96
+  round(CASE WHEN least(n_t_pre, n_t_post, n_c_pre, n_c_post) > 0
+        THEN did_raw END, 6) AS did,
+  round(CASE WHEN least(n_t_pre, n_t_post, n_c_pre, n_c_post) > 1
+               AND se2 > 0
+        THEN sqrt(se2) END, 6) AS se,
+  round(CASE WHEN least(n_t_pre, n_t_post, n_c_pre, n_c_post) > 1
+               AND se2 > 0
+        THEN did_raw / sqrt(se2) END, 6) AS t_stat,
+  COALESCE(abs(CASE WHEN least(n_t_pre, n_t_post, n_c_pre, n_c_post) > 1
+                      AND se2 > 0
+               THEN did_raw / sqrt(se2) END) > 1.96, FALSE)
     AS significant
 FROM fin
 """

@@ -205,3 +205,44 @@ def test_exact_substring_dedup_disjoint_intervals(spark):
     # doc 1 loses both 10-token duplicated passages, keeps the middle
     assert rows[1]["n_tokens_removed"] == 20
     assert rows[1]["text_clean"] == uniq
+
+
+def test_diff_in_diff_degenerate_cells_yield_null_not_nan(spark):
+    """An empty or single-row cell must produce NULL did/se/t (and
+    significant=False), never NaN leaking from 0/0 or /(n-1)=0."""
+    import math
+
+    # control-post cell EMPTY; treat-pre has a single row
+    df = spark.createDataFrame(
+        [(True, False, 100), (True, True, 120), (True, True, 130),
+         (False, False, 90), (False, False, 95)],
+        "t boolean, p boolean, v int",
+    )
+    r = rel.diff_in_diff(df, F.col("t"), F.col("p"), "v").collect()[0]
+    assert r["did"] is None  # empty c_post cell -> not estimable
+    assert r["se"] is None
+    assert r["t_stat"] is None
+    assert r["significant"] is False
+
+    # all cells populated but one has n=1 -> did estimable, se not
+    df2 = spark.createDataFrame(
+        [(True, False, 100), (True, True, 120), (True, True, 130),
+         (False, False, 90), (False, False, 95), (False, True, 99)],
+        "t boolean, p boolean, v int",
+    )
+    r2 = rel.diff_in_diff(df2, F.col("t"), F.col("p"), "v").collect()[0]
+    assert r2["did"] is not None and not math.isnan(r2["did"])
+    assert r2["se"] is None
+    assert r2["t_stat"] is None
+    assert r2["significant"] is False
+
+    # healthy cells: everything estimable, nothing NaN
+    df3 = spark.createDataFrame(
+        [(t, p, v + d)
+         for t in (True, False) for p in (True, False)
+         for d, v in enumerate((100, 105, 111))],
+        "t boolean, p boolean, v int",
+    )
+    r3 = rel.diff_in_diff(df3, F.col("t"), F.col("p"), "v").collect()[0]
+    for c in ("did", "se", "t_stat"):
+        assert r3[c] is not None and not math.isnan(r3[c])
