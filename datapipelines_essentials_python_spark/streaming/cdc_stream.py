@@ -268,6 +268,10 @@ def streaming_drift_monitor(
         bucket = F.lit(0)
         for i, e in enumerate(edges):
             bucket = F.when(v >= F.lit(float(e)), F.lit(i + 1)).otherwise(bucket)
+        # NULL values get the dedicated -1 bucket (the batch
+        # psi_drift/chi2_drift missingness discipline), not a silent
+        # fall-through into bucket 0.
+        bucket = F.when(v.isNull(), F.lit(-1)).otherwise(bucket)
         return df.select(bucket.alias("bucket")).groupBy("bucket").agg(
             F.count(F.lit(1)).cast("long").alias("n_cur")
         )
