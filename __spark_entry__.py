@@ -4333,19 +4333,35 @@ def _affinity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Part-affinity edge list: parts co-ordered in one order within the
     1995-1997 shipping window (see ``triangle_count`` for why the graph
     is time-scoped). Per-order fan-out is bounded by C(lines, 2); the
-    edge list grows linearly with orders."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .where(
-            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
-        )
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    edge list grows linearly with orders.
+
+    Shape (round 9): ONE orderkey-keyed ``collect_set`` (the distinct
+    rides inside the set agg) + an array-local pair explode over the
+    sorted basket — a basket is ≤ 13 parts so the explode is bounded
+    arithmetic. The previous distinct + basket self-join spent three
+    exchanges (distinct on (k, part), then both join legs re-hashed on
+    k) to produce the same pair multiset; this is one exchange, and the
+    sorted array emits each pair already in ``src < dst`` order, so the
+    multiset is IDENTICAL (same pair once per containing order)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     )
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
-    return a.join(b, "k").where(F.col("src") < F.col("dst")).select("src", "dst")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    # all i < j index pairs over the sorted basket: flatten(transform(
+    # slice-per-anchor)) — pure array arithmetic, no second shuffle
+    pairs = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda p, i: F.transform(
+                F.slice(F.col("parts"), i + 2, F.size(F.col("parts"))),
+                lambda q: F.struct(p.alias("src"), q.alias("dst")),
+            ),
+        )
+    )
+    return baskets.select(F.explode(pairs).alias("e")).select("e.src", "e.dst")
 
 
 def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4596,7 +4612,7 @@ def exact_substring_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicates). md5 keys keep the stride-1 corpus shuffle payload flat;
     removal reassembly is an array-local higher-order filter, no range
     join."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     return chunk_ops.exact_substring_dedup(docs, window_size=8)
 
 
@@ -4652,7 +4668,7 @@ def ngram_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable agg, deliberately not a row_number window, so
     boilerplate hot keys partial-aggregate map-side instead of sorting
     one partition."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     return chunk_ops.ngram_novelty(docs, window=8, stride=1)
 
 
@@ -4688,7 +4704,7 @@ def boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     express. One block-text-keyed count-distinct (map-side partials on
     the hot boilerplate keys) + one id-keyed reassembly; documents
     survive as rows even when fully boilerplate."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     return chunk_ops.boilerplate_segments(
         docs, block_size=3, min_docs=3
     ).select(
@@ -4706,7 +4722,7 @@ def source_minhash_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     matrix shuffles every distinct shingle, this keeps 32 BIGINTs per
     source via MinHash mergeability (min over the union = min of the
     mins), so at 100 TB the compare state is sources × 32 rows."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     return dedup_ops.group_minhash_similarity(
         docs, group_col="source", text_col="text", n=3, num_hashes=32
     )
@@ -4741,7 +4757,7 @@ def token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass quantization) keeps it oracle-exact."""
     from datapipelines_essentials_python_spark.operators import sampling as samp_ops
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     return samp_ops.token_budget(
         docs, domain_col="source", text_col="text",
         target_tokens=1_000_000, sqrt_passes=1,
@@ -4780,7 +4796,7 @@ def training_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     source re-join is id-keyed on the same exchange; everything after
     the gate is domain-cardinality arithmetic with two broadcast
     scalars — no second corpus shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     cleaned = chunk_ops.boilerplate_segments(
         docs, block_size=3, min_docs=3
     ).join(docs.select("doc_id", "source"), "doc_id")

@@ -32,6 +32,37 @@ from pyspark.sql import functions as F
 _CONTRIB_DECIMAL = "decimal(28,12)"
 
 
+def _pinned_checkpoint(df: DataFrame, *keys: str) -> DataFrame:
+    """Eager ``localCheckpoint`` that PRESERVES hash partitioning on
+    ``keys`` (round-9 optimization, guide §2.4 "remove shuffles
+    outright").
+
+    ``Dataset.localCheckpoint`` copies the physical plan's
+    ``outputPartitioning`` into the checkpointed ``LogicalRDD`` — but
+    under AQE the physical plan is an ``AdaptiveSparkPlanExec`` whose
+    partitioning reads ``UnknownPartitioning(0)``, so every checkpoint
+    made inside an iterative loop silently loses its layout and every
+    iteration re-exchanges (or worse, mis-broadcasts) the big side.
+    Disabling AQE JUST for the checkpoint materialization keeps the
+    hash layout visible to downstream joins: an iteration join keyed on
+    ``keys`` then satisfies ENSURE_REQUIREMENTS with no new Exchange —
+    the edge table is shuffled ONCE per query instead of once per
+    iteration. Partition count follows ``spark.sql.shuffle.partitions``
+    (scale-adaptive: the session factory sizes it from the core budget,
+    AQE still coalesces everywhere else)."""
+    spark = df.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        out = df.repartition(n, *[F.col(k) for k in keys]).localCheckpoint(
+            eager=True
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    return out
+
+
 def out_degrees(edges: DataFrame) -> DataFrame:
     """Out-degree per source node → ``(node, outdeg)``. One keyed,
     map-side-combined count over the edge list."""
@@ -139,6 +170,52 @@ def pagerank_step(
         )
     )
     d = F.lit(damping)
+    return (
+        ranks.join(contrib, "node", "left")
+        .crossJoin(F.broadcast(dangling))
+        .select(
+            "node",
+            F.round(
+                (F.lit(1.0) - d) / F.col("__n").cast("double")
+                + d * F.coalesce(F.col("__in").cast("double"), F.lit(0.0))
+                + d * F.col("__d").cast("double") / F.col("__n").cast("double"),
+                6,
+            ).alias("rank"),
+            "__n",
+        )
+    )
+
+
+def _pagerank_iteration(
+    wedges: DataFrame,
+    ranks: DataFrame,
+    dangling_nodes: DataFrame,
+    share,
+    damping: float,
+) -> DataFrame:
+    """One power iteration over the PRE-JOINED wedge table (edges ⋈
+    per-source normalizer, pinned on hash(src) by :func:`pagerank`):
+    one ShuffledHashJoin (build = the node-sized rank vector; the hint
+    keeps the planner from broadcasting the EDGE side off a blind
+    estimate) + the destination-keyed contribution sum — numerically
+    the exact :func:`pagerank_step` expression shapes. Module-level so
+    the early-exit tests can count iterations."""
+    d = F.lit(damping)
+    contrib = (
+        wedges.join(ranks.hint("shuffle_hash"), wedges["src"] == ranks["node"])
+        .select(
+            wedges["dst"].alias("node"),
+            F.round(share, 12).cast(_CONTRIB_DECIMAL).alias("c"),
+        )
+        .groupBy("node")
+        .agg(F.sum("c").alias("__in"))
+    )
+    dangling = ranks.join(dangling_nodes, "node", "left_semi").agg(
+        F.coalesce(
+            F.sum(F.round(F.col("rank"), 12).cast(_CONTRIB_DECIMAL)),
+            F.lit(0).cast(_CONTRIB_DECIMAL),
+        ).alias("__d")
+    )
     return (
         ranks.join(contrib, "node", "left")
         .crossJoin(F.broadcast(dangling))
@@ -398,10 +475,10 @@ def pagerank(
     if tol is not None and not materialize:
         raise ValueError("pagerank(tol=...) requires materialize=True")
     if materialize:
-        # The edge list is consumed 2 + iterations times (degrees, init's
-        # src∪dst, one contribution join per step); without pinning it,
-        # an upstream distinct/union re-evaluates per consumer — measured
-        # 11.3 s → ~4 s on the sf0.1 bench for 2 iterations.
+        # The edge list is consumed 3 times at setup (degrees, init's
+        # src∪dst, the wedge build); without pinning it, an upstream
+        # distinct/union re-evaluates per consumer — measured 11.3 s →
+        # ~4 s on the sf0.1 bench for 2 iterations.
         edges = edges.localCheckpoint(eager=True)
     degrees = (
         out_degrees(edges) if weight_col is None else out_weights(edges, weight_col)
@@ -409,13 +486,35 @@ def pagerank(
     if materialize:
         degrees = degrees.localCheckpoint(eager=True)
     ranks = init_ranks(edges)
+    # ---- loop-invariant prework (round-9 optimization, guide §2.4/§3.1):
+    # (a) the per-source normalizer joins the EDGE table once, pre-loop,
+    #     instead of once per iteration (LEFT join: an edge whose source
+    #     was dropped by out_weights keeps a NULL normalizer — its share
+    #     is NULL, the destination sum skips it and the blend coalesces
+    #     to 0.0, exactly as the old inner join's dropped row);
+    # (b) the wedge table is checkpointed PINNED on hash(src) so the
+    #     per-iteration state join satisfies ENSURE_REQUIREMENTS with no
+    #     new Exchange — the edge-sized table never moves again (before:
+    #     AQE, blind to checkpointed-RDD sizes, re-BROADCAST the edge
+    #     list every iteration — the measured 1.2 s/iteration hot spot);
+    # (c) the dangling-node SET (static: degrees never change) is
+    #     computed once; each iteration only sums ranks over it.
+    wedges = edges.join(degrees.withColumnRenamed("node", "src"), "src", "left")
+    if materialize:
+        wedges = _pinned_checkpoint(wedges, "src")
+        ranks = _pinned_checkpoint(ranks, "node")
+    dangling_nodes = ranks.select("node").join(degrees, "node", "left_anti")
+    if materialize:
+        dangling_nodes = dangling_nodes.localCheckpoint(eager=True)
+    if weight_col is None:
+        share = F.col("rank") / F.col("outdeg").cast("double")
+    else:
+        share = F.col("rank") * _clamped_weight(F.col(weight_col)) / F.col("outw")
     for _ in range(iterations):
         prev = ranks
-        ranks = pagerank_step(
-            ranks, edges, degrees, damping=damping, weight_col=weight_col
-        )
+        ranks = _pagerank_iteration(wedges, ranks, dangling_nodes, share, damping)
         if materialize:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = _pinned_checkpoint(ranks, "node")
         if tol is not None:
             # 1-row L1 delta off two checkpointed node-sized tables; the
             # quantized DECIMAL sum makes the stop decision partitioning-
@@ -496,15 +595,29 @@ def personalized_pagerank(
         .alias("__s"),
     )
     ranks = ranks.withColumn("rank", F.col("__s"))
+    # same loop-invariant prework as :func:`pagerank` (round-9
+    # optimization, guide §2.4/§3.1): edges⋈degrees once pre-loop,
+    # pinned on hash(src) so the per-iteration state join needs no new
+    # Exchange; the dangling-node set (static — degrees never change) is
+    # computed once; the iteration joins force ShuffledHashJoin with the
+    # node-sized rank vector as build side instead of AQE re-broadcasting
+    # the edge table every iteration. out_degrees covers every edge
+    # source (count ≥ 1), so the left join never produces a NULL outdeg.
+    wedges = edges.join(degrees.withColumnRenamed("node", "src"), "src", "left")
     if materialize:
-        ranks = ranks.localCheckpoint(eager=True)
+        wedges = _pinned_checkpoint(wedges, "src")
+        ranks = _pinned_checkpoint(ranks, "node")
+    dangling_nodes = ranks.select("node").join(degrees, "node", "left_anti")
+    if materialize:
+        dangling_nodes = dangling_nodes.localCheckpoint(eager=True)
     d = F.lit(damping)
     for _ in range(iterations):
         contrib = (
-            edges.join(ranks, edges["src"] == ranks["node"])
-            .join(degrees, ranks["node"] == degrees["node"])
+            wedges.join(
+                ranks.hint("shuffle_hash"), wedges["src"] == ranks["node"]
+            )
             .select(
-                edges["dst"].alias("node"),
+                wedges["dst"].alias("node"),
                 F.round(F.col("rank") / F.col("outdeg").cast("double"), 12)
                 .cast(_CONTRIB_DECIMAL)
                 .alias("c"),
@@ -512,7 +625,7 @@ def personalized_pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("__in"))
         )
-        dangling = ranks.join(degrees, "node", "left_anti").agg(
+        dangling = ranks.join(dangling_nodes, "node", "left_semi").agg(
             F.coalesce(
                 F.sum(F.round(F.col("rank"), 12).cast(_CONTRIB_DECIMAL)),
                 F.lit(0).cast(_CONTRIB_DECIMAL),
@@ -533,7 +646,7 @@ def personalized_pagerank(
             )
         )
         if materialize:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = _pinned_checkpoint(ranks, "node")
     return ranks.select("node", "rank")
 
 

@@ -128,13 +128,13 @@ def test_pagerank_tol_early_exit_on_converged_graph(spark, monkeypatch):
     burning all 10 — the step counter proves it; the ranks are still
     exact."""
     calls = {"n": 0}
-    real_step = graph.pagerank_step
+    real_step = graph._pagerank_iteration
 
     def counting_step(*args, **kwargs):
         calls["n"] += 1
         return real_step(*args, **kwargs)
 
-    monkeypatch.setattr(graph, "pagerank_step", counting_step)
+    monkeypatch.setattr(graph, "_pagerank_iteration", counting_step)
     ranks = graph.pagerank(
         _edges(spark, [("a", "b"), ("b", "a")]), iterations=10, tol=1e-9
     )
