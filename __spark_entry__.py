@@ -5100,20 +5100,30 @@ def cheapest_route_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-replay contract (unrolled Bellman-Ford rounds)."""
     from datapipelines_essentials_python_spark.operators import graph as graph_ops
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .where(
-            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
-        )
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     )
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    # same single-exchange basket shape as _affinity_edges (round 9):
+    # one orderkey-keyed collect_set (the distinct rides inside the set
+    # agg) + an array-local index-pair explode; each co-ordered pair is
+    # emitted once per containing order, so the per-pair count is the
+    # co-order count the old distinct + basket self-join produced.
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda p, i: F.transform(
+                F.slice(F.col("parts"), i + 2, F.size(F.col("parts"))),
+                lambda q: F.struct(p.alias("src"), q.alias("dst")),
+            ),
+        )
+    )
     weighted = (
-        a.join(b, "k")
-        .where(F.col("src") < F.col("dst"))
+        baskets.select(F.explode(pair_arr).alias("e"))
+        .select("e.src", "e.dst")
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).cast("long").alias("co"))
         .select(

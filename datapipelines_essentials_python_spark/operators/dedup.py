@@ -1105,11 +1105,18 @@ def threshold_sensitivity(
 
     ONE similarity pass at ``min(thresholds)`` (the inverted-index
     :func:`ngram_jaccard_pairs_indexed`, same blocking contract), then
-    per threshold a FILTER of that pair table + exact
-    :func:`connected_components` over the shrinking edge set — the
-    expensive posting join is never repeated, and each component run
-    shrinks with its threshold. Per threshold the output is three
-    numbers, so the result is thresholds-cardinality, not corpus-sized.
+    ONE threshold-tagged components run (round-9 optimization, guide
+    §2.4): each pair is replicated once per threshold it survives
+    (``explode`` over the threshold literals — pair-table-sized ×
+    |thresholds|, never corpus-sized) and min-label propagation runs
+    over the union graph keyed on ``(threshold, node)``. The subgraphs
+    are disjoint by construction, so the fixpoint labels per threshold
+    are IDENTICAL to running :func:`connected_components` per threshold
+    (which is what this operator did before); what changes is the loop
+    count — one propagation loop of max(diameter) rounds instead of
+    |thresholds| sequential loops, i.e. |thresholds|× fewer jobs and
+    driver round-trips. Per threshold the output is three numbers, so
+    the result is thresholds-cardinality, not corpus-sized.
 
     → ``(threshold, n_docs_in_pairs, n_clusters, n_dups_removed)``,
     one row per threshold: docs appearing in ≥1 surviving pair, their
@@ -1129,31 +1136,75 @@ def threshold_sensitivity(
         unblocked=unblocked,
     ).persist()
     spark = df.sparkSession
+    # ---- threshold-tagged union graph: pair (a, b) appears once per
+    # threshold it survives; (t, node) keys keep the per-threshold
+    # subgraphs disjoint so one propagation serves every threshold.
+    t_lits = F.array(*[F.lit(float(t)) for t in sorted(set(thresholds))])
+    e = (
+        pairs.withColumn("t", F.explode(t_lits))
+        .where(F.col("jaccard") >= F.col("t"))
+        .select("t", "id_a", "id_b")
+    )
+    und_cached = (
+        e.select("t", F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            e.select("t", F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    # same graph-sized parallelism heuristic as connected_components
+    n_edges = und_cached.count()
+    parts = max(
+        1, min(spark.sparkContext.defaultParallelism, n_edges // 100_000 + 1)
+    )
+    und = und_cached.repartition(parts, "t", "src").persist()
+    labels = (
+        und.groupBy("t", F.col("src").alias("id"))
+        .agg(F.min("dst").alias("nbr"))
+        .select("t", "id", F.least(F.col("id"), F.col("nbr")).alias("comp"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+
+    def _propagate(lbl: DataFrame) -> DataFrame:
+        contrib = und.join(lbl.withColumnRenamed("id", "src"), ["t", "src"]).select(
+            "t", F.col("dst").alias("id"), "comp"
+        )
+        return (
+            contrib.unionByName(lbl)
+            .groupBy("t", "id")
+            .agg(F.min("comp").alias("comp"))
+        )
+
+    for _ in range(max(1, max_iter // 2)):
+        # double-round + monotone label-sum stability check, exactly the
+        # connected_components discipline; stability of the GLOBAL sum ⟺
+        # every per-threshold subgraph is at its fixpoint (min-label sums
+        # decrease strictly until then)
+        new_labels = _propagate(_propagate(labels)).localCheckpoint()
+        new_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    stats = {
+        row["t"]: (row["n_docs_in_pairs"], row["n_clusters"])
+        for row in labels.groupBy("t")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_in_pairs"),
+            F.countDistinct("comp").cast("long").alias("n_clusters"),
+        )
+        .collect()
+    }
     out_rows = []
     for t in sorted(thresholds):
-        edges = pairs.where(F.col("jaccard") >= F.lit(float(t)))
-        comps = connected_components(edges, max_iter=max_iter)
-        stats = comps.agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs_in_pairs"),
-            F.countDistinct("component").cast("long").alias("n_clusters"),
-        ).collect()[0]
+        n_docs, n_clusters = stats.get(float(t), (0, 0))
         out_rows.append(
-            (
-                round(float(t), 6),
-                stats["n_docs_in_pairs"],
-                stats["n_clusters"],
-                stats["n_docs_in_pairs"] - stats["n_clusters"],
-            )
+            (round(float(t), 6), n_docs, n_clusters, n_docs - n_clusters)
         )
-        # Long-sweep hygiene (the tools/check_parity.py discipline):
-        # each components run leaves localCheckpoint label blocks whose
-        # release waits on Python GC of the DataFrame refs — at the 10x
-        # tier three consecutive runs plus the persisted pair table
-        # crowd a 4g heap, so drop the dead refs eagerly per threshold.
-        del comps, stats, edges
-        import gc
-
-        gc.collect()
+    und.unpersist()
+    und_cached.unpersist()
     pairs.unpersist()
     # thresholds-cardinality result — a driver-side literal table, the
     # documented P8 bridge shape (the per-threshold aggregates were the

@@ -246,10 +246,18 @@ def hits(
 
     ``a(v) = Σ_{u→v} q(h(u)) / ‖·‖₂``  then  ``h(u) = Σ_{u→v} q(a(v)) / ‖·‖₂``
 
-    Spark-first shape, same discipline as :func:`pagerank`: each half-
-    step is ONE keyed shuffle (edges join the node-sized score vector —
-    AQE broadcasts it — and aggregate on the other endpoint), plus one
-    broadcast 1-row norm aggregate. State is one (node, hub, authority)
+    Spark-first shape, same discipline as :func:`pagerank` (round-9
+    loop restructure, guide §2.4/§3.1): the edge list is pinned TWICE
+    up front — once hash-partitioned on ``src``, once on ``dst``
+    (:func:`_pinned_checkpoint`; the half-steps alternate join keys, so
+    one layout cannot serve both) — and each half-step is then one
+    ShuffledHashJoin in which only the node-sized score vector moves
+    (the ``shuffle_hash`` hint keeps the planner from broadcasting the
+    edge side off a blind checkpoint estimate), one agg keyed on the
+    other endpoint, and one broadcast 1-row norm aggregate. The raw
+    (pre-normalization) sums are checkpointed before the norm so the
+    contribution join is executed once per half-step, not once per
+    consumer of the norm'd output. State is one (node, hub, authority)
     row per node; nodes with no in-edges hold authority 0, nodes with no
     out-edges hold hub 0.
 
@@ -273,6 +281,15 @@ def hits(
     )
     if materialize:
         nodes = nodes.localCheckpoint(eager=True)
+        # one stationary copy per join key — the half-steps alternate
+        # between src- and dst-keyed joins, and a pinned layout only
+        # removes the per-step edge Exchange for ITS key
+        edges_by = {
+            "src": _pinned_checkpoint(edges, "src"),
+            "dst": _pinned_checkpoint(edges, "dst"),
+        }
+    else:
+        edges_by = {"src": edges, "dst": edges}
 
     def _half_step(scores: DataFrame, join_on: str, agg_on: str) -> DataFrame:
         """One alternating update: sum quantized scores over edges joined
@@ -282,15 +299,22 @@ def hits(
         SEPARATE node-sized tables and no per-step state reassembly join
         is ever needed (missing nodes are zero by construction and only
         rejoin at the end)."""
+        e = edges_by[join_on]
         raw = (
-            edges.join(scores, edges[join_on] == scores["node"])
+            e.join(scores.hint("shuffle_hash"), e[join_on] == scores["node"])
             .select(
-                edges[agg_on].alias("node"),
+                e[agg_on].alias("node"),
                 F.round(F.col("score"), 12).cast(_CONTRIB_DECIMAL).alias("c"),
             )
             .groupBy("node")
             .agg(F.sum("c").cast("double").alias("raw"))
         )
+        if materialize:
+            # pin BEFORE the norm: the norm'd projection references
+            # ``raw`` twice (value branch + the 1-row norm aggregate),
+            # so an unpinned raw re-executes the contribution join per
+            # consumer
+            raw = _pinned_checkpoint(raw, "node")
         # squared terms quantize to 4 dp, not 12: raw sums reach ~1e5+ at
         # large tiers, so a 12-dp squared sum would cross the >=17-
         # significant-digit band where DuckDB's decimal->double is
@@ -314,16 +338,18 @@ def hits(
         )
 
     hub = nodes.select("node", F.lit(1.0).alias("score"))
+    if materialize:
+        hub = _pinned_checkpoint(hub, "node")
     auth = None
     for _ in range(iterations):
         # authorities from current hubs: contributions flow src → dst
         auth = _half_step(hub, "src", "dst")
         if materialize:
-            auth = auth.localCheckpoint(eager=True)
+            auth = _pinned_checkpoint(auth, "node")
         # hubs from fresh authorities: contributions flow dst → src
         hub = _half_step(auth, "dst", "src")
         if materialize:
-            hub = hub.localCheckpoint(eager=True)
+            hub = _pinned_checkpoint(hub, "node")
     return (
         nodes.join(hub.select("node", F.col("score").alias("hub")), "node", "left")
         .join(auth.select("node", F.col("score").alias("authority")), "node", "left")
@@ -887,7 +913,17 @@ def lpa_communities(
         F.col("u").alias("src"), F.col("v").alias("dst")
     ).unionByName(und.select(F.col("v").alias("src"), F.col("u").alias("dst")))
     if materialize:
-        adj = adj.localCheckpoint(eager=True)
+        # pinned on hash(dst) (round-9, guide §2.4): the label-publish
+        # join streams adj in place (labels are the broadcast/built
+        # side), so the join output stays hash(dst→node)-partitioned and
+        # BOTH per-round aggregates — groupBy(node, label) then
+        # groupBy(node) — satisfy their distribution with ZERO new
+        # exchanges (hash on a subset of the grouping keys is a valid
+        # clustering). At 100 TB, where the label vector stops being
+        # broadcastable, the planner re-exchanges adj by src per round —
+        # the one fundamental LPA message shuffle — and the agg chain
+        # still rides the join's output partitioning.
+        adj = _pinned_checkpoint(adj, "dst")
     labels = (
         adj.select(F.col("src").alias("node"))
         .distinct()
@@ -1636,30 +1672,45 @@ def newman_weighted_projection(
     ``10⁶ div (d−1)`` is pure BIGINT truncating division — so pair
     weights are exact integer sums in any order.
 
-    Scale: one basket-keyed size agg joined back (broadcast-eligible
-    post-agg), then the same bounded-fan-out pair expansion as the
-    co-count projection; the per-basket discount costs nothing extra.
+    Scale (round-9 shape, guide §2.4 — same rewrite as the co-count
+    projection's basket builder): ONE basket-keyed ``collect_list`` +
+    an array-local index-pair explode over the sorted basket. The
+    previous size-agg + join + basket self-join spent three exchanges
+    on the same pair multiset; this is one exchange, the basket size
+    ``d`` is the array length, and the per-basket discount is array
+    arithmetic. The multiset is IDENTICAL for any input (each row pair
+    with ``u < v`` once per basket, duplicate rows included — the
+    sorted list keeps equal values adjacent and the post-explode
+    ``u < v`` filter drops them, exactly as the self-join's strict
+    inequality did). Per-basket fan-out stays C(d, 2)-bounded.
 
     → ``(u, v, n_baskets, weight_micro)`` with u < v.
     """
-    sizes = bipartite.groupBy(F.col(basket_col).alias("__k")).agg(
-        F.count(F.lit(1)).cast("long").alias("__d")
-    )
-    contrib = F.expr("CAST(1000000 div (__d - 1) AS BIGINT)")
-    annotated = (
-        bipartite.select(
-            F.col(basket_col).alias("__k"), F.col(item_col).alias("__p")
+    baskets = (
+        bipartite.groupBy(F.col(basket_col).alias("__k"))
+        .agg(F.array_sort(F.collect_list(item_col)).alias("__parts"))
+        .where(F.size("__parts") >= 2)
+        .select(
+            "__parts",
+            F.expr("CAST(1000000 div (size(__parts) - 1) AS BIGINT)").alias(
+                "__w"
+            ),
         )
-        .join(sizes, "__k")
-        .where(F.col("__d") >= 2)
-        .withColumn("__w", contrib)
     )
-    a = annotated.select(
-        F.col("__k"), F.col("__p").alias("u"), F.col("__w")
+    # all i < j index pairs over the sorted basket — pure array
+    # arithmetic, no second shuffle
+    idx_pairs = F.flatten(
+        F.transform(
+            F.col("__parts"),
+            lambda p, i: F.transform(
+                F.slice(F.col("__parts"), i + 2, F.size(F.col("__parts"))),
+                lambda q: F.struct(p.alias("u"), q.alias("v")),
+            ),
+        )
     )
-    b = annotated.select(F.col("__k"), F.col("__p").alias("v"))
     pairs = (
-        a.join(b, "__k")
+        baskets.select(F.explode(idx_pairs).alias("e"), "__w")
+        .select("e.u", "e.v", "__w")
         .where(F.col("u") < F.col("v"))
         .groupBy("u", "v")
         .agg(
