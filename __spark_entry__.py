@@ -5588,19 +5588,22 @@ def ndcg_bm25_langmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     langs = docs.select("doc_id", "lang")
-    parts = []
-    for q in (0, 1, 2):
-        qterms = (
-            docs.where(F.col("doc_id") == q)
-            .select(F.explode(text_ops.tokens("text")).alias("term"))
-            .distinct()
+    # ONE corpus pass for all three query docs (round 9): BM25's corpus
+    # side (tf table, document frequencies, length stats) is
+    # query-independent, so the tagged multi-query form scores all three
+    # term sets off a single tokenize + tf shuffle — per-(query, doc)
+    # rows identical to three separate bm25_scores calls.
+    qterms = (
+        docs.where(F.col("doc_id").isin(0, 1, 2))
+        .select(
+            F.col("doc_id").alias("query"),
+            F.explode(text_ops.tokens("text")).alias("term"),
         )
-        parts.append(
-            text_ops.bm25_scores(docs, "doc_id", qterms)
-            .where(F.col("id") != q)
-            .withColumn("query", F.lit(q).cast("long"))
-        )
-    allq = parts[0].unionByName(parts[1]).unionByName(parts[2])
+        .distinct()
+    )
+    allq = text_ops.bm25_scores(
+        docs, "doc_id", qterms, query_id_col="query"
+    ).where(F.col("id") != F.col("query"))
     w = Window.partitionBy("query").orderBy(
         F.col("score_micro").desc(), F.col("id").asc()
     )

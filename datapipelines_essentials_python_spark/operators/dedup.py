@@ -23,6 +23,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from datapipelines_essentials_python_spark.operators import text as text_ops
+from datapipelines_essentials_python_spark.utils.repartition import (
+    static_loop_planning,
+)
 
 
 # --------------------------------------------------------------------------
@@ -813,8 +816,13 @@ def connected_components(
         # localCheckpoint (not persist): the plan references ``labels``
         # twice per round, so un-truncated lineage doubles every iteration
         # and OOMs the driver JVM (same fix as connected_components_star
-        # and clustering.kmeans_train).
-        new_labels = propagate(propagate(labels)).localCheckpoint()
+        # and clustering.kmeans_train). AQE off for the materialization
+        # only (static_loop_planning), shuffle partitions bounded to the
+        # graph-sized ``parts``: per-exchange AQE stage jobs otherwise
+        # dominate the bounded per-round work, and without the bound the
+        # static plan would inherit the session-wide partition count.
+        with static_loop_planning(spark, parts):
+            new_labels = propagate(propagate(labels)).localCheckpoint()
         new_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
         labels = new_labels
         if new_sum == prev_sum:
@@ -872,12 +880,11 @@ def connected_components_star(
         .distinct()
         .localCheckpoint()
     )
-    prev_sig = None
-    rounds = 0
-    for _ in range(max_iter):
-        rounds += 1
+    def _star_round(cur: DataFrame) -> DataFrame:
         # ---- large-star: symmetric neighborhoods, larger nodes re-point
-        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        sym = cur.unionByName(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
         mins = sym.groupBy("u").agg(F.min("v").alias("mv")).select(
             "u", F.least(F.col("mv"), F.col("u")).alias("m")
         )
@@ -896,14 +903,40 @@ def connected_components_star(
         )
         mins_s = keyed.groupBy("u").agg(F.min("v").alias("m"))
         joined = keyed.join(mins_s, "u")
-        new_e = (
+        return (
             joined.where(F.col("v") != F.col("m"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionByName(mins_s.select("u", F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
         )
+
+    prev_sig = None
+    rounds = 0
+    # TWO star rounds per materialization + signature action (round-9
+    # optimization — the connected_components double-round discipline):
+    # star rounds are idempotent past the fixpoint, so checking the
+    # signature every other round trades at most one no-op round for
+    # HALF the per-round checkpoint + driver-action overhead, which
+    # dominates on post-aggregation cell/dedup graphs.
+    spark = edges.sparkSession
+    par_cap = spark.sparkContext.defaultParallelism
+    # graph-sized parallelism, same ~100k-edges-per-partition heuristic
+    # as connected_components, refreshed each round from the signature
+    # count (the edge set only shrinks toward the star fixpoint)
+    n_e = e.count()
+    for _ in range(max(1, max_iter // 2)):
+        rounds += 2
+        parts = max(1, min(par_cap, n_e // 100_000 + 1))
+        # AQE off for the loop-step materialization only: the round's
+        # ~6 exchanges otherwise each become a separately planned and
+        # scheduled AQE stage job — see static_loop_planning; shuffle
+        # partitions bounded to the observed graph size (without the
+        # bound the static plan inherits the session-wide count —
+        # measured 84 s of empty-task scheduling vs 5 s on the
+        # grid-DBSCAN cell graph).
+        with static_loop_planning(spark, parts):
+            new_e = _star_round(_star_round(e)).localCheckpoint()
         # decimal(38,0) sum: a long sum of 64-bit hashes would overflow
         # under ANSI mode
         cnt, hsum = new_e.agg(
@@ -911,6 +944,7 @@ def connected_components_star(
             F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
         ).collect()[0]
         e = new_e
+        n_e = int(cnt)
         if (cnt, hsum) == prev_sig:
             break
         prev_sig = (cnt, hsum)
@@ -1182,7 +1216,8 @@ def threshold_sensitivity(
         # connected_components discipline; stability of the GLOBAL sum ⟺
         # every per-threshold subgraph is at its fixpoint (min-label sums
         # decrease strictly until then)
-        new_labels = _propagate(_propagate(labels)).localCheckpoint()
+        with static_loop_planning(spark, parts):
+            new_labels = _propagate(_propagate(labels)).localCheckpoint()
         new_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
         labels = new_labels
         if new_sum == prev_sum:

@@ -948,7 +948,11 @@ def lpa_communities(
     return labels.select("node", F.col("label").alias("community"))
 
 
-def edge_support(edges: DataFrame, materialize: bool = True) -> DataFrame:
+def edge_support(
+    edges: DataFrame,
+    materialize: bool = True,
+    assume_normalized: bool = False,
+) -> DataFrame:
     """Per-edge triangle support over an undirected graph: how many
     triangles each edge participates in — the edge-level analogue of
     :func:`triangle_counts` and the inner step of :func:`ktruss`.
@@ -960,12 +964,24 @@ def edge_support(edges: DataFrame, materialize: bool = True) -> DataFrame:
     left join back to the full edge list so triangle-free edges report
     support 0.
 
+    ``assume_normalized`` (round-9 optimization): the caller certifies
+    ``edges`` is ALREADY canonical ``(u, v)`` — u < v, distinct,
+    checkpointed — so the ``undirected_edges`` distinct (one full edge
+    exchange) and the pinning checkpoint are skipped. The :func:`ktruss`
+    peel loop is the intended caller: its round state is the filtered
+    output of the previous round's support table, canonical by
+    construction, and re-normalizing it every round was one redundant
+    exchange + checkpoint per peel.
+
     → ``(u, v, support)`` with ``u < v``, one row per edge of the
     normalized graph.
     """
-    und = undirected_edges(edges)
-    if materialize:
-        und = und.localCheckpoint(eager=True)
+    if assume_normalized:
+        und = edges.select("u", "v")
+    else:
+        und = undirected_edges(edges)
+        if materialize:
+            und = und.localCheckpoint(eager=True)
     deg = (
         und.select(F.col("u").alias("node"))
         .unionByName(und.select(F.col("v").alias("node")))
@@ -1047,30 +1063,33 @@ def ktruss(
         raise ValueError(f"ktruss needs max_rounds >= 1, got {max_rounds}")
     thresh = k - 2
 
-    def _as_directed(e: DataFrame) -> DataFrame:
-        # edge_support normalizes via undirected_edges(src, dst); the
-        # loop state is already canonical (u < v), so this rename is a
-        # no-op normalization, not a re-shuffle of new information.
-        return e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
-
     cur = undirected_edges(edges)
     if materialize:
         cur = cur.localCheckpoint(eager=True)
+    # loop state is canonical (u < v, distinct, pinned) by construction,
+    # so every edge_support call runs with assume_normalized — round 9
+    # removed the per-round re-normalization (one redundant distinct
+    # exchange + checkpoint per peel) and the per-round cur.count()
+    # action (the previous round's kept.count() IS this round's size).
+    n_cur = cur.count()
     for _ in range(max_rounds):
-        sup = edge_support(_as_directed(cur), materialize=materialize)
+        sup = edge_support(
+            cur, materialize=materialize, assume_normalized=True
+        )
         kept = sup.where(F.col("support") >= thresh).select("u", "v")
         if materialize:
             kept = kept.localCheckpoint(eager=True)
         # 1-row scalar action — the convergence test (same discipline as
         # kcore); reads checkpointed state, not re-derived lineage.
-        if kept.count() == cur.count():
+        n_kept = kept.count()
+        if n_kept == n_cur:
             # fixpoint: every edge of ``cur`` kept its support, so the
             # ``sup`` just computed IS edge_support of the final set —
             # skip the closing O(m^1.5) pass. (Cap exit below still
             # recounts: its last filter changed the edge set.)
             return sup
-        cur = kept
-    return edge_support(_as_directed(cur), materialize=materialize)
+        cur, n_cur = kept, n_kept
+    return edge_support(cur, materialize=materialize, assume_normalized=True)
 
 
 def adamic_adar(

@@ -851,11 +851,20 @@ def bm25_scores(
     k1: float = 1.2,
     b: float = 0.75,
     round_dp: int = 6,
+    query_id_col: str | None = None,
 ) -> DataFrame:
     """Okapi BM25 document scores against one query term set — the
     lexical-retrieval companion of :func:`tfidf_top_terms` and the hashed
     cosine :mod:`chunking` RAG stack. ``query`` is a DataFrame with a
     single ``term`` column (deduplicated here; broadcast).
+
+    ``query_id_col`` (round-9 optimization): when set, ``query`` carries
+    MANY query term sets — one ``(query_id, term)`` row each — and the
+    output gains that column, one score row per (query, doc). The corpus
+    side (tokenize → tf table → document frequencies → length stats) is
+    query-independent, so N queries share ONE corpus pass instead of N:
+    per-(query, doc, term) contributions are identical to N separate
+    calls, hence so are the decimal score sums.
 
     Per matched (doc, term):
     ``idf = ln((N - df + 0.5) / (df + 0.5) + 1)`` (Robertson +1 form,
@@ -889,7 +898,8 @@ def bm25_scores(
         ),
     )
     dfreq = tf_tbl.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    qt = query.select("term").distinct().join(dfreq, "term")
+    qcols = [query_id_col] if query_id_col else []
+    qt = query.select(*qcols, "term").distinct().join(dfreq, "term")
     scored = (
         tf_tbl.join(F.broadcast(qt), "term")
         .join(dl_tbl, "id")
@@ -906,7 +916,7 @@ def bm25_scores(
         * (F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl"))
     )
     contrib = F.round(idf * tfn, round_dp).cast("decimal(18,6)")
-    return scored.groupBy("id").agg(
+    return scored.groupBy(*qcols, "id").agg(
         F.count(F.lit(1)).cast("long").alias("n_terms"),
         F.max("dl").cast("long").alias("dl"),
         (F.sum(contrib) * F.lit(1000000)).cast("long").alias("score_micro"),

@@ -8,10 +8,49 @@ for joins/aggs (SURVEY §4); these remain for *write* layout control.
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from datapipelines_essentials_python_spark.functions.hashing import salted_key
+
+
+@contextlib.contextmanager
+def static_loop_planning(spark, shuffle_partitions: int | None = None):
+    """Disable AQE while materializing ONE step of an iterative loop
+    (round-9 optimization, guide §1.2 step 3 after steps 1-2).
+
+    Iterative operators (components, peeling, power iterations)
+    checkpoint a bounded, well-partitioned state table every round. AQE
+    re-plans and schedules every Exchange of every round as its own
+    stage-materialization job — measured on the grid-DBSCAN cell graph:
+    ~80 anonymous AQE jobs and more DRIVER GAP time (6.4 s of planning/
+    scheduling) than task time (5.9 s) for one query. Inside the loop
+    the shapes AQE would adapt are already fixed by construction: the
+    aggregates are map-side-combinable (hot keys partial-aggregate) and
+    the per-round joins are degree-bounded. AQE remains ON for
+    everything outside the loop — including the one-time corpus-sized
+    pass that builds the loop's input.
+
+    ``shuffle_partitions`` is REQUIRED in practice (pass the caller's
+    graph-sized heuristic, e.g. ``edges // 100_000 + 1`` capped at the
+    cluster parallelism): without AQE's coalescing, every in-loop
+    exchange otherwise inherits the session-wide
+    ``spark.sql.shuffle.partitions`` — measured 84 s (tens of
+    thousands of empty tasks) vs 5 s on the cell graph. Deriving it
+    from the OBSERVED loop-state size keeps it scale-adaptive rather
+    than a local[32] constant."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", int(shuffle_partitions))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def data_frame_repartition(
