@@ -2165,7 +2165,13 @@ def training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (uniq_ratio >= 0.3)
         & (text_ops.detect_language("text") != "und")
     )
-    clean = docs.where(keep)
+    # Round-9 optimization (guide §2.2/§5): the gated corpus feeds TWO
+    # consumers — the LSH signature build and the keep side of the
+    # anti-join — and each re-ran the full scan + tokenize +
+    # language-detect gate. Persist the narrow (id, lang, text)
+    # projection once; released via _sg_persisted with the LSH
+    # signature cache (which previously leaked past the query).
+    clean = docs.where(keep).select("doc_id", "lang", "text").persist()
 
     pairs = dedup_ops.minhash_lsh_pairs(
         clean, "doc_id", "text", n=3, num_hashes=16, bands=8,
@@ -2179,11 +2185,13 @@ def training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"en": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0},
         "doc_id",
     )
-    return sampled.groupBy("lang").agg(
+    out = sampled.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.size(text_ops.tokens(F.col("text")))).cast("long").alias("n_tokens"),
         F.min("doc_id").cast("long").alias("min_doc_id"),
     )
+    out._sg_persisted = [clean, *getattr(pairs, "_sg_persisted", ())]  # noqa: SLF001
+    return out
 
 
 def training_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2227,7 +2235,18 @@ def training_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.greatest(F.size(sh), F.lit(1)).cast("double"),
         6,
     )
-    decon = clean.crossJoin(F.broadcast(ev_set)).where(ratio < 0.8).drop("ev")
+    # Round-9 optimization (guide §2.2/§5), same as training_pipeline_e2e:
+    # the gate + broadcast-decontamination chain feeds both the LSH
+    # signature build and the anti-join keep side — persist the narrow
+    # projection once instead of re-running scan + tokenize + language
+    # detect + shingle intersect per consumer. Released via
+    # _sg_persisted with the LSH signature cache.
+    decon = (
+        clean.crossJoin(F.broadcast(ev_set))
+        .where(ratio < 0.8)
+        .select("doc_id", "lang", "text")
+        .persist()
+    )
 
     pairs = dedup_ops.minhash_lsh_pairs(
         decon, "doc_id", "text", n=3, num_hashes=16, bands=8,
@@ -2241,11 +2260,13 @@ def training_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"en": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0},
         "doc_id",
     )
-    return sampled.groupBy("lang").agg(
+    out = sampled.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.size(text_ops.tokens(F.col("text")))).cast("long").alias("n_tokens"),
         F.min("doc_id").cast("long").alias("min_doc_id"),
     )
+    out._sg_persisted = [decon, *getattr(pairs, "_sg_persisted", ())]  # noqa: SLF001
+    return out
 
 
 def ols_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4535,12 +4556,15 @@ def butterfly_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = li.select(
         F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
     )
-    return graph_ops.butterfly_counts(edges).select(
+    bf = graph_ops.butterfly_counts(edges)
+    out = bf.select(
         F.col("node").cast("long").alias("supplier"),
         "degree",
         "copartners",
         "butterflies",
     )
+    out._sg_persisted = list(getattr(bf, "_sg_persisted", ()))  # noqa: SLF001
+    return out
 
 
 def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

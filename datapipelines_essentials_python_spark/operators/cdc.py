@@ -27,7 +27,7 @@ so change detection never re-reads payload columns.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from datapipelines_essentials_python_spark.functions.hashing import row_hash_md5
@@ -156,7 +156,12 @@ def scd2_merge(
     Scale: one full-outer shuffle join on the pk between the *current* slice
     and the snapshot; closed history rides through untouched (union, no
     shuffle). Change detection is an md5 hash over ``tracked_cols`` computed
-    once per side.
+    once per side. The five merge outcomes (kept / closed / opened /
+    inserted / soft-deleted) are emitted in ONE pass over the joined rows
+    via a case-built array explode (round-9 shape, guide §2.4) — the
+    previous five-way filtered union re-executed the full-outer join and
+    both hashed input scans once per branch (5× the join work for the
+    identical output multiset).
     """
     out_cols = pk_cols + tracked_cols + [from_col, to_col, current_col]
     hist = dim.where(~F.col(current_col)).select(*out_cols)
@@ -181,36 +186,31 @@ def scd2_merge(
     load = F.lit(load_date).cast("date")
     open_end = F.lit(open_end_date).cast("date")
 
-    def _cur_row(close: bool) -> list:
+    def _cur_struct(close: bool) -> Column:
         cols = [F.col(f"__c_{c}").alias(c) for c in pk_cols + tracked_cols]
         cols.append(F.col(f"__c_{from_col}").alias(from_col))
         cols.append((load if close else F.col(f"__c_{to_col}")).alias(to_col))
         cols.append(F.lit(not close).alias(current_col))
-        return cols
+        return F.struct(*cols)
 
-    def _snap_row() -> list:
+    def _snap_struct() -> Column:
         cols = [F.col(f"__s_{c}").alias(c) for c in pk_cols + tracked_cols]
         cols.append(load.alias(from_col))
         cols.append(open_end.alias(to_col))
         cols.append(F.lit(True).alias(current_col))
-        return cols
+        return F.struct(*cols)
 
-    kept = j.where(in_cur & in_snap & (F.col("__c_h") == F.col("__s_h"))).select(
-        *_cur_row(close=False)
+    emitted = (
+        F.when(
+            in_cur & in_snap & (F.col("__c_h") == F.col("__s_h")),
+            F.array(_cur_struct(close=False)),
+        )
+        .when(changed, F.array(_cur_struct(close=True), _snap_struct()))
+        .when(in_snap & ~in_cur, F.array(_snap_struct()))
+        .otherwise(F.array(_cur_struct(close=close_deletes)))
     )
-    closed_changed = j.where(changed).select(*_cur_row(close=True))
-    opened_changed = j.where(changed).select(*_snap_row())
-    inserted = j.where(in_snap & ~in_cur).select(*_snap_row())
-    deleted = j.where(in_cur & ~in_snap).select(
-        *_cur_row(close=close_deletes)
-    )
-    return (
-        hist.unionByName(kept)
-        .unionByName(closed_changed)
-        .unionByName(opened_changed)
-        .unionByName(inserted)
-        .unionByName(deleted)
-    )
+    merged = j.select(F.explode(emitted).alias("__r")).select("__r.*")
+    return hist.unionByName(merged)
 
 
 def snapshot_diff(

@@ -913,20 +913,20 @@ def connected_components_star(
 
     prev_sig = None
     rounds = 0
-    # TWO star rounds per materialization + signature action (round-9
-    # optimization — the connected_components double-round discipline):
-    # star rounds are idempotent past the fixpoint, so checking the
-    # signature every other round trades at most one no-op round for
-    # HALF the per-round checkpoint + driver-action overhead, which
-    # dominates on post-aggregation cell/dedup graphs.
+    # ONE star round per materialization + signature action. A composed
+    # double round was tried (round 9) and measured 4-5× SLOWER: each
+    # round references its input 4× (sym union + both join legs), so the
+    # un-materialized inner round's subtree re-executes per reference in
+    # the outer round's static plan — exchange reuse does not cover the
+    # pre-exchange union/scan work and the blowup compounds.
     spark = edges.sparkSession
     par_cap = spark.sparkContext.defaultParallelism
     # graph-sized parallelism, same ~100k-edges-per-partition heuristic
     # as connected_components, refreshed each round from the signature
     # count (the edge set only shrinks toward the star fixpoint)
     n_e = e.count()
-    for _ in range(max(1, max_iter // 2)):
-        rounds += 2
+    for _ in range(max_iter):
+        rounds += 1
         parts = max(1, min(par_cap, n_e // 100_000 + 1))
         # AQE off for the loop-step materialization only: the round's
         # ~6 exchanges otherwise each become a separately planned and
@@ -936,7 +936,7 @@ def connected_components_star(
         # measured 84 s of empty-task scheduling vs 5 s on the
         # grid-DBSCAN cell graph).
         with static_loop_planning(spark, parts):
-            new_e = _star_round(_star_round(e)).localCheckpoint()
+            new_e = _star_round(e).localCheckpoint()
         # decimal(38,0) sum: a long sum of 64-bit hashes would overflow
         # under ANSI mode
         cnt, hsum = new_e.agg(

@@ -676,7 +676,11 @@ def personalized_pagerank(
     return ranks.select("node", "rank")
 
 
-def butterfly_counts(edges: DataFrame, max_right_degree: int | None = None) -> DataFrame:
+def butterfly_counts(
+    edges: DataFrame,
+    max_right_degree: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
     """Per-left-node butterfly (bipartite 4-cycle) counts over a
     bipartite edge list ``(src = left, dst = right)`` — the bipartite
     analog of triangle counting (triangles cannot exist across a
@@ -696,38 +700,78 @@ def butterfly_counts(edges: DataFrame, max_right_degree: int | None = None) -> D
     no cap (fine when the right-side degree is structurally bounded,
     e.g. suppliers-per-part ≈ dozens).
 
+    Scale (round-9 shape, guide §2.4): ONE right-node-keyed
+    ``collect_set`` replaces the distinct + optional rdeg join + self
+    join — the old plan recomputed the distinct edge list three times
+    (degree agg + both self-join legs) and the co table twice (the
+    u/v direction union). The sorted distinct left-neighbor array
+    yields each ``u < v`` pair exactly once via an array-local
+    index-pair explode (identical multiset: distinct set ⇒ ascending
+    index is strictly ascending value), the cap is the array size, the
+    degree agg explodes the same pinned baskets, and the direction
+    union is one 2-element array explode over ``co``. NULL semantics
+    preserved exactly: NULL-src edges count toward degree (tracked per
+    basket) but never pair; NULL-right baskets feed degrees, not pairs.
+
     → ``(node, degree, copartners, butterflies)``: left-node degree,
     distinct left partners sharing ≥1 right neighbor, butterfly count.
     """
-    e = edges.select("src", "dst").distinct()
+    src_type = edges.schema["src"].dataType.simpleString()
+    rights = edges.groupBy("dst").agg(
+        F.array_sort(F.collect_set("src")).alias("__parts"),
+        F.max(F.col("src").isNull()).alias("__has_null"),
+    )
     if max_right_degree is not None:
-        rdeg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("__rd"))
-        e = (
-            e.join(rdeg, "dst")
-            .where(F.col("__rd") <= max_right_degree)
-            .select("src", "dst")
+        rd = F.size("__parts") + F.when(F.col("__has_null"), 1).otherwise(0)
+        rights = rights.where(rd <= max_right_degree)
+    if materialize:
+        # referenced twice (degree explode + pair explode) — cache so
+        # the scan + collect_set runs once. persist(), NOT
+        # localCheckpoint: the checkpoint's ExistingRDD loses size
+        # stats and the downstream joins' strategy choice with them;
+        # released via ``_sg_persisted`` on the returned frame.
+        rights = rights.persist()
+    members = F.when(
+        F.col("__has_null"),
+        F.concat(
+            F.col("__parts"),
+            F.array(F.lit(None).cast(src_type)),
+        ),
+    ).otherwise(F.col("__parts"))
+    deg = (
+        rights.select(F.explode(members).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    idx_pairs = F.flatten(
+        F.transform(
+            F.col("__parts"),
+            lambda p, i: F.transform(
+                F.slice(F.col("__parts"), i + 2, F.size(F.col("__parts"))),
+                lambda q: F.struct(p.alias("u"), q.alias("v")),
+            ),
         )
-    deg = e.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).cast("long").alias("degree")
     )
     co = (
-        e.select(F.col("src").alias("u"), F.col("dst").alias("r"))
-        .join(e.select(F.col("src").alias("v"), F.col("dst").alias("r")), "r")
-        .where(F.col("u") < F.col("v"))
+        rights.where(F.col("dst").isNotNull())
+        .select(F.explode(idx_pairs).alias("e"))
+        .select("e.u", "e.v")
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).cast("long").alias("co"))
     )
     bf = (F.col("co") * (F.col("co") - F.lit(1)) / F.lit(2)).cast("long")
     per_node = (
-        co.select(F.col("u").alias("node"), F.col("co"))
-        .unionByName(co.select(F.col("v").alias("node"), F.col("co")))
+        co.select(
+            F.explode(F.array(F.col("u"), F.col("v"))).alias("node"),
+            F.col("co"),
+        )
         .groupBy("node")
         .agg(
             F.count(F.lit(1)).cast("long").alias("copartners"),
             F.sum(bf).cast("long").alias("butterflies"),
         )
     )
-    return (
+    out = (
         deg.join(per_node, "node", "left")
         .select(
             "node",
@@ -740,9 +784,14 @@ def butterfly_counts(edges: DataFrame, max_right_degree: int | None = None) -> D
             ),
         )
     )
+    if materialize:
+        out._sg_persisted = [rights]  # noqa: SLF001 — released by bench/caller
+    return out
 
 
-def degree_assortativity(edges: DataFrame) -> DataFrame:
+def degree_assortativity(
+    edges: DataFrame, materialize: bool = True
+) -> DataFrame:
     """Degree histogram (power-of-two buckets) + the Pearson
     degree-degree assortativity coefficient of an undirected graph — the
     two scalars a graph-quality audit reads first: a heavy histogram
@@ -761,12 +810,22 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     → ``(bucket_log2, n_nodes, assortativity)``.
     """
     und = undirected_edges(edges)
+    if materialize:
+        # Round-9 optimization (guide §2.4): this plan references ``und``
+        # three times (both degree-union legs + the edge join) and ``deg``
+        # three times (histogram + both per-endpoint joins) — without
+        # pinning, the whole upstream edge build (for the registry query,
+        # the basket-explode aggregation) re-executes per reference:
+        # measured 62 Exchanges in one plan, ~5x the unique work.
+        und = und.localCheckpoint(eager=True)
     deg = (
         und.select(F.col("u").alias("node"))
         .unionByName(und.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
     )
+    if materialize:
+        deg = deg.localCheckpoint(eager=True)
     # bucket = floor(ln(d)/ln 2) — written as the EXPLICIT ln ratio, never
     # log2(): Spark's log2 is ln(x)/ln(2) while DuckDB's is a native log2,
     # and the two disagree at exact powers of two (2.999... vs 3.0); the
@@ -1601,7 +1660,9 @@ def cheapest_paths(
     return cost
 
 
-def rich_club(edges: DataFrame, k_values: list[int]) -> DataFrame:
+def rich_club(
+    edges: DataFrame, k_values: list[int], materialize: bool = True
+) -> DataFrame:
     """Rich-club coefficient at each degree threshold k: the density of
     the subgraph induced by nodes with degree > k —
     ``φ(k) = 2·E_k / (N_k·(N_k−1))`` (Colizza et al. 2006, public).
@@ -1624,12 +1685,21 @@ def rich_club(edges: DataFrame, k_values: list[int]) -> DataFrame:
     if not k_values:
         raise ValueError("rich_club needs at least one k threshold")
     und = undirected_edges(edges)
+    if materialize:
+        # Round-9 optimization (guide §2.4): ``und`` is referenced three
+        # times (both degree-union legs + the annotated edge join) and
+        # ``deg`` three times (the N_k count + both endpoint joins) —
+        # without pinning, the upstream edge build re-executes per
+        # reference (measured 40 Exchanges in the registry query's plan).
+        und = und.localCheckpoint(eager=True)
     deg = (
         und.select(F.col("u").alias("node"))
         .unionByName(und.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
     )
+    if materialize:
+        deg = deg.localCheckpoint(eager=True)
     spark = edges.sparkSession
     ks = spark.createDataFrame(
         [(int(k),) for k in sorted(set(k_values))], "k long"

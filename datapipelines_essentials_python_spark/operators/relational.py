@@ -3217,6 +3217,12 @@ def grid_dbscan(
         .agg(F.count(F.lit(1)).cast("long").alias("n_points"))
     )
     core = cells.where(F.col("n_points") >= F.lit(int(min_pts)))
+    # NOT persisted (round-9 measurement): the core-cell table is
+    # referenced five times downstream, but every reference goes
+    # through the same aggregation Exchange, and static exchange reuse
+    # already dedups the corpus-collapsing pass — a persist() was tried
+    # and measured ~1.2-2× SLOWER (eager cache materialization + cache
+    # scan overhead on a table exchange reuse serves for free).
     # encode cell id (coords are non-negative after the +OFFSET shift;
     # generic inputs may be negative, so shift into positive range).
     # The (cx+1e6)*4e6+(cy+1e6) packing is injective ONLY for cell
