@@ -4371,6 +4371,15 @@ def _affinity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("parts")
     )
+    # Round-9 (guide §2.5): AQE coalesces the post-agg stage by the
+    # AGGREGATED basket bytes (a few MB ⇒ 2-3 tasks at sf0.1), but the
+    # pair explode below multiplies CPU ~C(13,2)/13× — measured 2.6 s
+    # on 2 tasks while 30 cores idled. Round-robin the small basket
+    # table across the cluster's cores before exploding; the exchange
+    # moves only the post-agg baskets (cheap), and cores = the CPU
+    # budget at any scale, so the floor is scale-adaptive, not a
+    # local[32] constant.
+    baskets = baskets.repartition(spark.sparkContext.defaultParallelism)
     # all i < j index pairs over the sorted basket: flatten(transform(
     # slice-per-anchor)) — pure array arithmetic, no second shuffle
     pairs = F.flatten(

@@ -27,6 +27,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from datapipelines_essentials_python_spark.utils.repartition import (
+    static_loop_planning,
+)
+
 #: quantization applied to per-edge rank contributions before the
 #: destination-side sum — exact decimal addition at any parallelism.
 _CONTRIB_DECIMAL = "decimal(28,12)"
@@ -903,13 +907,24 @@ def kcore(
     und = undirected_edges(edges)
     if materialize:
         und = und.localCheckpoint(eager=True)
+    # Round-9 (guide §2.5): row-derived degree-fold width — see
+    # bfs_distances; the per-peel endpoint union is bytes-light and
+    # AQE's byte-based coalescing otherwise folds it on ~2 tasks.
+    # Sized ONCE off the initial edge count (the edge set only shrinks).
+    parts = None
+    if materialize:
+        spark = edges.sparkSession
+        par_cap = spark.sparkContext.defaultParallelism
+        parts = max(1, min(par_cap, und.count() // 100_000 + 1))
 
     def _degrees(e: DataFrame) -> DataFrame:
-        return (
-            e.select(F.col("u").alias("node"))
-            .unionByName(e.select(F.col("v").alias("node")))
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        ends = e.select(F.col("u").alias("node")).unionByName(
+            e.select(F.col("v").alias("node"))
+        )
+        if parts is not None:
+            ends = ends.repartition(parts, F.col("node"))
+        return ends.groupBy("node").agg(
+            F.count(F.lit(1)).cast("long").alias("core_degree")
         )
 
     for _ in range(max_rounds):
@@ -1278,6 +1293,16 @@ def bfs_distances(
     )
     if materialize:
         dist = dist.localCheckpoint(eager=True)
+    # Round-9 (guide §2.5): the per-hop fold's rows are BYTES-light, so
+    # AQE's byte-based coalescing ran the fold + checkpoint stage on ~2
+    # tasks. A user-numbered keyed repartition (which AQE never
+    # coalesces, and the groupBy reuses) runs the fold at a row-derived
+    # width — adjacency rows / 100k, the components-loop heuristic,
+    # scale-adaptive. The frontier join keeps its adaptive broadcast.
+    spark = edges.sparkSession
+    if materialize:
+        par_cap = spark.sparkContext.defaultParallelism
+        parts = max(1, min(par_cap, adj.count() // 100_000 + 1))
     for h in range(1, max_hops + 1):
         frontier = dist.where(F.col("dist") == h - 1).select(
             F.col("node").alias("src")
@@ -1285,10 +1310,11 @@ def bfs_distances(
         nxt = adj.join(frontier, "src").select(
             F.col("dst").alias("node"), F.lit(h).cast("int").alias("dist")
         )
-        dist = (
-            dist.unionByName(nxt)
-            .groupBy("node")
-            .agg(F.min("dist").cast("int").alias("dist"))
+        folded = dist.unionByName(nxt)
+        if materialize:
+            folded = folded.repartition(parts, F.col("node"))
+        dist = folded.groupBy("node").agg(
+            F.min("dist").cast("int").alias("dist")
         )
         if materialize:
             dist = dist.localCheckpoint(eager=True)
@@ -1343,6 +1369,14 @@ def random_walks(
     nodes = adj.select(F.col("src").alias("start")).distinct()
     cur = nodes.select("start", F.col("start").alias("node"))
     out = cur.select("start", F.lit(0).cast("int").alias("step"), "node")
+    # Round-9 (guide §2.5): row-derived fold width — see bfs_distances;
+    # the per-step argmin folds Σ deg(cur) candidate rows (bytes-light,
+    # md5-CPU-heavy), which AQE's byte-based coalescing otherwise runs
+    # on ~2 tasks.
+    spark = edges.sparkSession
+    if materialize:
+        par_cap = spark.sparkContext.defaultParallelism
+        parts = max(1, min(par_cap, adj.count() // 100_000 + 1))
     for t in range(1, walk_len + 1):
         draw = F.md5(
             F.concat_ws(
@@ -1353,9 +1387,15 @@ def random_walks(
                 F.col("dst").cast("string"),
             )
         )
+        hops = cur.join(adj, cur["node"] == adj["src"]).select(
+            "start", cur["node"].alias("node"), "dst"
+        )
+        if materialize:
+            # repartition the RAW hop rows so the md5 draws AND the
+            # argmin fold both run at ``parts`` tasks
+            hops = hops.repartition(parts, F.col("start"))
         cur = (
-            cur.join(adj, cur["node"] == adj["src"])
-            .select("start", draw.alias("h"), "dst")
+            hops.select("start", draw.alias("h"), "dst")
             .groupBy("start")
             .agg(F.min(F.struct("h", "dst")).alias("__pick"))
             .select("start", F.col("__pick.dst").alias("node"))
@@ -1553,6 +1593,19 @@ def landmark_harmonic(
     )
     if materialize:
         dist = dist.localCheckpoint(eager=True)
+    # Round-9 (guide §2.5): per-hop state is ROWS-heavy but BYTES-light
+    # (three ints per (landmark, node) pair), so AQE's byte-based
+    # coalescing ran the min-fold + checkpoint stage on 2 tasks
+    # (measured ~3 s/hop with 30 cores idle). Materialize each hop with
+    # AQE off and a row-derived partition count — |landmarks| × |ball|
+    # grows toward lm × |V|, so size off the adjacency (the per-hop
+    # join's work bound), same ~100k-rows-per-partition heuristic as
+    # the components loops; scale-adaptive, not a local[32] constant.
+    spark = edges.sparkSession
+    par_cap = spark.sparkContext.defaultParallelism
+    if materialize:
+        n_adj = adj.count()
+        parts = max(1, min(par_cap, n_adj // 100_000 + 1))
     for h in range(1, max_hops + 1):
         frontier = dist.where(F.col("dist") == h - 1).select(
             "lm", F.col("node").alias("src")
@@ -1560,10 +1613,15 @@ def landmark_harmonic(
         nxt = adj.join(frontier, "src").select(
             "lm", F.col("dst").alias("node"), F.lit(h).cast("int").alias("dist")
         )
-        dist = (
-            dist.unionByName(nxt)
-            .groupBy("lm", "node")
-            .agg(F.min("dist").cast("int").alias("dist"))
+        folded = dist.unionByName(nxt)
+        if materialize:
+            # user-numbered keyed repartition: AQE never coalesces it,
+            # and the groupBy on the same keys reuses the exchange —
+            # the fold runs at ``parts`` tasks instead of 2, while the
+            # frontier join above keeps its adaptive broadcast.
+            folded = folded.repartition(parts, F.col("lm"), F.col("node"))
+        dist = folded.groupBy("lm", "node").agg(
+            F.min("dist").cast("int").alias("dist")
         )
         if materialize:
             dist = dist.localCheckpoint(eager=True)
@@ -1628,6 +1686,13 @@ def cheapest_paths(
     )
     if materialize:
         cost = cost.localCheckpoint(eager=True)
+    # Round-9 (guide §2.5): row-derived fold width — see bfs_distances;
+    # AQE's byte-based coalescing otherwise runs the min-plus fold +
+    # checkpoint stage on ~2 tasks.
+    spark = edges.sparkSession
+    if materialize:
+        par_cap = spark.sparkContext.defaultParallelism
+        parts = max(1, min(par_cap, adj.count() // 100_000 + 1))
     frontier = cost
     for _ in range(max_hops):
         relaxed = (
@@ -1637,11 +1702,10 @@ def cheapest_paths(
                 (F.col("cost") + F.col("w")).alias("cost"),
             )
         )
-        nxt = (
-            cost.unionByName(relaxed)
-            .groupBy("node")
-            .agg(F.min("cost").alias("cost"))
-        )
+        folded = cost.unionByName(relaxed)
+        if materialize:
+            folded = folded.repartition(parts, F.col("node"))
+        nxt = folded.groupBy("node").agg(F.min("cost").alias("cost"))
         if materialize:
             nxt = nxt.localCheckpoint(eager=True)
         # next round's frontier: nodes whose settled cost IMPROVED (new
