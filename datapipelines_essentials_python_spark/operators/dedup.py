@@ -441,6 +441,12 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"), "sh", "sig"
     )
     signed = signed.persist()
+    # Eager: AQE materializes the three consumer exchanges (band explode +
+    # both verification join legs) CONCURRENTLY, before a lazy cache is
+    # populated — each stage re-runs the full shingle+sign pipeline
+    # (measured 3× ~2.4 s stages in the event log). One count() populates
+    # the cache first; the consumers then scan it.
+    signed.count()
 
     # Band key: base-p positional combine of the band's signature slice —
     # a BIGINT per (doc, band), no string/md5 work. Exact only while
@@ -585,7 +591,11 @@ def simhash_pairs(
     width = SIMHASH_BITS // nblocks
     # persist: the self-join below references the fingerprint pipeline
     # twice — without this the (expensive) simhash expression runs 2×.
+    # Eager count: AQE materializes both self-join exchange legs
+    # concurrently, and a lazy cache is not yet populated when they start,
+    # so each leg would re-run the simhash pipeline anyway.
     base = df.select(F.col(id_col).alias("id"), simhash(text_col).alias("fp")).persist()
+    base.count()
     blocks = base.select(
         "id",
         "fp",
@@ -703,6 +713,10 @@ def semantic_dedup_pairs(
         emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
         centroids, "id", "v",
     ).persist()
+    # Eager count: both self-join exchange legs materialize concurrently
+    # under AQE, before a lazy cache fills — each would re-run the
+    # broadcast-assign + window pipeline.
+    assigned.count()
     lhs = assigned.select("cell", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
     rhs = assigned.select("cell", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
     pairs = lhs.join(rhs, "cell").where(F.col("id_a") < F.col("id_b"))
