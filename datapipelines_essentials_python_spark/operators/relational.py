@@ -1488,31 +1488,53 @@ def spearman_corr(
     to 6 — the same integer→IEEE cast on both engines, so the oracle
     replays it bit-for-bit.
 
-    Scale: two rank windows partitioned by the group key over the raw
-    rows, then one keyed agg — the windows are the cost, so at corpus
-    scale the group key must be selective enough to range-partition
-    the sort (the registry query's low-cardinality demo grouping is
-    the small-tier shape, not the contract).
+    Scale (round 9, guide §2.5): the doubled rank depends only on the
+    VALUE's position among the group's distinct values —
+    ``R2 = 2·cnt_lt + cnt_eq + 1 = 2·cum − cnt + 1`` over per-value
+    counts — so the rank windows run over the per-(group, value)
+    aggregate, not the raw rows, and the per-row ranks are attached
+    back with two equi-joins keyed on (group, value). The previous
+    shape windowed the RAW table partitioned by the group key: with a
+    low-cardinality group (this registry query groups by a 3-value
+    flag) every row sorts on ≤3 tasks, four times, and window skew is
+    exactly what AQE cannot split. The per-value tables are
+    distinct-value-sized, the joins are value-keyed (well spread,
+    broadcast when small), and the corpus itself is never sorted.
+    Same BIGINT doubled ranks row for row — bit-identical output.
 
     → ``(group, n, spearman_rho)``.
     """
-    g = F.col(group_col)
-    wx = Window.partitionBy(group_col).orderBy(x_col)
-    wy = Window.partitionBy(group_col).orderBy(y_col)
-    wxe = Window.partitionBy(group_col, x_col)
-    wye = Window.partitionBy(group_col, y_col)
-    ranked = df.select(
-        g.alias("g"),
-        (
-            2 * F.rank().over(wx).cast("long")
-            + F.count(F.lit(1)).over(wxe).cast("long")
-            - 1
-        ).alias("r2x"),
-        (
-            2 * F.rank().over(wy).cast("long")
-            + F.count(F.lit(1)).over(wye).cast("long")
-            - 1
-        ).alias("r2y"),
+    rows = df.select(
+        F.col(group_col).alias("g"),
+        F.col(x_col).alias("vx"),
+        F.col(y_col).alias("vy"),
+    )
+
+    def r2_table(val_col: str, out_col: str) -> DataFrame:
+        per_val = rows.groupBy(
+            F.col("g").alias("gk"), F.col(val_col).alias("v")
+        ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        w = Window.partitionBy("gk").orderBy("v")
+        return per_val.select(
+            "gk",
+            "v",
+            (2 * F.sum("cnt").over(w) - F.col("cnt") + 1)
+            .cast("long")
+            .alias(out_col),
+        )
+
+    rx = r2_table("vx", "r2x")
+    ry = r2_table("vy", "r2y")
+    ranked = (
+        rows.join(
+            rx, rows["g"].eqNullSafe(rx["gk"]) & rows["vx"].eqNullSafe(rx["v"])
+        )
+        .select("g", "vy", "r2x")
+        .join(
+            ry,
+            F.col("g").eqNullSafe(ry["gk"]) & F.col("vy").eqNullSafe(ry["v"]),
+        )
+        .select("g", "r2x", "r2y")
     )
     d38 = "decimal(38,0)"
     m = ranked.groupBy("g").agg(
@@ -2298,30 +2320,36 @@ def auc_mann_whitney(
     ``AUC = U2 / (2·n_pos·n_neg)`` is ONE fixed double shape rounded
     to 6. Ties get the standard 0.5 credit automatically.
 
-    Scale: one rank window partitioned by the group + one keyed agg —
-    never a positives × negatives join (that comparison is what the
-    rank identity replaces).
+    Scale (round 9, guide §2.5): every row of a tied score shares one
+    doubled rank ``R2 = 2·cum − cnt + 1`` over per-(group, score)
+    counts, and the Mann-Whitney sum needs only ``Σ pos·R2`` — so the
+    corpus collapses to a per-value count table in ONE keyed
+    map-side-combinable agg, the rank window runs over distinct scores
+    (not raw rows), and nothing ever joins back. The previous shape
+    windowed the raw table partitioned by the group key: a
+    low-cardinality group sorts the corpus on that many tasks, which
+    AQE cannot split. Same BIGINT sums — bit-identical output.
 
     → ``(group, n_pos, n_neg, u2, auc)``.
     """
-    w_rank = Window.partitionBy(group_col).orderBy(score_col)
-    w_eq = Window.partitionBy(group_col, score_col)
-    r2 = (
-        2 * F.rank().over(w_rank).cast("long")
-        + F.count(F.lit(1)).over(w_eq).cast("long")
-        - 1
-    )
-    ranked = df.select(
-        F.col(group_col).alias("group"),
-        F.col(label_col).cast("boolean").alias("y"),
-        r2.alias("r2"),
-    )
-    m = ranked.groupBy("group").agg(
-        F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("long").alias("n_pos"),
-        F.sum(F.when(~F.col("y"), 1).otherwise(0)).cast("long").alias("n_neg"),
-        F.sum(F.when(F.col("y"), F.col("r2")).otherwise(F.lit(0)))
+    per_val = df.groupBy(
+        F.col(group_col).alias("group"), F.col(score_col).alias("v")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.when(F.col(label_col).cast("boolean"), 1).otherwise(0))
         .cast("long")
-        .alias("__s2pos"),
+        .alias("pos"),
+    )
+    w = Window.partitionBy("group").orderBy("v")
+    r2 = (2 * F.sum("cnt").over(w) - F.col("cnt") + 1).cast("long")
+    m = (
+        per_val.select("group", "cnt", "pos", r2.alias("r2"))
+        .groupBy("group")
+        .agg(
+            F.sum("pos").cast("long").alias("n_pos"),
+            F.sum(F.col("cnt") - F.col("pos")).cast("long").alias("n_neg"),
+            F.sum(F.col("pos") * F.col("r2")).cast("long").alias("__s2pos"),
+        )
     )
     u2 = (F.col("__s2pos") - F.col("n_pos") * (F.col("n_pos") + 1)).cast(
         "long"

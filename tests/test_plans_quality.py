@@ -773,15 +773,21 @@ def test_fd_check_is_aggs_only(spark):
 
 
 def test_spearman_windows_are_keyed(spark):
-    """All four rank/count windows are PARTITIONED by the group key —
-    an unpartitioned rank would pull the corpus onto one task."""
+    """The rank windows run over the per-(group, value) AGGREGATE, not
+    the raw rows (round 9): every windowspec is partitioned by the
+    group key, and each window's input has already passed a
+    HashAggregate (the per-value count) — windowing the raw table on a
+    low-cardinality group key sorts the corpus on as many tasks as
+    there are groups, which AQE cannot split."""
     import re
 
     plan = plan_of(entry_mod.queries()["spearman_qty_price"](spark, SF_DIR))
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs, "expected window specs in the spearman plan"
     for spec in specs:
-        assert "l_returnflag" in spec, f"unpartitioned window spec: {spec}"
+        assert "gk#" in spec, f"unpartitioned window spec: {spec}"
+    # ranks attach back via value-keyed joins, never a cartesian
+    assert "Join" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
 
@@ -965,9 +971,10 @@ def test_weighted_median_windows_keyed_post_agg(spark):
 
 
 def test_auc_is_one_rank_window_no_pair_join(spark):
-    """The rank identity replaces the positives x negatives join: the
-    plan has keyed windows and aggs only — no join at all below the
-    score projection, no Python."""
+    """The rank identity replaces the positives x negatives join, and
+    (round 9) the rank window runs over the per-(group, score)
+    aggregate, never the raw rows: keyed windows fed by a
+    HashAggregate below them, no join at all, no Python."""
     import re
 
     plan = plan_of(entry_mod.queries()["auc_en_quality"](spark, SF_DIR))
@@ -976,7 +983,11 @@ def test_auc_is_one_rank_window_no_pair_join(spark):
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs, "expected rank window specs in the AUC plan"
     for spec in specs:
-        assert "source" in spec, f"unpartitioned window spec: {spec}"
+        assert "group#" in spec, f"unpartitioned window spec: {spec}"
+    win_ids = [int(i) for i in re.findall(r"Window \((\d+)\)", plan)]
+    agg_ids = [int(i) for i in re.findall(r"HashAggregate \((\d+)\)", plan)]
+    assert win_ids and agg_ids, plan
+    assert min(agg_ids) < min(win_ids), plan
 
 
 def test_calibration_total_rides_bucket_window(spark):
