@@ -36,7 +36,9 @@ from datapipelines_essentials_python_spark.utils.repartition import (
 _CONTRIB_DECIMAL = "decimal(28,12)"
 
 
-def _pinned_checkpoint(df: DataFrame, *keys: str) -> DataFrame:
+def _pinned_checkpoint(
+    df: DataFrame, *keys: str, parts: int | None = None
+) -> DataFrame:
     """Eager ``localCheckpoint`` that PRESERVES hash partitioning on
     ``keys`` (round-9 optimization, guide §2.4 "remove shuffles
     outright").
@@ -53,9 +55,12 @@ def _pinned_checkpoint(df: DataFrame, *keys: str) -> DataFrame:
     the edge table is shuffled ONCE per query instead of once per
     iteration. Partition count follows ``spark.sql.shuffle.partitions``
     (scale-adaptive: the session factory sizes it from the core budget,
-    AQE still coalesces everywhere else)."""
+    AQE still coalesces everywhere else) unless the caller passes an
+    explicit ``parts`` — used when the stage consuming the checkpoint
+    multiplies rows (wedge explodes), so its width must derive from the
+    OUTPUT row count, not the input bytes."""
     spark = df.sparkSession
-    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n = parts if parts else int(spark.conf.get("spark.sql.shuffle.partitions"))
     prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
@@ -65,6 +70,30 @@ def _pinned_checkpoint(df: DataFrame, *keys: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
     return out
+
+
+def _wedge_parts(deg: DataFrame, degree_col: str = "degree") -> int:
+    """Partition width for a wedge-by-center self-join, derived from the
+    EXACT wedge row count ``Σ C(deg, 2)`` over the (already capped)
+    center table (round-9, guide §2.5).
+
+    AQE sizes the self-join's stage by the adjacency's BYTES (a few MB of
+    int pairs ⇒ a handful of tasks), but the join's output is the wedge
+    table — ``Σ C(deg, 2)`` rows, a ~C(d̄,2)/d̄× row multiplier the byte
+    estimate never sees, so the whole enumeration ran on 4 tasks while
+    the rest of the cluster idled. One tiny agg over the node-sized
+    degree table gives the true output row count; ~100k wedge rows per
+    task (the components-loop heuristic) capped at the cluster's core
+    budget keeps it scale-adaptive rather than a local[32] constant."""
+    spark = deg.sparkSession
+    row = deg.agg(
+        F.sum(
+            (F.col(degree_col) * (F.col(degree_col) - 1) / 2).cast("long")
+        ).alias("w")
+    ).first()
+    wedge_rows = int(row["w"] or 0)
+    par_cap = spark.sparkContext.defaultParallelism
+    return max(1, min(par_cap, wedge_rows // 100_000 + 1))
 
 
 def out_degrees(edges: DataFrame) -> DataFrame:
@@ -1209,6 +1238,11 @@ def adamic_adar(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
     )
+    if materialize:
+        # node-sized; consumed three times (width agg, centers, the
+        # final score projection) — pin once instead of repeated
+        # edge-sized re-aggregations
+        deg = deg.localCheckpoint(eager=True)
     if max_degree is not None:
         deg = deg.where(F.col("degree") <= F.lit(int(max_degree)))
     # contribution carried on the center row: one decimal per wedge
@@ -1221,6 +1255,14 @@ def adamic_adar(
     adj = und.select(F.col("u").alias("w"), F.col("v").alias("n")).unionByName(
         und.select(F.col("v").alias("w"), F.col("u").alias("n"))
     )
+    if materialize:
+        # width from the wedge OUTPUT row count (Σ C(deg,2) over the
+        # capped centers), not the adjacency's bytes — see _wedge_parts;
+        # the pinned layout on w serves both self-join legs with zero
+        # further exchanges
+        adj = _pinned_checkpoint(
+            adj, "w", parts=_wedge_parts(deg.where(F.col("degree") >= 2))
+        )
     wedge = (
         adj.withColumnRenamed("n", "a")
         .join(adj.withColumnRenamed("n", "b"), "w")
@@ -1472,12 +1514,22 @@ def _nonadjacent_common_pairs(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
     )
+    if materialize:
+        # node-sized; consumed four times (width agg, center semi-join,
+        # du, dv) — pin once instead of four edge-sized re-aggregations
+        deg = deg.localCheckpoint(eager=True)
     centers = deg if max_degree is None else deg.where(
         F.col("degree") <= F.lit(int(max_degree))
     )
     adj = und.select(F.col("u").alias("w"), F.col("v").alias("n")).unionByName(
         und.select(F.col("v").alias("w"), F.col("u").alias("n"))
     )
+    if materialize:
+        # width from the wedge OUTPUT row count (Σ C(deg,2) over the
+        # capped centers), not the adjacency's bytes — see _wedge_parts;
+        # the pinned layout on w serves both self-join legs with zero
+        # further exchanges
+        adj = _pinned_checkpoint(adj, "w", parts=_wedge_parts(centers))
     wedge = (
         adj.withColumnRenamed("n", "a")
         .join(adj.withColumnRenamed("n", "b"), "w")
