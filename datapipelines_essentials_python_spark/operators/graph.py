@@ -72,6 +72,23 @@ def _pinned_checkpoint(
     return out
 
 
+def _loop_parts(df: DataFrame, rows: int | None = None) -> int:
+    """Row-derived width for pinned loop state (round-9, guide §2.5):
+    ~100k rows per task, capped at the cluster's core budget — the same
+    heuristic the frontier/components loops use. The power-iteration
+    loops previously pinned at the session's ``spark.sql.shuffle
+    .partitions`` (the core budget) regardless of state size, so a
+    20k-row rank vector checkpointed 32 ways every iteration and the
+    per-task scheduling overhead dominated the round. Width derives
+    from the OBSERVED edge/state row count, so it is scale-adaptive —
+    at real scale it saturates at the cluster parallelism and the pins
+    behave exactly as before."""
+    spark = df.sparkSession
+    n = rows if rows is not None else df.count()
+    par_cap = spark.sparkContext.defaultParallelism
+    return max(1, min(par_cap, n // 100_000 + 1))
+
+
 def _wedge_parts(deg: DataFrame, degree_col: str = "degree") -> int:
     """Partition width for a wedge-by-center self-join, derived from the
     EXACT wedge row count ``Σ C(deg, 2)`` over the (already capped)
@@ -314,14 +331,19 @@ def hits(
     )
     if materialize:
         nodes = nodes.localCheckpoint(eager=True)
+        # one edge-derived width for every pin in the loop (see
+        # _loop_parts) — co-partitioned counts must match for the
+        # half-step SHJs to stay exchange-free
+        parts = _loop_parts(edges)
         # one stationary copy per join key — the half-steps alternate
         # between src- and dst-keyed joins, and a pinned layout only
         # removes the per-step edge Exchange for ITS key
         edges_by = {
-            "src": _pinned_checkpoint(edges, "src"),
-            "dst": _pinned_checkpoint(edges, "dst"),
+            "src": _pinned_checkpoint(edges, "src", parts=parts),
+            "dst": _pinned_checkpoint(edges, "dst", parts=parts),
         }
     else:
+        parts = None
         edges_by = {"src": edges, "dst": edges}
 
     def _half_step(scores: DataFrame, join_on: str, agg_on: str) -> DataFrame:
@@ -347,7 +369,7 @@ def hits(
             # ``raw`` twice (value branch + the 1-row norm aggregate),
             # so an unpinned raw re-executes the contribution join per
             # consumer
-            raw = _pinned_checkpoint(raw, "node")
+            raw = _pinned_checkpoint(raw, "node", parts=parts)
         # squared terms quantize to 4 dp, not 12: raw sums reach ~1e5+ at
         # large tiers, so a 12-dp squared sum would cross the >=17-
         # significant-digit band where DuckDB's decimal->double is
@@ -372,17 +394,17 @@ def hits(
 
     hub = nodes.select("node", F.lit(1.0).alias("score"))
     if materialize:
-        hub = _pinned_checkpoint(hub, "node")
+        hub = _pinned_checkpoint(hub, "node", parts=parts)
     auth = None
     for _ in range(iterations):
         # authorities from current hubs: contributions flow src → dst
         auth = _half_step(hub, "src", "dst")
         if materialize:
-            auth = _pinned_checkpoint(auth, "node")
+            auth = _pinned_checkpoint(auth, "node", parts=parts)
         # hubs from fresh authorities: contributions flow dst → src
         hub = _half_step(auth, "dst", "src")
         if materialize:
-            hub = _pinned_checkpoint(hub, "node")
+            hub = _pinned_checkpoint(hub, "node", parts=parts)
     return (
         nodes.join(hub.select("node", F.col("score").alias("hub")), "node", "left")
         .join(auth.select("node", F.col("score").alias("authority")), "node", "left")
@@ -560,8 +582,12 @@ def pagerank(
     #     computed once; each iteration only sums ranks over it.
     wedges = edges.join(degrees.withColumnRenamed("node", "src"), "src", "left")
     if materialize:
-        wedges = _pinned_checkpoint(wedges, "src")
-        ranks = _pinned_checkpoint(ranks, "node")
+        # one edge-derived width for every pin in the loop (see
+        # _loop_parts) — co-partitioned counts must match for the
+        # per-iteration SHJ to stay exchange-free
+        parts = _loop_parts(edges)
+        wedges = _pinned_checkpoint(wedges, "src", parts=parts)
+        ranks = _pinned_checkpoint(ranks, "node", parts=parts)
     dangling_nodes = ranks.select("node").join(degrees, "node", "left_anti")
     if materialize:
         dangling_nodes = dangling_nodes.localCheckpoint(eager=True)
@@ -573,7 +599,7 @@ def pagerank(
         prev = ranks
         ranks = _pagerank_iteration(wedges, ranks, dangling_nodes, share, damping)
         if materialize:
-            ranks = _pinned_checkpoint(ranks, "node")
+            ranks = _pinned_checkpoint(ranks, "node", parts=parts)
         if tol is not None:
             # 1-row L1 delta off two checkpointed node-sized tables; the
             # quantized DECIMAL sum makes the stop decision partitioning-
@@ -664,8 +690,12 @@ def personalized_pagerank(
     # source (count ≥ 1), so the left join never produces a NULL outdeg.
     wedges = edges.join(degrees.withColumnRenamed("node", "src"), "src", "left")
     if materialize:
-        wedges = _pinned_checkpoint(wedges, "src")
-        ranks = _pinned_checkpoint(ranks, "node")
+        # one edge-derived width for every pin in the loop (see
+        # _loop_parts) — co-partitioned counts must match for the
+        # per-iteration SHJ to stay exchange-free
+        parts = _loop_parts(edges)
+        wedges = _pinned_checkpoint(wedges, "src", parts=parts)
+        ranks = _pinned_checkpoint(ranks, "node", parts=parts)
     dangling_nodes = ranks.select("node").join(degrees, "node", "left_anti")
     if materialize:
         dangling_nodes = dangling_nodes.localCheckpoint(eager=True)
@@ -705,7 +735,7 @@ def personalized_pagerank(
             )
         )
         if materialize:
-            ranks = _pinned_checkpoint(ranks, "node")
+            ranks = _pinned_checkpoint(ranks, "node", parts=parts)
     return ranks.select("node", "rank")
 
 
@@ -1012,6 +1042,8 @@ def lpa_communities(
             f"lpa_communities needs iterations >= 1, got {iterations}"
         )
     und = undirected_edges(edges)
+    if materialize:
+        und = und.localCheckpoint(eager=True)
     adj = und.select(
         F.col("u").alias("src"), F.col("v").alias("dst")
     ).unionByName(und.select(F.col("v").alias("src"), F.col("u").alias("dst")))
@@ -1025,8 +1057,13 @@ def lpa_communities(
         # clustering). At 100 TB, where the label vector stops being
         # broadcastable, the planner re-exchanges adj by src per round —
         # the one fundamental LPA message shuffle — and the agg chain
-        # still rides the join's output partitioning.
-        adj = _pinned_checkpoint(adj, "dst")
+        # still rides the join's output partitioning. Width is
+        # edge-derived (_loop_parts), not the session conf — every
+        # per-round stage rides this layout, so a small graph no longer
+        # pays core-budget-many tasks per round.
+        adj = _pinned_checkpoint(
+            adj, "dst", parts=_loop_parts(und, rows=2 * und.count())
+        )
     labels = (
         adj.select(F.col("src").alias("node"))
         .distinct()
