@@ -3112,7 +3112,7 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     at most 1000 queries at ANY corpus size), so the brute-force gauge
     stays O(corpus) — a linear %-only sample would make it quadratic.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
     queries = emb.where((F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 25000))
     return sim_ops.labeled_topk(emb, queries, k=5, same_label=False)
 
@@ -3169,7 +3169,7 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     at most 1000 queries at ANY corpus size), so the brute-force gauge
     stays O(corpus) — a linear %-only sample would make it quadratic.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
     queries = emb.where((F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 25000))
     return sim_ops.knn_label_agreement(emb, queries, k=5)
 
@@ -3340,7 +3340,7 @@ def vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row embedding diagnostics: norm, mean, extrema, positive-
     component count — narrow array folds at scan speed, the sanity panel
     run before any ANN indexing."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
     v = F.col("embedding")
     total = F.aggregate(
         v, F.lit(0.0), lambda acc, x: acc + x.cast("double")
@@ -4430,7 +4430,7 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
     qterms = (
         docs.where(F.col("doc_id") == 0)
         .select(F.explode(text_ops.tokens("text")).alias("term"))

@@ -888,8 +888,20 @@ def bm25_scores(
         .groupBy("id", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
-    dl_tbl = df.select(
-        F.col(id_col).alias("id"), token_count(text_col).cast("long").alias("dl")
+    # Round-9 (guide §2.3): dl = Σ tf per doc — token_count(text) counts
+    # every (non-empty) token occurrence, which is exactly what the tf
+    # table already holds, so deriving dl from it removes TWO more
+    # full-corpus tokenize branches (the stats aggregate and the scored
+    # join leg each re-ran split+lower over every document; the plan
+    # carried 3 corpus tokenizes for one logical pass). Zero-token docs
+    # have no tf rows, so the id-only scan (cheap: one narrow column,
+    # no tokenize) left-joins them back at dl=0 — identical to
+    # size(tokens(text)) = 0 on empty text.
+    dl_from_tf = tf_tbl.groupBy("id").agg(F.sum("tf").cast("long").alias("dl"))
+    dl_tbl = (
+        df.select(F.col(id_col).alias("id"))
+        .join(dl_from_tf, "id", "left")
+        .select("id", F.coalesce(F.col("dl"), F.lit(0).cast("long")).alias("dl"))
     )
     stats = dl_tbl.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
