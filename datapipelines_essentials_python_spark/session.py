@@ -37,6 +37,19 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Round-9 (guide §4.4, generator form): InferFiltersFromGenerate turns
+    # every explode(expensive_expr) into an inferred
+    # ``size(expr) > 0 AND isnotnull(expr)`` Filter that DUPLICATES the
+    # expression and is pushed below the fan-out repartition — measured on
+    # source_minhash_matrix: the full corpus MinHash (md5 per shingle) ran
+    # once in a single-task pre-exchange Filter (2.5 s) and again in the
+    # 32-task Project. This engine explodes derived arrays (shingles,
+    # signatures, token lists) everywhere, and those arrays are cheap to
+    # emit but expensive to build, so the inferred pre-filter is a net
+    # loss across the board; rows with empty arrays are dropped by the
+    # generate itself in the same stage. Results are identical — the rule
+    # only ever adds a redundant filter.
+    "spark.sql.optimizer.excludedRules": "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.ui.enabled": "false",
     "spark.sql.autoBroadcastJoinThreshold": "64m",

@@ -53,6 +53,9 @@ _PARALLELIZE_MIN_BYTES = 512 * 1024
 _REQUIRED_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
+    # see session.DEFAULT_CONFS — InferFiltersFromGenerate duplicates
+    # every exploded expensive expression into a pre-exchange Filter
+    "spark.sql.optimizer.excludedRules": "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
 }
 
 
