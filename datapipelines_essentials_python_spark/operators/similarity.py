@@ -598,6 +598,14 @@ def pq_topk(
         # transform's (element, index) signature and clobber the closure
         return lambda c: _sqdist(sub_slice(F.col(vec_col), s), c)
 
+    def _lut_fn(s: int):
+        # the quantized sub-distance exactly as the per-pair form
+        # computed it — same rounding, same decimal type, so the LUT
+        # lookup sum is bit-identical to the inline fold it replaces
+        return lambda c: F.round(_sqdist(sub_slice(F.col(vec_col), s), c), 6).cast(
+            "decimal(18,6)"
+        )
+
     code_cols = []
     for s in range(n_sub):
         dists = F.transform(F.element_at(cb, s + 1), _dist_fn(s))
@@ -607,20 +615,32 @@ def pq_topk(
             .alias(f"code_{s}")
         )
     encoded = encoded.select(
-        F.col(id_col).alias("neighbor_id"), cb, *code_cols
+        F.col(id_col).alias("neighbor_id"), *code_cols
     )
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    # Round-9 (guide §1.2 step 2): classic PQ asymmetric-distance table —
+    # the per-pair distance depends only on (query, sub, code), so the
+    # n_sub × n_codes quantized sub-distances are computed ONCE per query
+    # here (Q × 64 decimals, broadcast with the query row) and the
+    # per-pair score becomes n_sub array lookups + a decimal sum instead
+    # of n_sub full sub_dim-wide folds per (query, corpus) pair —
+    # identical decimals in identical order, ~sub_dim× less pair CPU.
+    q = queries.crossJoin(F.broadcast(cb_row)).select(
+        F.col(id_col).alias("query_id"),
+        F.array(
+            *[
+                F.transform(F.element_at(cb, s + 1), _lut_fn(s))
+                for s in range(n_sub)
+            ]
+        ).alias("__lut"),
     )
     pairs = encoded.join(
         F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
     )
     est: Column | None = None
     for s in range(n_sub):
-        cvec = F.element_at(F.element_at(cb, s + 1), F.col(f"code_{s}") + 1)
-        d = F.round(_sqdist(sub_slice(F.col("qv"), s), cvec), 6).cast(
-            "decimal(18,6)"
+        d = F.element_at(
+            F.element_at(F.col("__lut"), s + 1), F.col(f"code_{s}") + 1
         )
         est = d if est is None else est + d
     scored = pairs.select("query_id", "neighbor_id", est.alias("dist"))
