@@ -77,6 +77,7 @@ def span_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     block_size: int = 8,
+    materialize: bool = True,
 ) -> DataFrame:
     """C4-style span dedup: split each document into non-overlapping
     ``block_size``-token blocks, drop every block whose text already
@@ -96,6 +97,18 @@ def span_dedup(
     blocks = chunk_documents(
         df, text_col=text_col, id_col=id_col, chunk_size=block_size, stride=block_size
     ).select(id_col, F.col("chunk_id").alias("block_idx"), F.col("chunk_text"))
+    if materialize:
+        # Round-9 (guide §2.3/§2.4): the block table feeds the
+        # first-occurrence agg AND the marking join; their exchanges
+        # carry different payloads, so exchange reuse cannot dedup them
+        # and the tokenize+chunk projection ran twice. One block-text-
+        # keyed pinned materialization runs it once; both consumers ride
+        # the layout with zero further exchanges.
+        from datapipelines_essentials_python_spark.utils.repartition import (
+            pinned_checkpoint,
+        )
+
+        blocks = pinned_checkpoint(blocks, "chunk_text")
     # first occurrence = min (id, block_idx) per block text — combinable
     # agg with map-side partials instead of a row_number window, so a
     # boilerplate block repeated 10^6 times never sorts on one partition
@@ -180,6 +193,7 @@ def substring_dup_profile(
     id_col: str = "doc_id",
     window: int = 16,
     stride: int = 4,
+    materialize: bool = True,
 ) -> DataFrame:
     """Rolling-window substring-duplication profile — the overlapping-span
     complement of :func:`span_dedup` (which only sees ``block_size``-aligned
@@ -206,6 +220,16 @@ def substring_dup_profile(
     wins = chunk_documents(
         df, text_col=text_col, id_col=id_col, chunk_size=window, stride=stride
     ).select(id_col, F.md5(F.col("chunk_text")).alias("__wkey"))
+    if materialize:
+        # Round-9 (guide §2.3/§2.4): same double-consumer shape as
+        # span_dedup/exact_substring_dedup — the chunk+md5 projection
+        # fed both the count agg and the join; pin it keyed on __wkey
+        # so it runs once and both consumers ride the layout.
+        from datapipelines_essentials_python_spark.utils.repartition import (
+            pinned_checkpoint,
+        )
+
+        wins = pinned_checkpoint(wins, "__wkey")
     counts = wins.groupBy("__wkey").agg(F.count(F.lit(1)).alias("__c"))
     return (
         wins.join(counts, "__wkey")
@@ -232,6 +256,7 @@ def exact_substring_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     window_size: int = 8,
+    materialize: bool = True,
 ) -> DataFrame:
     """Remove duplicated SPANS (not documents): Lee et al. 2022's
     ExactSubstr behavior approximated at sliding-window granularity —
@@ -299,6 +324,19 @@ def exact_substring_dedup(
             F.array_join(F.slice(F.col("toks"), F.col("start") + 1, w), " ")
         ).alias("fp"),
     )
+    if materialize:
+        # Round-9 (guide §2.3/§2.4): the window table feeds the
+        # first-occurrence agg AND the marking join — two consumers
+        # whose exchanges carry different payloads, so exchange reuse
+        # cannot dedup them and the per-window md5 projection ran TWICE
+        # (event log: two full-width 1.9 s + 1.1 s hashing stages). One
+        # fp-keyed pinned materialization runs the hashing once and
+        # both consumers ride its layout with zero further exchanges.
+        from datapipelines_essentials_python_spark.utils.repartition import (
+            pinned_checkpoint,
+        )
+
+        wins = pinned_checkpoint(wins, "fp")
     # first occurrence = min (id, start) per fingerprint — a COMBINABLE
     # agg with map-side partials, deliberately not a row_number window:
     # a boilerplate fingerprint repeated 10^6 times partial-aggregates
@@ -372,13 +410,16 @@ def window_fingerprints(
     id_col: str = "doc_id",
     window: int = 8,
     stride: int = 1,
+    distinct: bool = True,
 ) -> DataFrame:
     """DISTINCT per-document window fingerprints → ``(id, fp)``: every
     ``window``-token window at the given stride, md5-hashed (fixed-width
     shuffle key), deduplicated within the document — the shared
     projection under :func:`ngram_novelty` and the streaming novelty
     admission (one fingerprint definition, two execution modes). Docs
-    shorter than ``window`` emit no rows."""
+    shorter than ``window`` emit no rows. ``distinct=False`` returns the
+    raw (possibly duplicated) rows so a batch caller can establish its
+    own fp-keyed layout first and let the dedup ride it (round 9)."""
     w = int(window)
     base = df.select(F.col(id_col), _toks(text_col).alias("toks")).withColumn(
         "n", F.size("toks")
@@ -387,16 +428,15 @@ def window_fingerprints(
         F.col("n") >= w,
         F.sequence(F.lit(0), F.col("n") - F.lit(w), F.lit(int(stride))),
     ).otherwise(F.array().cast("array<int>"))
-    return (
-        base.select(F.col(id_col), F.explode(starts).alias("start"), "toks")
-        .select(
-            F.col(id_col),
-            F.md5(
-                F.array_join(F.slice(F.col("toks"), F.col("start") + 1, w), " ")
-            ).alias("fp"),
-        )
-        .distinct()
+    out = base.select(
+        F.col(id_col), F.explode(starts).alias("start"), "toks"
+    ).select(
+        F.col(id_col),
+        F.md5(
+            F.array_join(F.slice(F.col("toks"), F.col("start") + 1, w), " ")
+        ).alias("fp"),
     )
+    return out.distinct() if distinct else out
 
 
 def ngram_novelty(
@@ -405,6 +445,7 @@ def ngram_novelty(
     id_col: str = "doc_id",
     window: int = 8,
     stride: int = 1,
+    materialize: bool = True,
 ) -> DataFrame:
     """Per-document n-gram NOVELTY against the rest of the corpus in
     ``id_col`` order: the fraction of a document's ``window``-token
@@ -438,9 +479,25 @@ def ngram_novelty(
         raise ValueError(f"ngram_novelty needs window >= 2, got {window}")
     if stride < 1:
         raise ValueError(f"ngram_novelty needs stride >= 1, got {stride}")
-    wins = window_fingerprints(
-        df, text_col=text_col, id_col=id_col, window=window, stride=stride
-    )
+    # Round-9 (guide §2.4): one fp-keyed pinned materialization of the
+    # RAW window rows; the per-doc distinct (grouping keys ⊇ fp), the
+    # first-occurrence agg (keyed fp) and the reassociation join (keyed
+    # fp) ALL ride its layout — one exchange of the window table instead
+    # of three ((id, fp) distinct + both consumer exchanges).
+    if materialize:
+        from datapipelines_essentials_python_spark.utils.repartition import (
+            pinned_checkpoint,
+        )
+
+        raw = window_fingerprints(
+            df, text_col=text_col, id_col=id_col, window=window,
+            stride=stride, distinct=False,
+        )
+        wins = pinned_checkpoint(raw, "fp").distinct()
+    else:
+        wins = window_fingerprints(
+            df, text_col=text_col, id_col=id_col, window=window, stride=stride
+        )
     first = wins.groupBy("fp").agg(F.min(id_col).alias("__first"))
     per_doc = (
         wins.join(first, "fp")

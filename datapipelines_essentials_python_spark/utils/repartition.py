@@ -53,6 +53,36 @@ def static_loop_planning(spark, shuffle_partitions: int | None = None):
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
+def pinned_checkpoint(df: DataFrame, *keys, parts: int | None = None) -> DataFrame:
+    """Eager ``localCheckpoint`` that PRESERVES hash partitioning on
+    ``keys`` (round-9, guide §2.4) — the shared-stage primitive for a
+    DataFrame consumed by several operators that all want the same
+    clustering (an agg and a join on the same key, a distinct whose
+    grouping keys are a superset of ``keys``).
+
+    Under AQE a checkpointed plan reports ``UnknownPartitioning``, so
+    each consumer would re-exchange (and re-compute the upstream
+    projection feeding its exchange — for expensive projections like
+    per-window md5 fingerprints that is a full duplicate pass).
+    Disabling AQE just for this materialization keeps the hash layout
+    visible: every consumer keyed on ``keys`` (or a superset) satisfies
+    its required distribution with zero further exchanges, and the
+    expensive upstream runs exactly once. ``parts`` defaults to the
+    session's ``spark.sql.shuffle.partitions`` (scale-adaptive: the
+    session factory sizes it from the core budget)."""
+    spark = df.sparkSession
+    n = parts if parts else int(spark.conf.get("spark.sql.shuffle.partitions"))
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        out = df.repartition(n, *[F.col(k) for k in keys]).localCheckpoint(
+            eager=True
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    return out
+
+
 def data_frame_repartition(
     df: DataFrame,
     num_partitions: int | None = None,

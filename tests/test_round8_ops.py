@@ -263,7 +263,10 @@ def test_exact_substring_dedup_plan_no_python(spark):
     docs = spark.createDataFrame(
         [(1, "a b c d e"), (2, "a b c d e")], "doc_id long, text string"
     )
-    plan = _plan(exact_substring_dedup(docs, window_size=4))
+    # materialize=False = plan-shape mode: the round-9 fp-keyed pinned
+    # checkpoint otherwise executes the fingerprint build eagerly and the
+    # final plan reads Scan ExistingRDD (md5 invisible to this assert)
+    plan = _plan(exact_substring_dedup(docs, window_size=4, materialize=False))
     assert "BatchEvalPython" not in plan
     assert "ArrowEval" not in plan
     assert "md5" in plan.lower()
