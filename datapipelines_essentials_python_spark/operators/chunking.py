@@ -536,7 +536,6 @@ def boilerplate_segments(
     id_col: str = "doc_id",
     block_size: int = 8,
     min_docs: int = 3,
-    materialize: bool = True,
 ) -> DataFrame:
     """C4's OTHER line rule: remove every segment that occurs in at least
     ``min_docs`` DISTINCT documents — boilerplate (headers, footers,
@@ -575,17 +574,6 @@ def boilerplate_segments(
         df, text_col=text_col, id_col=id_col,
         chunk_size=block_size, stride=block_size,
     ).select(id_col, F.col("chunk_id").alias("block_idx"), "chunk_text")
-    if materialize:
-        # Round-9 (guide §2.3/§2.4): blocks feeds THREE consumers (the
-        # df-threshold agg, the anti-join left side, the per-doc totals
-        # agg) — pinned on the block text, the first two ride the layout
-        # and the totals agg pays one exchange over the materialized
-        # rows instead of a third tokenize+chunk pass.
-        from datapipelines_essentials_python_spark.utils.repartition import (
-            pinned_checkpoint,
-        )
-
-        blocks = pinned_checkpoint(blocks, "chunk_text")
     flagged = (
         blocks.groupBy("chunk_text")
         .agg(F.count_distinct(F.col(id_col)).alias("__df"))
