@@ -700,7 +700,10 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary media column → Arrow-batched
     mapInPandas feature extraction (stub decoder; driver-mandated)."""
-    docs = load_table(spark, sf_dir, "documents")
+    # parallelize (guide §2.5/§4): the single-row-group scan otherwise
+    # feeds the Arrow/Python feature extraction on ONE task (measured:
+    # a 1.76 s single-task stage = the whole query)
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     media = mm_ops.documents_as_media(docs)
     feats = mm_ops.extract_features(media, decoder=mm_ops.fake_features)
     return feats.select(
