@@ -11,6 +11,7 @@ collect, no disk write) — measures plan execution, not result transfer.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -399,7 +400,19 @@ def main() -> None:
         # centroid assignments) so 85 queries don't accumulate cache
         for dep in getattr(df, "_sg_persisted", ()):
             dep.unpersist()
-        return round(time.time() - t0, 3)
+        elapsed = round(time.time() - t0, 3)
+        # Round-9, OUTSIDE the timed region (the timing methodology is
+        # unchanged — same timed actions as every prior round): drop the
+        # Python references to this query's DataFrames and collect, so
+        # py4j releases the JVM-side plans and the ContextCleaner can
+        # unpersist the iterative queries' localCheckpoint RDD blocks.
+        # Without it, 240 queries accumulate checkpoint blocks in the
+        # 4g driver heap for the whole run (cleanup otherwise waits on
+        # an incidental full GC) and the later loop-heavy queries read
+        # 1.5-2.5 s above their isolated profiles.
+        del df
+        gc.collect()
+        return elapsed
 
     # One UNTIMED run of the first headline query: the range/region
     # warmup above doesn't exercise the real scan→agg pipeline, so the
