@@ -412,6 +412,15 @@ def main() -> None:
         # 1.5-2.5 s above their isolated profiles.
         del df
         gc.collect()
+        # let the ContextCleaner's async unpersists land BEFORE the next
+        # query's timer starts (they otherwise steal cycles inside the
+        # next timed region): one JVM GC to surface the newly
+        # unreferenced RDDs, then a tiny settle action as a barrier.
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+        spark.range(1).count()
         return elapsed
 
     # One UNTIMED run of the first headline query: the range/region
