@@ -1071,7 +1071,7 @@ def lpa_communities(
     )
     if materialize:
         labels = labels.localCheckpoint(eager=True)
-    for _ in range(iterations):
+    for i in range(iterations):
         msgs = adj.join(
             labels.select(F.col("node").alias("src"), "label"), "src"
         ).select(F.col("dst").alias("node"), "label")
@@ -1083,7 +1083,13 @@ def lpa_communities(
                 F.struct(F.col("cnt"), (-F.col("label")).alias("neg_label"))
             ).alias("m")
         ).select("node", (-F.col("m.neg_label")).alias("label"))
-        if materialize:
+        # checkpoint every SECOND round (round 9): an LPA round
+        # references its label input exactly ONCE (the publish join), so
+        # chaining two rounds per materialization executes each round's
+        # subtree once — the star-loop re-execution blow-up (which
+        # references its input ~4×) does not apply — and halves the
+        # driver round-trips.
+        if materialize and (i % 2 == 1 or i == iterations - 1):
             labels = labels.localCheckpoint(eager=True)
     return labels.select("node", F.col("label").alias("community"))
 
