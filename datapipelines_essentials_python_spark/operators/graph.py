@@ -89,6 +89,31 @@ def _loop_parts(df: DataFrame, rows: int | None = None) -> int:
     return max(1, min(par_cap, n // 100_000 + 1))
 
 
+#: Minimum row-derived width at which a per-round keyed fold repartition
+#: pays for itself (round-10, VERDICT r09 item 1). The round-9 fold
+#: widening (batch 5) applied `repartition(parts, key)` unconditionally;
+#: when ``parts`` resolves to 1-4 the keyed exchange recruits no more
+#: parallelism than AQE's coalesced fold already has, while still (a)
+#: adding a per-round exchange of the RAW pre-fold rows and (b) replacing
+#: the map-side partial aggregation with a complete post-shuffle agg —
+#: driver-confirmed regressions at sf0.1: bfs_reach_3hop 3.31 → 4.67 s,
+#: random_walk_hops 4.15 → 4.95 s, both FASTER at 8 cores than 32 (pure
+#: overhead). At scale ``parts`` saturates at the cluster parallelism and
+#: clears this floor, so the §2.5 mechanism is preserved exactly where it
+#: was built for.
+_FOLD_MIN_PARTS = 4
+
+
+def _fold_parts(df: DataFrame, rows: int | None = None) -> int | None:
+    """Row-derived width for a per-round keyed fold repartition, or
+    ``None`` when the computed width would not exceed what AQE's
+    byte-based coalescing already provides (``_FOLD_MIN_PARTS``) — the
+    caller then skips the repartition entirely, keeping the map-side
+    partial aggregation and the shorter per-round plan."""
+    parts = _loop_parts(df, rows=rows)
+    return parts if parts > _FOLD_MIN_PARTS else None
+
+
 def _wedge_parts(deg: DataFrame, degree_col: str = "degree") -> int:
     """Partition width for a wedge-by-center self-join, derived from the
     EXACT wedge row count ``Σ C(deg, 2)`` over the (already capped)
@@ -970,11 +995,9 @@ def kcore(
     # bfs_distances; the per-peel endpoint union is bytes-light and
     # AQE's byte-based coalescing otherwise folds it on ~2 tasks.
     # Sized ONCE off the initial edge count (the edge set only shrinks).
-    parts = None
-    if materialize:
-        spark = edges.sparkSession
-        par_cap = spark.sparkContext.defaultParallelism
-        parts = max(1, min(par_cap, und.count() // 100_000 + 1))
+    # Round-10 (VERDICT r09 item 1): gated on the width actually
+    # exceeding AQE's — see _fold_parts.
+    parts = _fold_parts(und) if materialize else None
 
     def _degrees(e: DataFrame) -> DataFrame:
         ends = e.select(F.col("u").alias("node")).unionByName(
@@ -1173,6 +1196,68 @@ def edge_support(
     )
 
 
+def _peel_support_update(
+    old_edges: DataFrame, removed: DataFrame, kept_sup: DataFrame
+) -> DataFrame:
+    """Incremental edge-support update after one truss peel (round-10,
+    guide §2.4 "do less work per round"; VERDICT r09 item 3).
+
+    ``kept_sup`` carries the support each kept edge had in the OLD graph
+    (``old_edges``, canonical u < v); peeling ``removed`` destroys
+    exactly the old-graph triangles that contain at least one removed
+    edge, so the new support is the old support minus, per kept edge,
+    the number of DISTINCT destroyed triangles it belongs to. Cost is
+    proportional to the removed edges' wedge work — Σ_{(u,v)∈R} deg(u)
+    candidate rows — instead of a full O(m^1.5) re-enumeration of the
+    surviving graph; peel rounds shed most edges in round one, so each
+    subsequent update touches a rapidly shrinking frontier.
+
+    Correctness: a destroyed triangle {u, v, w} (removed edge (u, v),
+    common neighbor w) is found once per removed edge it contains
+    (2-3 removed edges ⇒ 2-3 candidate rows), so triangles are
+    DEDUPLICATED on their sorted node triple before crediting the
+    decrements — each kept edge loses exactly one unit per destroyed
+    triangle. Kept edges in no destroyed triangle left-join to a zero
+    delta. Pure integer arithmetic, same as :func:`edge_support`.
+    """
+    adj = old_edges.select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    ).unionByName(old_edges.select(F.col("v").alias("a"), F.col("u").alias("b")))
+    # w adjacent to u in the old graph (w == v would be the removed edge
+    # itself, not a triangle apex)
+    cand = removed.join(
+        adj.select(F.col("a").alias("u"), F.col("b").alias("w")), "u"
+    ).where(F.col("w") != F.col("v"))
+    # keep only apexes also adjacent to v: {u, v, w} is an old triangle
+    tri = cand.join(
+        adj.select(F.col("a").alias("v"), F.col("b").alias("w")), ["v", "w"]
+    )
+    tri_d = (
+        tri.select(F.array_sort(F.array("u", "v", "w")).alias("t"))
+        .distinct()
+        .select(
+            F.col("t")[0].alias("x"),
+            F.col("t")[1].alias("y"),
+            F.col("t")[2].alias("z"),
+        )
+    )
+    sides = (
+        tri_d.select(F.col("x").alias("u"), F.col("y").alias("v"))
+        .unionByName(tri_d.select(F.col("x").alias("u"), F.col("z").alias("v")))
+        .unionByName(tri_d.select(F.col("y").alias("u"), F.col("z").alias("v")))
+    )
+    delta = sides.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("__d")
+    )
+    return kept_sup.join(delta, ["u", "v"], "left").select(
+        "u",
+        "v",
+        (F.col("support") - F.coalesce(F.col("__d"), F.lit(0).cast("long")))
+        .cast("long")
+        .alias("support"),
+    )
+
+
 def ktruss(
     edges: DataFrame,
     k: int,
@@ -1218,24 +1303,37 @@ def ktruss(
     # exchange + checkpoint per peel) and the per-round cur.count()
     # action (the previous round's kept.count() IS this round's size).
     n_cur = cur.count()
+    # Round-10 (guide §2.4, VERDICT r09 item 3): ONE full O(m^1.5)
+    # support pass up front; every peel round then updates support
+    # INCREMENTALLY from the removed edges' destroyed triangles
+    # (:func:`_peel_support_update`) instead of re-enumerating every
+    # wedge of the surviving graph — max_rounds+1 full passes become 1
+    # full pass + max_rounds removed-frontier-sized updates, and the
+    # closing recount disappears (the last update's output IS the
+    # support of the final edge set). Identity per round is proved in
+    # tests (same integers as a fresh edge_support of the kept set).
+    sup = edge_support(cur, materialize=materialize, assume_normalized=True)
     for _ in range(max_rounds):
-        sup = edge_support(
-            cur, materialize=materialize, assume_normalized=True
-        )
-        kept = sup.where(F.col("support") >= thresh).select("u", "v")
         if materialize:
-            kept = kept.localCheckpoint(eager=True)
+            # one materialization per round, same discipline as before:
+            # ``sup`` feeds the kept/removed filters, the delta join,
+            # and possibly the fixpoint return.
+            sup = sup.localCheckpoint(eager=True)
+        kept_sup = sup.where(F.col("support") >= thresh)
         # 1-row scalar action — the convergence test (same discipline as
         # kcore); reads checkpointed state, not re-derived lineage.
-        n_kept = kept.count()
+        n_kept = kept_sup.count()
         if n_kept == n_cur:
-            # fixpoint: every edge of ``cur`` kept its support, so the
-            # ``sup`` just computed IS edge_support of the final set —
-            # skip the closing O(m^1.5) pass. (Cap exit below still
-            # recounts: its last filter changed the edge set.)
+            # fixpoint: every edge of ``cur`` kept its support, so
+            # ``sup`` IS edge_support of the final set.
             return sup
-        cur, n_cur = kept, n_kept
-    return edge_support(cur, materialize=materialize, assume_normalized=True)
+        removed = sup.where(F.col("support") < thresh).select("u", "v")
+        sup = _peel_support_update(cur, removed, kept_sup)
+        # next round's graph: the kept edges (narrow filter over the
+        # checkpointed support table — no re-shuffle needed; the update
+        # join re-reads it per reference at scan cost only)
+        cur, n_cur = kept_sup.select("u", "v"), n_kept
+    return sup
 
 
 def adamic_adar(
@@ -1384,10 +1482,9 @@ def bfs_distances(
     # coalesces, and the groupBy reuses) runs the fold at a row-derived
     # width — adjacency rows / 100k, the components-loop heuristic,
     # scale-adaptive. The frontier join keeps its adaptive broadcast.
-    spark = edges.sparkSession
-    if materialize:
-        par_cap = spark.sparkContext.defaultParallelism
-        parts = max(1, min(par_cap, adj.count() // 100_000 + 1))
+    # Round-10 (VERDICT r09 item 1): gated on the width actually
+    # exceeding AQE's — see _fold_parts.
+    parts = _fold_parts(adj) if materialize else None
     for h in range(1, max_hops + 1):
         frontier = dist.where(F.col("dist") == h - 1).select(
             F.col("node").alias("src")
@@ -1396,7 +1493,7 @@ def bfs_distances(
             F.col("dst").alias("node"), F.lit(h).cast("int").alias("dist")
         )
         folded = dist.unionByName(nxt)
-        if materialize:
+        if parts is not None:
             folded = folded.repartition(parts, F.col("node"))
         dist = folded.groupBy("node").agg(
             F.min("dist").cast("int").alias("dist")
@@ -1457,11 +1554,9 @@ def random_walks(
     # Round-9 (guide §2.5): row-derived fold width — see bfs_distances;
     # the per-step argmin folds Σ deg(cur) candidate rows (bytes-light,
     # md5-CPU-heavy), which AQE's byte-based coalescing otherwise runs
-    # on ~2 tasks.
-    spark = edges.sparkSession
-    if materialize:
-        par_cap = spark.sparkContext.defaultParallelism
-        parts = max(1, min(par_cap, adj.count() // 100_000 + 1))
+    # on ~2 tasks. Round-10 (VERDICT r09 item 1): gated on the width
+    # actually exceeding AQE's — see _fold_parts.
+    parts = _fold_parts(adj) if materialize else None
     for t in range(1, walk_len + 1):
         draw = F.md5(
             F.concat_ws(
@@ -1475,7 +1570,7 @@ def random_walks(
         hops = cur.join(adj, cur["node"] == adj["src"]).select(
             "start", cur["node"].alias("node"), "dst"
         )
-        if materialize:
+        if parts is not None:
             # repartition the RAW hop rows so the md5 draws AND the
             # argmin fold both run at ``parts`` tasks
             hops = hops.repartition(parts, F.col("start"))
@@ -1696,11 +1791,9 @@ def landmark_harmonic(
     # grows toward lm × |V|, so size off the adjacency (the per-hop
     # join's work bound), same ~100k-rows-per-partition heuristic as
     # the components loops; scale-adaptive, not a local[32] constant.
-    spark = edges.sparkSession
-    par_cap = spark.sparkContext.defaultParallelism
-    if materialize:
-        n_adj = adj.count()
-        parts = max(1, min(par_cap, n_adj // 100_000 + 1))
+    # Round-10 (VERDICT r09 item 1): gated on the width actually
+    # exceeding AQE's — see _fold_parts.
+    parts = _fold_parts(adj) if materialize else None
     for h in range(1, max_hops + 1):
         frontier = dist.where(F.col("dist") == h - 1).select(
             "lm", F.col("node").alias("src")
@@ -1709,7 +1802,7 @@ def landmark_harmonic(
             "lm", F.col("dst").alias("node"), F.lit(h).cast("int").alias("dist")
         )
         folded = dist.unionByName(nxt)
-        if materialize:
+        if parts is not None:
             # user-numbered keyed repartition: AQE never coalesces it,
             # and the groupBy on the same keys reuses the exchange —
             # the fold runs at ``parts`` tasks instead of 2, while the
@@ -1783,11 +1876,9 @@ def cheapest_paths(
         cost = cost.localCheckpoint(eager=True)
     # Round-9 (guide §2.5): row-derived fold width — see bfs_distances;
     # AQE's byte-based coalescing otherwise runs the min-plus fold +
-    # checkpoint stage on ~2 tasks.
-    spark = edges.sparkSession
-    if materialize:
-        par_cap = spark.sparkContext.defaultParallelism
-        parts = max(1, min(par_cap, adj.count() // 100_000 + 1))
+    # checkpoint stage on ~2 tasks. Round-10 (VERDICT r09 item 1):
+    # gated on the width actually exceeding AQE's — see _fold_parts.
+    parts = _fold_parts(adj) if materialize else None
     frontier = cost
     for _ in range(max_hops):
         relaxed = (
@@ -1798,7 +1889,7 @@ def cheapest_paths(
             )
         )
         folded = cost.unionByName(relaxed)
-        if materialize:
+        if parts is not None:
             folded = folded.repartition(parts, F.col("node"))
         nxt = folded.groupBy("node").agg(F.min("cost").alias("cost"))
         if materialize:

@@ -3,7 +3,7 @@
 For each named registry query: time DF construction (iterative operators
 execute their eager localCheckpoints here) and the noop-sink write
 separately, count jobs, and optionally dump ``explain("formatted")`` to
-``plans/r09/<name>_<tag>.txt``.
+``plans/r10/<name>_<tag>.txt``.
 
 Usage:
     python tools/profile_queries.py [--plans TAG] [--repeat N] q1 q2 ...
@@ -29,7 +29,7 @@ import __spark_entry__ as entry_mod  # noqa: E402
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("queries", nargs="+")
-    ap.add_argument("--plans", default=None, help="dump explain to plans/r09/<q>_<TAG>.txt")
+    ap.add_argument("--plans", default=None, help="dump explain to plans/r10/<q>_<TAG>.txt")
     ap.add_argument("--repeat", type=int, default=1)
     ap.add_argument("--events", action="store_true")
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -63,7 +63,7 @@ def main() -> None:
     for dep in getattr(warm, "_sg_persisted", ()):
         dep.unpersist()
 
-    plans_dir = Path(__file__).resolve().parent.parent / "plans" / "r09"
+    plans_dir = Path(__file__).resolve().parent.parent / "plans" / "r10"
     if args.plans:
         plans_dir.mkdir(parents=True, exist_ok=True)
 
